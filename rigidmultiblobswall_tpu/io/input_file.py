@@ -1,0 +1,178 @@
+"""Reference-compatible input-file parser and System construction.
+
+Parses the same whitespace-separated key-value format with '#' comments and
+repeated structure/obstacle/articulated entries
+(/root/reference/read_input/read_input.py:14-159) into a frozen config and
+builds a `System` + initial `State` from the referenced scene files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import ntpath
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..models.system import BodyType, System, make_state
+from . import scene
+
+
+@dataclasses.dataclass
+class InputConfig:
+    options: dict
+    structures: List[List[str]]          # [vertex, clones, (slip)]
+    structures_ID: List[str]
+    obstacles: List[List[str]]
+    obstacles_ID: List[str]
+    articulated: List[List[str]]
+    articulated_ID: List[str]
+
+    # scalars with reference defaults (read_input.py:48-102)
+    n_steps: int = 0
+    initial_step: int = 0
+    n_save: int = 1
+    dt: float = 0.0
+    eta: float = 1.0
+    g: float = 1.0
+    blob_radius: float = 1.0
+    kT: float = 1.0
+    scheme: str = "deterministic_forward_euler"
+    output_name: str = "run"
+    seed: Optional[int] = None
+    repulsion_strength_wall: float = 1.0
+    debye_length_wall: float = 1.0
+    repulsion_strength: float = 1.0
+    debye_length: float = 1.0
+    solver_tolerance: float = 1e-8
+    rf_delta: float = 1e-3
+    periodic_length: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    update_PC: int = 1
+    domain: str = "single_wall"
+    save_clones: str = "one_file_per_step"
+    tracer_radius: float = 0.0
+    velocity_file: Optional[str] = None
+    slip_file: Optional[str] = None
+    force_file: Optional[str] = None
+    plot_velocity_field: Optional[np.ndarray] = None
+
+
+def read_input(path) -> InputConfig:
+    options = {}
+    structures, obstacles, articulated = [], [], []
+    with open(path, "r") as f:
+        for line in f:
+            if "#" in line:
+                line = line.split("#", 1)[0]
+            line = line.strip()
+            if not line:
+                continue
+            key, value = line.split(None, 1)
+            if key == "structure":
+                structures.append(value.split())
+            elif key == "obstacle":
+                obstacles.append(value.split())
+            elif key == "articulated":
+                articulated.append(value.split())
+            else:
+                options[key] = value
+
+    def _id(files):
+        tail = ntpath.split(files[1])[1]
+        return tail[:-7] if tail.endswith(".clones") else tail
+
+    cfg = InputConfig(
+        options=options,
+        structures=structures,
+        structures_ID=[_id(s) for s in structures],
+        obstacles=obstacles,
+        obstacles_ID=[_id(s) for s in obstacles],
+        articulated=articulated,
+        articulated_ID=[_id(s) for s in articulated],
+    )
+    g = options.get
+    cfg.n_steps = int(g("n_steps") or 0)
+    cfg.initial_step = int(g("initial_step") or 0)
+    cfg.n_save = int(g("n_save") or 1)
+    cfg.dt = float(g("dt") or 0.0)
+    cfg.eta = float(g("eta") or 1.0)
+    cfg.g = float(g("g") or 1.0)
+    cfg.blob_radius = float(g("blob_radius") or 1.0)
+    cfg.kT = float(g("kT") or 1.0)
+    cfg.scheme = str(g("scheme") or "deterministic_forward_euler")
+    cfg.output_name = str(g("output_name") or "run")
+    cfg.seed = int(g("seed")) if g("seed") else None
+    cfg.repulsion_strength_wall = float(g("repulsion_strength_wall") or 1.0)
+    cfg.debye_length_wall = float(g("debye_length_wall") or 1.0)
+    cfg.repulsion_strength = float(g("repulsion_strength") or 1.0)
+    cfg.debye_length = float(g("debye_length") or 1.0)
+    cfg.solver_tolerance = float(g("solver_tolerance") or 1e-8)
+    cfg.rf_delta = float(g("rf_delta") or 1e-3)
+    cfg.periodic_length = tuple(
+        np.fromstring(g("periodic_length") or "0 0 0", sep=" "))
+    cfg.update_PC = int(g("update_PC") or 1)
+    cfg.domain = str(g("domain") or "single_wall")
+    cfg.save_clones = str(g("save_clones") or "one_file_per_step")
+    cfg.tracer_radius = float(g("tracer_radius") or 0.0)
+    cfg.velocity_file = g("velocity_file")
+    cfg.slip_file = g("slip_file")
+    cfg.force_file = g("force_file")
+    if g("plot_velocity_field"):
+        cfg.plot_velocity_field = np.fromstring(g("plot_velocity_field"), sep=" ")
+
+    # restart rewiring (read_input.py:139-144)
+    if cfg.initial_step > 0:
+        for k, struct in enumerate(cfg.structures):
+            struct[1] = (f"{cfg.output_name}.{cfg.structures_ID[k]}."
+                         f"{str(cfg.initial_step).zfill(8)}.clones")
+    return cfg
+
+
+def build_system(cfg: InputConfig, base_dir="."):
+    """Build (System, State) from an InputConfig. Each structure entry
+    becomes one BodyType group (reference multi_bodies.py:1164-1219)."""
+    types = []
+    locations = []
+    quaternions = []
+
+    def _resolve(p):
+        return p if os.path.isabs(p) else os.path.join(base_dir, p)
+
+    def _add(files, name, is_obstacle):
+        ref = scene.read_vertex_file(_resolve(files[0]))
+        nbod, loc, quat = scene.read_clones_file(_resolve(files[1]))
+        slip = None
+        if len(files) > 2 and files[2].endswith(".slip"):
+            slip = scene.read_slip_file(_resolve(files[2]))
+        blob_radii = ref[:, 3] if ref.shape[1] == 4 else None
+        types.append(BodyType(
+            name=name, ref_config=ref[:, :3], count=nbod,
+            blob_radii=blob_radii, slip_ref=slip,
+            prescribed_kinematics=is_obstacle, is_obstacle=is_obstacle))
+        locations.append(loc)
+        quaternions.append(quat)
+
+    for files, name in zip(cfg.structures, cfg.structures_ID):
+        _add(files, name, False)
+    for files, name in zip(cfg.obstacles, cfg.obstacles_ID):
+        _add(files, name, True)
+
+    system = System(
+        types=tuple(types),
+        eta=cfg.eta,
+        blob_radius=cfg.blob_radius,
+        kT=cfg.kT,
+        g=cfg.g,
+        domain=cfg.domain,
+        periodic_length=tuple(cfg.periodic_length),
+        repulsion_strength=cfg.repulsion_strength,
+        debye_length=cfg.debye_length,
+        repulsion_strength_wall=cfg.repulsion_strength_wall,
+        debye_length_wall=cfg.debye_length_wall,
+        solver_tolerance=cfg.solver_tolerance,
+        rf_delta=cfg.rf_delta,
+    )
+    state = make_state(np.concatenate(locations, axis=0),
+                       np.concatenate(quaternions, axis=0))
+    return system, state

@@ -1,0 +1,189 @@
+"""Matrix-free saddle-point operator and block-diagonal preconditioners.
+
+Mobility problem for rigid multiblob suspensions (Delong et al. 2015):
+
+    |  M   -K | |lambda|   | slip |
+    | -K^T  0 | |  U   | = | -F   |
+
+solved by right-preconditioned GMRES with a per-body exact preconditioner
+(/root/reference/multi_bodies/multi_bodies.py:424-618). Prescribed-kinematics
+bodies turn their velocity rows into the identity and move K U to the RHS.
+
+TPU design: bodies are batched per type; the preconditioner factors all
+bodies of a type with one vmapped Cholesky, and its application is three
+batched matmuls (MXU work). The Lanczos noise preconditioner P = U_chol^{-1}
+with M ~= U_chol^T U_chol reuses the same factorization.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import mobility as mob
+from . import kinematics as kin
+from .system import State, System
+
+
+def saddle_size(system: System) -> int:
+    return 3 * system.num_blobs + 6 * system.num_bodies
+
+
+def split_saddle_vector(system: System, vec):
+    n3 = 3 * system.num_blobs
+    lam = vec[:n3].reshape(system.num_blobs, 3)
+    U = vec[n3:n3 + 6 * system.num_bodies].reshape(system.num_bodies, 6)
+    return lam, U
+
+
+def make_linear_operator(system: System, state: State, r_blobs=None):
+    """Return vec -> saddle operator action (flat in, flat out)
+    (multi_bodies.py:424-471)."""
+    if r_blobs is None:
+        r_blobs = kin.blob_positions(system, state)
+    prescribed = jnp.asarray(system.prescribed_body_mask)
+    any_prescribed = bool(system.prescribed_body_mask.any())
+    kwargs = system.mobility_kwargs
+
+    def operator(vec):
+        lam, U = split_saddle_vector(system, vec)
+        m_lam = mob.mobility_trans_times_force(
+            r_blobs, lam, system.eta, system.blob_radius, **kwargs)
+        KU = kin.K_mul(system, state, U)
+        res_blobs = m_lam - KU
+        res_bodies = -kin.KT_mul(system, state, lam)
+        if any_prescribed:
+            # identity row on U, and K U moved back out of the blob rows
+            blob_mask = blob_prescribed_mask(system)[:, None]
+            res_blobs = res_blobs + blob_mask * KU
+            res_bodies = res_bodies + prescribed[:, None] * U
+        return jnp.concatenate([res_blobs.ravel(), res_bodies.ravel()])
+
+    return operator
+
+
+def blob_prescribed_mask(system: System):
+    """(N,) 1.0 where the parent body has prescribed kinematics."""
+    import numpy as np
+
+    mask = np.zeros(system.num_blobs)
+    for i, t in enumerate(system.types):
+        if t.prescribed_kinematics:
+            mask[system.blob_slice(i)] = 1.0
+    return jnp.asarray(mask)
+
+
+class TypePC(NamedTuple):
+    """Per-type batched preconditioner factors."""
+
+    chol: jax.Array      # (c, 3nb, 3nb) upper Cholesky, M = U^T U
+    chol_inv: jax.Array  # (c, 3nb, 3nb) U^{-1}
+    m_inv: jax.Array     # (c, 3nb, 3nb)
+    K: jax.Array         # (c, 3nb, 6)
+    N_body: jax.Array    # (c, 6, 6) = pinv(K^T M^{-1} K)
+
+
+class BlockDiagPC(NamedTuple):
+    per_type: tuple
+
+
+def build_block_diag_pc(system: System, state: State) -> BlockDiagPC:
+    """Factor every body's blob mobility; batched per type
+    (multi_bodies.py:480-618). Uses the dense single-body mobility in the
+    system's domain without periodic images, like the reference."""
+    per_type = []
+    # the in_plane mobility is singular in z; like the reference (which has
+    # no dense in_plane builder) the PC factors the single-wall mobility
+    pc_domain = "single_wall" if system.domain == "in_plane" else system.domain
+    for i, t in enumerate(system.types):
+        rel = kin.blob_rel_positions(system, state, i)  # (c,nb,3)
+        pos, _ = kin.type_arrays(system, state, i)
+        r_body = rel + pos[:, None, :]
+
+        def dense_one(r):
+            return mob.dense_mobility(r, system.eta, system.blob_radius,
+                                      domain=pc_domain, coupling="tt")
+
+        M = jax.vmap(dense_one)(r_body)  # (c, 3nb, 3nb)
+        chol = jax.vmap(lambda m: jnp.linalg.cholesky(m, upper=True))(M)
+        eye = jnp.broadcast_to(jnp.eye(3 * t.num_blobs, dtype=M.dtype), M.shape)
+        chol_inv = jax.vmap(
+            lambda u, b: jax.scipy.linalg.solve_triangular(u, b, lower=False)
+        )(chol, eye)
+        m_inv = jnp.einsum("cij,ckj->cik", chol_inv, chol_inv)
+        K = kin.K_dense(system, state, i)  # (c, 3nb, 6)
+        KtMinvK = jnp.einsum("cni,cnm,cmj->cij", K, m_inv, K)
+        N_body = jnp.linalg.pinv(KtMinvK)
+        per_type.append(TypePC(chol=chol, chol_inv=chol_inv, m_inv=m_inv,
+                               K=K, N_body=N_body))
+    return BlockDiagPC(per_type=tuple(per_type))
+
+
+def apply_block_diag_pc(system: System, pc: BlockDiagPC, vec):
+    """Apply the saddle preconditioner (multi_bodies.py:552-582):
+    per body solve the isolated mobility problem exactly."""
+    lam, F = split_saddle_vector(system, vec)
+    lam_out = []
+    body_out = []
+    for i, t in enumerate(system.types):
+        p = pc.per_type[i]
+        c, nb = t.count, t.num_blobs
+        slip = lam[system.blob_slice(i)].reshape(c, 3 * nb)
+        Fb = F[system.body_slice(i)].reshape(c, 6)
+        if t.prescribed_kinematics:
+            lam_t = jnp.einsum("cij,cj->ci", p.m_inv, slip)
+            Y = jnp.einsum("cni,cn->ci", p.K, lam_t)  # F = K^T lambda
+            lam_out.append(lam_t.reshape(c * nb, 3))
+            body_out.append(Y)
+        else:
+            lam_tilde = jnp.einsum("cij,cj->ci", p.m_inv, slip)
+            rhs = -Fb - jnp.einsum("cni,cn->ci", p.K, lam_tilde)
+            Y = jnp.einsum("cij,cj->ci", p.N_body, rhs)
+            KY = jnp.einsum("cni,ci->cn", p.K, Y)
+            lam_t = jnp.einsum("cij,cj->ci", p.m_inv, slip + KY)
+            lam_out.append(lam_t.reshape(c * nb, 3))
+            body_out.append(Y)
+    lam_full = jnp.concatenate(lam_out, axis=0)
+    body_full = jnp.concatenate(body_out, axis=0)
+    return jnp.concatenate([lam_full.ravel(), body_full.ravel()])
+
+
+def make_noise_pc(system: System, state: State, pc: BlockDiagPC,
+                  r_blobs=None):
+    """Operators for the preconditioned Lanczos noise
+    (multi_bodies.py:591-615):
+      mobility_pc(w) = P^T M P w   with per-body P = U_chol^{-1}
+      L_mult(w)      = U_chol^T w
+    so that L sqrt(P^T M P) z has covariance M."""
+    if r_blobs is None:
+        r_blobs = kin.blob_positions(system, state)
+    kwargs = system.mobility_kwargs
+
+    def _apply_per_body(vec, which):
+        out = []
+        for i, t in enumerate(system.types):
+            p = pc.per_type[i]
+            c, nb = t.count, t.num_blobs
+            w = vec.reshape(system.num_blobs, 3)[system.blob_slice(i)]
+            w = w.reshape(c, 3 * nb)
+            if which == "P":
+                r = jnp.einsum("cij,cj->ci", p.chol_inv, w)
+            elif which == "PT":
+                r = jnp.einsum("cji,cj->ci", p.chol_inv, w)
+            elif which == "L":
+                r = jnp.einsum("cji,cj->ci", p.chol, w)  # U^T w
+            out.append(r.reshape(c * nb, 3))
+        return jnp.concatenate(out, axis=0).ravel()
+
+    def mobility_pc(w):
+        y = _apply_per_body(w, "P").reshape(system.num_blobs, 3)
+        my = mob.mobility_trans_times_force(
+            r_blobs, y, system.eta, system.blob_radius, **kwargs)
+        return _apply_per_body(my.ravel(), "PT")
+
+    def L_mult(w):
+        return _apply_per_body(w, "L")
+
+    return mobility_pc, L_mult

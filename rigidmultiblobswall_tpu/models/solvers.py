@@ -1,0 +1,177 @@
+"""High-level static solves: mobility, resistance and body-mobility problems.
+
+Mirrors the reference driver semantics
+(/root/reference/multi_bodies/multi_bodies_utilities.py:450-614 and
+quaternion_integrator_multi_bodies.py:1441-1547) with everything jittable:
+RHS assembly (active slip, external force-torque, prescribed kinematics),
+RHS normalization, right-preconditioned GMRES, and velocity extraction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import forces as force_ops
+from ..ops import mobility as mob
+from ..ops.gmres import gmres
+from . import kinematics as kin
+from . import saddle
+from .system import State, System
+
+
+class MobilitySolution(NamedTuple):
+    lam: jax.Array          # (N,3) constraint forces on blobs
+    velocities: jax.Array   # (B,6)
+    iterations: jax.Array
+    residual_norm: jax.Array
+
+
+def force_torque_calculator(system: System, state: State, r_blobs):
+    """Default L5 force assembly (multi_bodies_functions.py:411-445):
+    one-blob external forces + blob-blob pair forces aggregated through K^T,
+    plus body-body forces and user hooks. Returns (B,6)."""
+    f_blobs = force_ops.blob_external_forces(
+        r_blobs, g=system.g, blob_mass=1.0, blob_radius=system.blob_radius,
+        repulsion_strength_wall=system.repulsion_strength_wall,
+        debye_length_wall=system.debye_length_wall)
+    f_blobs = f_blobs + force_ops.blob_blob_forces(
+        r_blobs, repulsion_strength=system.repulsion_strength,
+        debye_length=system.debye_length, blob_radius=system.blob_radius,
+        periodic_length=system.periodic_length)
+    if system.blob_force_fn is not None:
+        f_blobs = f_blobs + system.blob_force_fn(system, state, r_blobs)
+    ft = kin.KT_mul(system, state, f_blobs)
+    ft = ft + force_ops.body_body_forces_torques(
+        state.pos, repulsion_strength=system.repulsion_strength,
+        debye_length=system.debye_length,
+        periodic_length=system.periodic_length)
+    if system.body_force_torque_fn is not None:
+        ft = ft + system.body_force_torque_fn(system, state, r_blobs)
+    return ft
+
+
+def build_rhs(system: System, state: State, r_blobs, slip=None,
+              force_torque=None, noise_slip=None, noise_ft=None):
+    """RHS = [slip - noise, -(F+noise_FT)] with prescribed-kinematics
+    rewrite (quaternion_integrator_multi_bodies.py:1457-1489)."""
+    dtype = state.pos.dtype
+    if slip is None:
+        slip = kin.active_slip(system, state, dtype)
+    slip = slip.reshape(system.num_blobs, 3)
+    if force_torque is None:
+        force_torque = force_torque_calculator(system, state, r_blobs)
+    force_torque = force_torque.reshape(system.num_bodies, 6)
+    if noise_ft is not None:
+        force_torque = force_torque + noise_ft.reshape(system.num_bodies, 6)
+
+    if system.prescribed_body_mask.any():
+        KU = kin.K_mul(system, state,
+                       jnp.asarray(system.prescribed_velocities, dtype=dtype))
+        blob_mask = saddle.blob_prescribed_mask(system)[:, None]
+        slip = slip + blob_mask * KU
+        body_mask = jnp.asarray(system.prescribed_body_mask)[:, None]
+        force_torque = jnp.where(body_mask, 0.0, force_torque)
+
+    rhs = jnp.concatenate([slip.ravel(), -force_torque.ravel()])
+    if noise_slip is not None:
+        n3 = 3 * system.num_blobs
+        rhs = rhs.at[:n3].add(-noise_slip.ravel())
+    return rhs
+
+
+def solve_mobility_problem(
+    system: System,
+    state: State,
+    *,
+    rhs=None,
+    slip=None,
+    force_torque=None,
+    noise_slip=None,
+    noise_ft=None,
+    pc: Optional[saddle.BlockDiagPC] = None,
+    x0=None,
+    tol: Optional[float] = None,
+    restart: int = 60,
+    maxiter: int = 1000,
+) -> MobilitySolution:
+    """Preconditioned GMRES solve of the saddle system
+    (quaternion_integrator_multi_bodies.py:1441-1547)."""
+    r_blobs = kin.blob_positions(system, state)
+    if rhs is None:
+        rhs = build_rhs(system, state, r_blobs, slip=slip,
+                        force_torque=force_torque, noise_slip=noise_slip,
+                        noise_ft=noise_ft)
+    if pc is None:
+        pc = saddle.build_block_diag_pc(system, state)
+    operator = saddle.make_linear_operator(system, state, r_blobs)
+    tol = system.solver_tolerance if tol is None else tol
+
+    rhs_norm = jnp.linalg.norm(rhs)
+    safe_norm = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
+    rhs_unit = rhs / safe_norm
+
+    result = gmres(operator, rhs_unit, x0=x0, tol=tol, restart=restart,
+                   maxiter=maxiter,
+                   M=lambda v: saddle.apply_block_diag_pc(system, pc, v))
+    sol = result.x * rhs_norm
+    lam, U = saddle.split_saddle_vector(system, sol)
+
+    if system.prescribed_body_mask.any():
+        mask = jnp.asarray(system.prescribed_body_mask)[:, None]
+        U = jnp.where(mask,
+                      jnp.asarray(system.prescribed_velocities, dtype=U.dtype),
+                      U)
+    return MobilitySolution(lam=lam, velocities=U,
+                            iterations=result.iterations,
+                            residual_norm=result.residual_norm)
+
+
+# ---------------------------------------------------------------------------
+# Dense-algebra solves (small systems / utilities CLI)
+# ---------------------------------------------------------------------------
+
+
+def dense_blob_mobility(system: System, state: State):
+    r_blobs = kin.blob_positions(system, state)
+    return mob.dense_mobility(r_blobs, system.eta, system.blob_radius,
+                              domain=system.domain, coupling="tt")
+
+
+def _dense_K(system: System, state: State):
+    """Global dense K, (3N, 6B), block diagonal per body. Only used by the
+    dense utility solves; products use kin.K_mul / kin.KT_mul."""
+    K = jnp.zeros((3 * system.num_blobs, 6 * system.num_bodies),
+                  dtype=state.pos.dtype)
+    for i, t in enumerate(system.types):
+        Kt = kin.K_dense(system, state, i)  # (c, 3nb, 6)
+        b0 = system.body_offsets[i]
+        n0 = system.blob_offsets[i]
+        for c in range(t.count):
+            K = jax.lax.dynamic_update_slice(
+                K, Kt[c], (3 * (n0 + c * t.num_blobs), 6 * (b0 + c)))
+    return K
+
+
+def solve_body_mobility(system: System, state: State):
+    """6Bx6B body mobility N = pinv(K^T M^{-1} K)
+    (multi_bodies_utilities.py:583-614, body/body.py:194-205)."""
+    M = dense_blob_mobility(system, state)
+    K = _dense_K(system, state)
+    MinvK = jnp.linalg.solve(M, K)
+    return jnp.linalg.pinv(K.T @ MinvK)
+
+
+def solve_resistance(system: System, state: State, velocities, slip=None):
+    """Resistance problem: F = K^T M^{-1} (K U + slip)
+    (multi_bodies_utilities.py:550-574). Returns (B,6) force-torques."""
+    dtype = state.pos.dtype
+    if slip is None:
+        slip = kin.active_slip(system, state, dtype)
+    M = dense_blob_mobility(system, state)
+    KU = kin.K_mul(system, state, velocities.reshape(-1, 6))
+    rhs = (KU + slip.reshape(-1, 3)).ravel()
+    lam = jnp.linalg.solve(M, rhs)
+    return kin.KT_mul(system, state, lam.reshape(-1, 3))

@@ -1,0 +1,178 @@
+"""Static system description and dynamic state pytrees.
+
+The reference represents a suspension as a Python list of `Body` objects
+with per-body numpy arrays and ~25 injected function attributes
+(/root/reference/body/body.py:13, multi_bodies/multi_bodies.py:1318-1394).
+The TPU-native design splits that into:
+
+  * `BodyType` / `System` — static, hashable geometry and physics
+    parameters. Bodies are grouped by type (identical reference
+    configuration), so all per-body work is batched with static shapes.
+  * `State` — the dynamic pytree: body locations (B,3) and unit
+    quaternions (B,4), in type-group order. This is the only thing that
+    changes during a simulation, making `lax.scan` time loops natural.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _freeze(arr):
+    a = np.asarray(arr, dtype=np.float64)
+    a.setflags(write=False)
+    return a
+
+
+@dataclasses.dataclass(frozen=True)
+class BodyType:
+    """A group of rigid bodies sharing one reference configuration.
+
+    ref_config: (nb, 3) blob coordinates for orientation (1,0,0,0) at the
+    origin (reference `.vertex` semantics, body/body.py:30-42).
+    """
+
+    name: str
+    ref_config: np.ndarray  # (nb, 3)
+    count: int
+    blob_radii: Optional[np.ndarray] = None  # (nb,), defaults to system a
+    slip_ref: Optional[np.ndarray] = None  # (nb, 3) active slip, body frame
+    prescribed_kinematics: bool = False
+    prescribed_velocity: Optional[np.ndarray] = None  # (count, 6)
+    is_obstacle: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "ref_config", _freeze(np.reshape(self.ref_config, (-1, 3))))
+        if self.blob_radii is not None:
+            object.__setattr__(self, "blob_radii", _freeze(self.blob_radii))
+        if self.slip_ref is not None:
+            object.__setattr__(self, "slip_ref", _freeze(np.reshape(self.slip_ref, (-1, 3))))
+        if self.prescribed_velocity is not None:
+            object.__setattr__(
+                self, "prescribed_velocity",
+                _freeze(np.reshape(self.prescribed_velocity, (self.count, 6))))
+
+    @property
+    def num_blobs(self) -> int:
+        return self.ref_config.shape[0]
+
+    @property
+    def body_length(self) -> float:
+        """Max pairwise blob distance + 2a (body/body.py:218-231); the RFD
+        length scale."""
+        r = self.ref_config
+        d = np.linalg.norm(r[:, None, :] - r[None, :, :], axis=-1)
+        return float(d.max())
+
+
+@dataclasses.dataclass(frozen=True)
+class System:
+    """Immutable problem description. Functions close over a System; JAX
+    treats it as a compile-time constant."""
+
+    types: Tuple[BodyType, ...]
+    eta: float = 1.0
+    blob_radius: float = 1.0
+    kT: float = 0.0
+    g: float = 0.0
+    domain: str = "single_wall"  # 'no_wall' | 'single_wall' | 'in_plane'
+    periodic_length: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    repulsion_strength: float = 0.0
+    debye_length: float = 1.0
+    repulsion_strength_wall: float = 0.0
+    debye_length_wall: float = 1.0
+    solver_tolerance: float = 1e-8
+    rf_delta: float = 1e-3
+    # user-extension hooks (reference L5 layer); all optional callables
+    blob_force_fn: Optional[Callable] = None
+    body_force_torque_fn: Optional[Callable] = None
+    # multi-chip execution: shard the O(N^2) pairwise products over this
+    # jax.sharding.Mesh (see parallel/mesh.py); None = single device
+    mesh: Optional[object] = dataclasses.field(default=None, compare=False)
+
+    # ---- static layout helpers -------------------------------------------------
+
+    @property
+    def num_bodies(self) -> int:
+        return sum(t.count for t in self.types)
+
+    @property
+    def num_blobs(self) -> int:
+        return sum(t.count * t.num_blobs for t in self.types)
+
+    @property
+    def body_offsets(self) -> Tuple[int, ...]:
+        offs = [0]
+        for t in self.types:
+            offs.append(offs[-1] + t.count)
+        return tuple(offs)
+
+    @property
+    def blob_offsets(self) -> Tuple[int, ...]:
+        offs = [0]
+        for t in self.types:
+            offs.append(offs[-1] + t.count * t.num_blobs)
+        return tuple(offs)
+
+    def body_slice(self, i: int) -> slice:
+        offs = self.body_offsets
+        return slice(offs[i], offs[i + 1])
+
+    def blob_slice(self, i: int) -> slice:
+        offs = self.blob_offsets
+        return slice(offs[i], offs[i + 1])
+
+    @property
+    def prescribed_body_mask(self) -> np.ndarray:
+        """(B,) bool: bodies with prescribed kinematics (obstacles)."""
+        mask = np.zeros(self.num_bodies, dtype=bool)
+        for i, t in enumerate(self.types):
+            if t.prescribed_kinematics:
+                mask[self.body_slice(i)] = True
+        mask.setflags(write=False)
+        return mask
+
+    @property
+    def prescribed_velocities(self) -> np.ndarray:
+        """(B, 6) prescribed velocity (zero for free bodies)."""
+        v = np.zeros((self.num_bodies, 6))
+        for i, t in enumerate(self.types):
+            if t.prescribed_velocity is not None:
+                v[self.body_slice(i)] = t.prescribed_velocity
+        v.setflags(write=False)
+        return v
+
+    @property
+    def blob_radii(self) -> np.ndarray:
+        """(N,) per-blob radii (defaults to blob_radius)."""
+        out = np.empty(self.num_blobs)
+        for i, t in enumerate(self.types):
+            rad = (t.blob_radii if t.blob_radii is not None
+                   else np.full(t.num_blobs, self.blob_radius))
+            out[self.blob_slice(i)] = np.tile(rad, t.count)
+        out.setflags(write=False)
+        return out
+
+    @property
+    def mobility_kwargs(self):
+        kw = dict(domain=self.domain, periodic_length=self.periodic_length)
+        if self.mesh is not None:
+            kw["mesh"] = self.mesh
+        return kw
+
+
+class State(NamedTuple):
+    """Dynamic state: all bodies concatenated in type-group order."""
+
+    pos: jnp.ndarray  # (B, 3)
+    quat: jnp.ndarray  # (B, 4), unit, scalar-first
+
+
+def make_state(positions, quaternions) -> State:
+    pos = jnp.asarray(positions).reshape(-1, 3)
+    quat = jnp.asarray(quaternions).reshape(-1, 4)
+    return State(pos=pos, quat=quat)

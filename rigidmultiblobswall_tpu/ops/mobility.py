@@ -1,0 +1,309 @@
+"""Blob-level mobility matrix-vector products and dense builders.
+
+One JAX/XLA implementation replaces the reference's four backends
+(python/numba/C++/pycuda dispatch, /root/reference/multi_bodies/multi_bodies.py:207-287).
+The O(N^2) pair sweep is row-tiled with `lax.map` so peak memory stays at
+(tile, N, 3, 3); XLA lowers the per-tile contraction onto the MXU.
+
+Supported domains (reference names): 'no_wall', 'single_wall', 'in_plane'.
+Couplings: 'tt' (trans-force), 'tr' (trans-torque), 'rt' (rot-force),
+'rr' (rot-torque).
+
+Pseudo-periodic boundaries: if a component of `periodic_length` is > 0 the
+displacement is projected to the minimum image and the +-1 neighbor boxes
+are summed, matching mobility_numba.py:140-192.
+
+Wall overlap regularization (mobility/mobility.py:52-119, :1150-1163):
+products use z_eff = max(z, a) and M <- B^T M(z_eff) B with diagonal
+damping B_ii = min(z_i/a, 1).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import rpy
+
+_PREF_POW = {"tt": 1, "tr": 2, "rt": 2, "rr": 3}
+
+# ---------------------------------------------------------------------------
+# Regularization near the wall
+# ---------------------------------------------------------------------------
+
+
+def shift_heights(r_vectors, blob_radius):
+    """z_effective = max(z, a) (mobility/mobility.py:52-64)."""
+    z = jnp.maximum(r_vectors[..., 2], blob_radius)
+    return r_vectors.at[..., 2].set(z)
+
+
+def damping_factors(r_vectors, blob_radius):
+    """Per-blob damping B_ii = min(z/a, 1) (mobility/mobility.py:67-84)."""
+    return jnp.minimum(r_vectors[..., 2] / blob_radius, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Pair-block dispatch per (coupling, domain)
+# ---------------------------------------------------------------------------
+
+
+def _block(coupling, domain, d, zt, zs, self_mask):
+    """3x3 mobility block for displacement d=(rt-rs)/a, heights zt, zs in
+    units of a. Wall corrections use the image-projected in-plane
+    displacement and the raw vertical image distance rz = zt + zs."""
+    if domain == "in_plane":
+        if coupling != "tt":
+            raise NotImplementedError("in_plane only supports 'tt'")
+        m = rpy.rpy_tt_in_plane(d, self_mask)
+        return m + rpy.wall_tt_in_plane(d[..., 0], d[..., 1], zt + zs, zs, self_mask)
+
+    if coupling == "tt":
+        m = rpy.rpy_tt(d, self_mask)
+        if domain == "single_wall":
+            m = m + rpy.wall_tt(d[..., 0], d[..., 1], zt + zs, zs, self_mask)
+    elif coupling == "rr":
+        m = rpy.rpy_rr(d, self_mask)
+        if domain == "single_wall":
+            m = m + rpy.wall_rr(d[..., 0], d[..., 1], zt + zs, zs, self_mask)
+    elif coupling == "tr":
+        m = rpy.rpy_cross(d, self_mask)
+        if domain == "single_wall":
+            m = m + rpy.wall_trans_torque(d[..., 0], d[..., 1], zt + zs, zt, self_mask)
+    elif coupling == "rt":
+        m = rpy.rpy_cross(d, self_mask)
+        if domain == "single_wall":
+            m = m + rpy.wall_rot_force(d[..., 0], d[..., 1], zt + zs, zs, self_mask)
+    else:
+        raise ValueError(f"unknown coupling {coupling!r}")
+    return m
+
+
+def _box_offsets(periodic_length) -> Sequence[tuple]:
+    """Static list of image-box offsets; (0,0,0) is always first."""
+    axes = []
+    for L in periodic_length:
+        axes.append((-1, 0, 1) if L > 0 else (0,))
+    offsets = [(0, 0, 0)]
+    for bx in axes[0]:
+        for by in axes[1]:
+            for bz in axes[2]:
+                if (bx, by, bz) != (0, 0, 0):
+                    offsets.append((bx, by, bz))
+    return offsets
+
+
+def _min_image(d, periodic_length):
+    """Project displacements into the extended unit cell, truncation form
+    d - trunc(d/L + sign(d)/2) * L (mobility_numba.py:58-66)."""
+    for axis, L in enumerate(periodic_length):
+        if L > 0:
+            comp = d[..., axis]
+            shift = jnp.trunc(comp / L + 0.5 * jnp.sign(comp)) * L
+            d = d.at[..., axis].add(-shift)
+    return d
+
+
+def _default_row_tile(n_src, n_tgt, itemsize=8, budget_bytes=1 << 26):
+    per_row = max(n_src, 1) * 9 * itemsize
+    tile = max(budget_bytes // per_row, 8)
+    return int(min(tile, max(n_tgt, 1)))
+
+
+# ---------------------------------------------------------------------------
+# Generic tiled pairwise product
+# ---------------------------------------------------------------------------
+
+
+def pairwise_matvec(
+    r_src,
+    r_tgt,
+    vec,
+    eta,
+    a,
+    *,
+    coupling="tt",
+    domain="single_wall",
+    periodic_length=(0.0, 0.0, 0.0),
+    self_interaction=True,
+    row_tile=None,
+    mesh=None,
+    shard_axis="blobs",
+):
+    """u_i = sum_j M^{coupling}_ij v_j over all (target, source) pairs.
+
+    r_src, r_tgt: (Ns,3), (Nt,3); vec: (Ns,3). Returns (Nt,3).
+    `self_interaction` must be True when r_src is r_tgt (square product)
+    and False for source!=target evaluations.
+
+    If `mesh` is given, target rows are sharded over `shard_axis`: each
+    device computes its row block of the O(N^2) sweep against replicated
+    sources and the result is all-gathered (the TPU-native replacement for
+    the reference's absent distributed backend; SURVEY.md section 2.4).
+    """
+    periodic_length = tuple(float(x) for x in periodic_length)
+    n_src = r_src.shape[0]
+    n_tgt = r_tgt.shape[0]
+    dtype = jnp.result_type(r_src.dtype, vec.dtype)
+    vec = vec.reshape(n_src, 3).astype(dtype)
+
+    wall = domain in ("single_wall", "in_plane")
+    if wall:
+        damp_s = damping_factors(r_src, a).astype(dtype)
+        damp_t = damping_factors(r_tgt, a).astype(dtype)
+        r_src = shift_heights(r_src, a)
+        r_tgt = shift_heights(r_tgt, a)
+        vec = vec * damp_s[:, None]
+
+    inva = 1.0 / a
+    q_src = r_src.astype(dtype) * inva
+    q_tgt = r_tgt.astype(dtype) * inva
+    zs = q_src[:, 2]
+
+    if row_tile is None:
+        row_tile = _default_row_tile(n_src, n_tgt, jnp.dtype(dtype).itemsize)
+        if mesh is not None:
+            # at least one tile per device
+            row_tile = min(row_tile, -(-n_tgt // mesh.shape[shard_axis]))
+    n_tiles = -(-n_tgt // row_tile)
+    if mesh is not None:
+        n_dev = mesh.shape[shard_axis]
+        n_tiles = -(-n_tiles // n_dev) * n_dev
+    n_pad = n_tiles * row_tile
+    q_tgt_pad = jnp.pad(q_tgt, ((0, n_pad - n_tgt), (0, 0)), constant_values=1.0)
+
+    offsets = _box_offsets(periodic_length)
+    Lvec = jnp.asarray(periodic_length, dtype=dtype)
+    src_ids = jnp.arange(n_src)
+
+    def tile_fn(i0, q_tgt_pad, q_src, zs, vec):
+        rt = lax.dynamic_slice(q_tgt_pad, (i0, 0), (row_tile, 3))
+        rows = i0 + jnp.arange(row_tile)
+        d0 = rt[:, None, :] - q_src[None, :, :]
+        d0 = _min_image(d0 * a, periodic_length) * inva  # project in physical units
+        zt = rt[:, 2][:, None]
+        zsb = zs[None, :]
+        acc = jnp.zeros((row_tile, 3), dtype=dtype)
+        for box in offsets:
+            if box == (0, 0, 0):
+                self_mask = (rows[:, None] == src_ids[None, :]) & self_interaction
+                d = d0
+            else:
+                self_mask = jnp.zeros((row_tile, n_src), dtype=bool)
+                d = d0 + jnp.asarray(box, dtype=dtype) * Lvec * inva
+            m = _block(coupling, domain, d, zt, zsb, self_mask)
+            acc = acc + jnp.einsum(
+                "tsab,sb->ta", m, vec, precision=lax.Precision.HIGHEST
+            )
+        return acc
+
+    tile_starts = jnp.arange(0, n_pad, row_tile)
+    if mesh is None:
+        out = lax.map(lambda i0: tile_fn(i0, q_tgt_pad, q_src, zs, vec),
+                      tile_starts)
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def shard_fn(starts, q_tgt_pad, q_src, zs, vec):
+            local = lax.map(
+                lambda i0: tile_fn(i0, q_tgt_pad, q_src, zs, vec), starts)
+            return lax.all_gather(local, shard_axis, axis=0, tiled=True)
+
+        out = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(shard_axis), P(), P(), P(), P()),
+            out_specs=P(), check_rep=False,
+        )(tile_starts, q_tgt_pad, q_src, zs, vec)
+    out = out.reshape(n_pad, 3)[:n_tgt]
+
+    norm = 1.0 / (8.0 * jnp.pi * eta * a ** _PREF_POW[coupling])
+    out = out * norm
+    if wall:
+        out = out * damp_t[:, None]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Reference-named convenience products (square, same blobs as src and tgt)
+# ---------------------------------------------------------------------------
+
+
+def _square_product(coupling):
+    def product(r_vectors, vec, eta, a, **kw):
+        return pairwise_matvec(
+            r_vectors, r_vectors, vec, eta, a, coupling=coupling,
+            self_interaction=True, **kw,
+        )
+
+    return product
+
+
+mobility_trans_times_force = _square_product("tt")
+mobility_trans_times_torque = _square_product("tr")
+mobility_rot_times_force = _square_product("rt")
+mobility_rot_times_torque = _square_product("rr")
+
+
+def mobility_trans_times_force_torque(r_vectors, force, torque, eta, a, **kw):
+    return (mobility_trans_times_force(r_vectors, force, eta, a, **kw)
+            + mobility_trans_times_torque(r_vectors, torque, eta, a, **kw))
+
+
+def mobility_rot_times_force_torque(r_vectors, force, torque, eta, a, **kw):
+    return (mobility_rot_times_force(r_vectors, force, eta, a, **kw)
+            + mobility_rot_times_torque(r_vectors, torque, eta, a, **kw))
+
+
+def grand_mobility_matvec(r_vectors, force, torque, eta, a, **kw):
+    """(U, W) = M_grand (F, T) for single-blob bodies (rollers path)."""
+    u = mobility_trans_times_force_torque(r_vectors, force, torque, eta, a, **kw)
+    w = mobility_rot_times_force_torque(r_vectors, force, torque, eta, a, **kw)
+    return u, w
+
+
+# ---------------------------------------------------------------------------
+# Dense mobility matrices (for per-body preconditioner blocks and the
+# dense-algebra schemes). No periodic images (matches reference dense
+# builders, mobility/mobility.py:967-1116).
+# ---------------------------------------------------------------------------
+
+
+def _dense(coupling, r_vectors, eta, a, domain):
+    n = r_vectors.shape[0]
+    dtype = r_vectors.dtype
+    wall = domain in ("single_wall", "in_plane")
+    if wall:
+        damp = damping_factors(r_vectors, a).astype(dtype)
+        r_vectors = shift_heights(r_vectors, a)
+    q = r_vectors * (1.0 / a)
+    d = q[:, None, :] - q[None, :, :]
+    self_mask = jnp.eye(n, dtype=bool)
+    zt = q[:, 2][:, None]
+    zs = q[:, 2][None, :]
+    m = _block(coupling, domain, d, zt, zs, self_mask)
+    m = m / (8.0 * jnp.pi * eta * a ** _PREF_POW[coupling])
+    if wall:
+        m = m * damp[:, None, None, None] * damp[None, :, None, None]
+    # (N,N,3,3) -> (3N,3N)
+    return m.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+
+
+def rotne_prager_tensor(r_vectors, eta, a):
+    """Dense unbounded RPY trans-trans mobility (3N,3N)."""
+    return _dense("tt", r_vectors, eta, a, "no_wall")
+
+
+def single_wall_fluid_mobility(r_vectors, eta, a):
+    """Dense single-wall (Swan-Brady) trans-trans mobility (3N,3N),
+    including the overlap regularization."""
+    return _dense("tt", r_vectors, eta, a, "single_wall")
+
+
+def dense_mobility(r_vectors, eta, a, domain="single_wall", coupling="tt"):
+    return _dense(coupling, r_vectors, eta, a, domain)

@@ -1,0 +1,133 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rigidmultiblobswall_tpu.models import integrators, kinematics as kin, solvers
+from rigidmultiblobswall_tpu.models.system import BodyType, System, make_state
+from tests.test_saddle import _shell_vertices, _sphere_system
+
+
+def _step(system, state, scheme, dt, key=None, **kw):
+    step = integrators.make_stepper(system, scheme, dt, **kw)
+    carry = integrators.init_carry(system)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    return step(state, key, carry)
+
+
+def test_forward_euler_matches_manual_update():
+    system, state = _sphere_system(count=2, seed=10)
+    dt = 1e-3
+    sol = solvers.solve_mobility_problem(system, state)
+    expected = kin.advance(state, sol.velocities, dt)
+    new_state, carry, aux = _step(system, state, "deterministic_forward_euler", dt)
+    assert np.allclose(np.asarray(new_state.pos), np.asarray(expected.pos),
+                       atol=1e-12)
+    assert np.allclose(np.asarray(new_state.quat), np.asarray(expected.quat),
+                       atol=1e-12)
+    assert int(aux.rejections) == 0
+    assert int(aux.det_iterations) > 0
+
+
+def test_adams_bashforth_second_step_uses_history():
+    system, state = _sphere_system(count=1, seed=11)
+    dt = 1e-3
+    step = integrators.make_stepper(system, "deterministic_adams_bashforth", dt)
+    carry = integrators.init_carry(system)
+    key = jax.random.PRNGKey(0)
+    s1, carry, aux1 = step(state, key, carry)
+    s2, carry, aux2 = step(s1, key, carry)
+    # manual AB2 second step
+    v2 = solvers.solve_mobility_problem(system, s1).velocities
+    v_ab = 1.5 * v2 - 0.5 * aux1.velocities
+    expected = kin.advance(s1, v_ab, dt)
+    assert np.allclose(np.asarray(s2.pos), np.asarray(expected.pos), atol=1e-10)
+
+
+def test_sedimentation_moves_down_slower_near_wall():
+    """A sphere sedimenting under gravity near a wall falls slower than in
+    bulk (basic physics regression)."""
+    ref = _shell_vertices(12, 0.5)
+    t = BodyType(name="shell", ref_config=ref, count=1)
+    kwargs = dict(eta=1.0, blob_radius=0.15, g=1.0)
+    sys_wall = System(types=(t,), domain="single_wall", **kwargs)
+    sys_bulk = System(types=(t,), domain="no_wall", **kwargs)
+    state = make_state(np.array([[0.0, 0.0, 0.8]]), np.array([[1.0, 0, 0, 0]]))
+    v_wall = solvers.solve_mobility_problem(sys_wall, state).velocities
+    v_bulk = solvers.solve_mobility_problem(sys_bulk, state).velocities
+    assert float(v_wall[0, 2]) < 0
+    assert float(v_bulk[0, 2]) < float(v_wall[0, 2]) < 0
+
+
+def test_wall_rejection_retries_and_preserves_validity():
+    """A large stochastic step near the wall triggers rejections but the
+    accepted state stays valid."""
+    ref = _shell_vertices(8, 0.3)
+    t = BodyType(name="small", ref_config=ref, count=1)
+    system = System(types=(t,), eta=1.0, blob_radius=0.1, kT=1.0, g=0.0,
+                    domain="single_wall")
+    state = make_state(np.array([[0.0, 0.0, 0.45]]), np.array([[1.0, 0, 0, 0]]))
+    # big dt -> noise can push blobs through the wall
+    new_state, carry, aux = _step(system, state, "stochastic_EM", dt=0.5,
+                                  key=jax.random.PRNGKey(3))
+    assert bool(kin.valid_configuration(system, new_state))
+
+
+@pytest.mark.parametrize("scheme", ["stochastic_EM", "stochastic_Slip_Trapz",
+                                    "stochastic_first_order_RFD",
+                                    "stochastic_traction_EM"])
+def test_stochastic_schemes_step_is_finite(scheme):
+    system, state = _sphere_system(count=2, seed=12)
+    system = System(types=system.types, eta=system.eta,
+                    blob_radius=system.blob_radius, kT=0.1, g=1.0,
+                    domain="single_wall", repulsion_strength_wall=1.0,
+                    debye_length_wall=0.5)
+    new_state, carry, aux = _step(system, state, scheme, dt=1e-3,
+                                  key=jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(new_state.pos)))
+    assert np.all(np.isfinite(np.asarray(new_state.quat)))
+    assert np.allclose(np.linalg.norm(np.asarray(new_state.quat), axis=1),
+                       1.0, atol=1e-9)
+    assert int(aux.stoch_iterations) > 0
+
+
+def test_em_velocity_covariance():
+    """Weak test of fluctuation-dissipation: Var[U] ~ 2 kT N / dt for a
+    single body (EM scheme, no forces)."""
+    ref = _shell_vertices(10, 0.4)
+    t = BodyType(name="shell", ref_config=ref, count=1)
+    system = System(types=(t,), eta=1.0, blob_radius=0.12, kT=0.5, g=0.0,
+                    domain="no_wall")
+    state = make_state(np.array([[0.0, 0.0, 5.0]]), np.array([[1.0, 0, 0, 0]]))
+    dt = 1e-2
+
+    N_body = np.asarray(solvers.solve_body_mobility(system, state))
+
+    step = integrators.make_stepper(system, "stochastic_EM", dt,
+                                    lanczos_tolerance=1e-9)
+    carry = integrators.init_carry(system)
+
+    @jax.jit
+    def one(key):
+        _, _, aux = step(state, key, carry)
+        return aux.velocities
+
+    keys = jax.random.split(jax.random.PRNGKey(42), 600)
+    vels = np.asarray(jax.vmap(one)(keys)).reshape(600, 6)
+    cov = np.cov(vels.T, bias=True)
+    expected = 2 * system.kT / dt * N_body
+    scale = np.abs(expected).max()
+    assert np.allclose(cov, expected, atol=0.25 * scale)
+
+
+def test_scan_simulation_runs():
+    system, state = _sphere_system(count=1, seed=13)
+    system = System(types=system.types, eta=system.eta,
+                    blob_radius=system.blob_radius, kT=0.05, g=1.0,
+                    domain="single_wall", repulsion_strength_wall=1.0,
+                    debye_length_wall=0.5)
+    final, traj, aux = integrators.simulate(
+        system, state, jax.random.PRNGKey(7), scheme="stochastic_EM",
+        dt=1e-3, n_steps=4, save_every=2)
+    assert traj.pos.shape == (2, 1, 3)
+    assert np.all(np.isfinite(np.asarray(final.pos)))

@@ -1,0 +1,163 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rigidmultiblobswall_tpu.models import kinematics as kin
+from rigidmultiblobswall_tpu.models import saddle, solvers
+from rigidmultiblobswall_tpu.models.system import BodyType, System, make_state
+from rigidmultiblobswall_tpu.ops import mobility as mob
+
+
+def _shell_vertices(n=12, radius=0.5):
+    """Fibonacci sphere shell."""
+    i = np.arange(n) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    theta = np.pi * (1 + 5**0.5) * i
+    return radius * np.stack([np.cos(theta) * np.sin(phi),
+                              np.sin(theta) * np.sin(phi),
+                              np.cos(phi)], axis=1)
+
+
+def _sphere_system(count=2, blob_radius=0.15, domain="single_wall", seed=0):
+    rng = np.random.default_rng(seed)
+    ref = _shell_vertices(12, 0.5)
+    t = BodyType(name="shell", ref_config=ref, count=count)
+    system = System(types=(t,), eta=1.0, blob_radius=blob_radius,
+                    domain=domain, g=1.0, repulsion_strength_wall=1.0,
+                    debye_length_wall=0.5)
+    pos = rng.uniform(-2, 2, (count, 3))
+    pos[:, 2] = rng.uniform(1.0, 2.5, count)
+    quat = rng.normal(size=(count, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    return system, make_state(pos, quat)
+
+
+def _dense_saddle(system, state):
+    """Dense saddle matrix [[M, -K], [-K^T, 0]] for verification."""
+    M = np.asarray(solvers.dense_blob_mobility(system, state))
+    K = np.asarray(solvers._dense_K(system, state))
+    n3, b6 = M.shape[0], K.shape[1]
+    S = np.zeros((n3 + b6, n3 + b6))
+    S[:n3, :n3] = M
+    S[:n3, n3:] = -K
+    S[n3:, :n3] = -K.T
+    return S
+
+
+def test_linear_operator_matches_dense_saddle():
+    system, state = _sphere_system()
+    op = saddle.make_linear_operator(system, state)
+    S = _dense_saddle(system, state)
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=S.shape[0])
+    ours = np.asarray(op(jnp.asarray(v)))
+    assert np.allclose(ours, S @ v, atol=1e-11)
+
+
+def test_block_diag_pc_exact_for_single_body():
+    """For one isolated body the preconditioner IS the saddle inverse."""
+    system, state = _sphere_system(count=1)
+    pc = saddle.build_block_diag_pc(system, state)
+    S = _dense_saddle(system, state)
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=S.shape[0])
+    x = np.asarray(saddle.apply_block_diag_pc(system, pc, jnp.asarray(v)))
+    # S x should reproduce v on the blob rows and body rows
+    assert np.allclose(S @ x, v, atol=1e-9)
+
+
+def test_mobility_solve_matches_dense_solution():
+    system, state = _sphere_system(count=3, seed=3)
+    sol = solvers.solve_mobility_problem(system, state)
+    assert bool(sol.residual_norm < 1e-6)
+
+    # dense solve
+    r_blobs = kin.blob_positions(system, state)
+    rhs = np.asarray(solvers.build_rhs(system, state, r_blobs))
+    S = _dense_saddle(system, state)
+    x = np.linalg.solve(S, rhs)
+    U_dense = x[3 * system.num_blobs:].reshape(-1, 6)
+    assert np.allclose(np.asarray(sol.velocities), U_dense, atol=1e-6)
+    lam_dense = x[:3 * system.num_blobs].reshape(-1, 3)
+    assert np.allclose(np.asarray(sol.lam), lam_dense, atol=1e-6)
+
+
+def test_pc_reduces_iterations():
+    system, state = _sphere_system(count=4, seed=4)
+    r_blobs = kin.blob_positions(system, state)
+    rhs = solvers.build_rhs(system, state, r_blobs)
+    from rigidmultiblobswall_tpu.ops.gmres import gmres
+
+    op = saddle.make_linear_operator(system, state, r_blobs)
+    rhs_unit = rhs / jnp.linalg.norm(rhs)
+    plain = gmres(op, rhs_unit, tol=1e-8, restart=60, maxiter=500)
+    pc = saddle.build_block_diag_pc(system, state)
+    precond = gmres(op, rhs_unit, tol=1e-8, restart=60, maxiter=500,
+                    M=lambda v: saddle.apply_block_diag_pc(system, pc, v))
+    assert bool(precond.converged)
+    assert int(precond.iterations) < int(plain.iterations)
+
+
+def test_body_mobility_spd_and_matches_reference_formula():
+    system, state = _sphere_system(count=1, seed=5)
+    N = np.asarray(solvers.solve_body_mobility(system, state))
+    assert np.allclose(N, N.T, atol=1e-11)
+    assert np.linalg.eigvalsh(N).min() > 0
+    # reference formula: pinv(K^T M^{-1} K) (body/body.py:194-205)
+    M = np.asarray(solvers.dense_blob_mobility(system, state))
+    K = np.asarray(solvers._dense_K(system, state))
+    ref = np.linalg.pinv(K.T @ np.linalg.inv(M) @ K)
+    assert np.allclose(N, ref, atol=1e-9)
+
+
+def test_resistance_roundtrip():
+    """resistance(mobility(F)) == F for an isolated body."""
+    system, state = _sphere_system(count=2, seed=6)
+    rng = np.random.default_rng(7)
+    FT = rng.normal(size=(2, 6))
+    zero_slip = jnp.zeros((system.num_blobs, 3))
+    sol = solvers.solve_mobility_problem(system, state,
+                                         slip=zero_slip,
+                                         force_torque=jnp.asarray(FT),
+                                         tol=1e-12)
+    # saddle rows give K^T lambda = FT, and resistance recomputes exactly
+    # F = K^T M^{-1} K U = K^T lambda
+    FT_back = solvers.solve_resistance(system, state, sol.velocities,
+                                       slip=zero_slip)
+    assert np.allclose(np.asarray(FT_back), FT, atol=1e-6)
+
+
+def test_in_plane_domain_solvable():
+    """in_plane mobility is singular in z; the PC must fall back to the
+    single-wall factorization and the solve stays finite with v_z ~ 0."""
+    system, state = _sphere_system(count=2, seed=8)
+    system = System(types=system.types, eta=system.eta,
+                    blob_radius=system.blob_radius, domain="in_plane", g=1.0)
+    sol = solvers.solve_mobility_problem(system, state)
+    v = np.asarray(sol.velocities)
+    assert np.all(np.isfinite(v))
+    assert np.allclose(v[:, 2], 0.0, atol=1e-7)
+
+
+def test_prescribed_kinematics_obstacle():
+    """An obstacle with prescribed zero velocity stays put and the solve
+    returns its prescribed velocity."""
+    ref = _shell_vertices(12, 0.5)
+    free_t = BodyType(name="free", ref_config=ref, count=1)
+    obs_t = BodyType(name="wallpart", ref_config=ref, count=1,
+                     prescribed_kinematics=True)
+    system = System(types=(free_t, obs_t), eta=1.0, blob_radius=0.15,
+                    domain="single_wall", g=1.0)
+    pos = np.array([[0.0, 0.0, 1.5], [1.8, 0.0, 1.5]])
+    quat = np.tile(np.array([1.0, 0, 0, 0]), (2, 1))
+    state = make_state(pos, quat)
+    sol = solvers.solve_mobility_problem(system, state)
+    assert np.allclose(np.asarray(sol.velocities)[1], 0.0, atol=1e-10)
+    # the free body must feel the obstacle: compare against obstacle-free
+    system_free = System(types=(free_t,), eta=1.0, blob_radius=0.15,
+                         domain="single_wall", g=1.0)
+    state_free = make_state(pos[:1], quat[:1])
+    sol_free = solvers.solve_mobility_problem(system_free, state_free)
+    assert not np.allclose(np.asarray(sol.velocities)[0],
+                           np.asarray(sol_free.velocities)[0], atol=1e-8)
