@@ -1,0 +1,145 @@
+"""Command-line driver: `python -m rigidmultiblobswall_tpu.cli --input-file X.dat`.
+
+Covers both reference drivers with the same input files and output formats:
+  - static schemes 'mobility' | 'resistance' | 'body_mobility'
+    (/root/reference/multi_bodies/multi_bodies_utilities.py:262-626)
+  - dynamic schemes (deterministic/stochastic integrators)
+    (/root/reference/multi_bodies/multi_bodies.py:1112-1631)
+
+Outputs: <output>.inputfile, .bodies_info, .velocity.dat, .force.dat,
+.body_mobility.dat, .body_slip_mobility.dat, per-step .clones files,
+.info (iteration counters), .time (wall clock).
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="TPU-native rigid multiblob dynamics")
+    parser.add_argument("--input-file", dest="input_file", type=str,
+                        default="data.main")
+    parser.add_argument("--print-residual", action="store_true")
+    parser.add_argument("--f64", action="store_true",
+                        help="run in float64 (CPU or TPU-emulated)")
+    args = parser.parse_args(argv)
+
+    if args.f64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .io import input_file as input_mod, scene
+    from .models import integrators, kinematics as kin, solvers
+
+    cfg = input_mod.read_input(args.input_file)
+    shutil.copyfile(args.input_file, cfg.output_name + ".inputfile")
+    system, state = input_mod.build_system(cfg)
+
+    with open(cfg.output_name + ".bodies_info", "w") as f:
+        f.write("num_of_body_types  %d\n" % len(system.types))
+        f.write("body_names         %s\n" % [t.name for t in system.types])
+        f.write("body_types         %s\n" % [t.count for t in system.types])
+        f.write("num_bodies         %d\n" % system.num_bodies)
+        f.write("num_blobs          %d\n" % system.num_blobs)
+
+    start_time = time.time()
+
+    if cfg.scheme == "mobility":
+        force_torque = None
+        if cfg.force_file is not None:
+            force_torque = jnp.asarray(
+                np.loadtxt(cfg.force_file).reshape(system.num_bodies, 6))
+        sol = solvers.solve_mobility_problem(system, state,
+                                             force_torque=force_torque)
+        np.savetxt(cfg.output_name + ".velocity.dat",
+                   np.asarray(sol.velocities).reshape(-1, 6), delimiter="  ")
+        force = np.asarray(kin.KT_mul(system, state, sol.lam))
+        np.savetxt(cfg.output_name + ".force.dat", force, delimiter="  ")
+        print("Time to solve mobility problem =", time.time() - start_time)
+        if cfg.plot_velocity_field is not None:
+            from .models import fields
+
+            fields.plot_velocity_field_to_vtk(
+                cfg.plot_velocity_field, system, state, sol.lam,
+                cfg.output_name, tracer_radius=cfg.tracer_radius)
+
+    elif cfg.scheme == "resistance":
+        velocity = np.zeros((system.num_bodies, 6))
+        if cfg.velocity_file is not None:
+            velocity = np.loadtxt(cfg.velocity_file).reshape(
+                system.num_bodies, 6)
+        force = solvers.solve_resistance(system, state, jnp.asarray(velocity))
+        np.savetxt(cfg.output_name + ".force.dat", np.asarray(force),
+                   delimiter="  ")
+        print("Time to solve resistance problem =", time.time() - start_time)
+
+    elif cfg.scheme == "body_mobility":
+        N = np.asarray(solvers.solve_body_mobility(system, state))
+        np.savetxt(cfg.output_name + ".body_mobility.dat", N, delimiter="  ")
+        # slip mobility: N K^T M^{-1}
+        M = np.asarray(solvers.dense_blob_mobility(system, state))
+        K = np.asarray(solvers._dense_K(system, state))
+        slip_mob = N @ K.T @ np.linalg.inv(M)
+        np.savetxt(cfg.output_name + ".body_slip_mobility.dat", slip_mob,
+                   delimiter="  ")
+        print("Time to compute body mobility =", time.time() - start_time)
+
+    else:
+        # dynamic simulation
+        key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+        step = integrators.make_stepper(system, cfg.scheme, cfg.dt,
+                                        tolerance=cfg.solver_tolerance)
+        carry = integrators.init_carry(system, dtype=state.pos.dtype)
+
+        @jax.jit
+        def jit_step(state, key, carry):
+            return step(state, key, carry)
+
+        det_iters = 0
+        stoch_iters = 0
+        rejections = 0
+
+        def save_clones(step_idx, state):
+            offs = system.body_offsets
+            for i, t in enumerate(system.types):
+                name = "%s.%s.%08d.clones" % (cfg.output_name, t.name, step_idx)
+                scene.write_clones_file(
+                    name, np.asarray(state.pos)[offs[i]:offs[i + 1]],
+                    np.asarray(state.quat)[offs[i]:offs[i + 1]])
+
+        for step_idx in range(cfg.initial_step, cfg.n_steps):
+            if (step_idx % cfg.n_save) == 0 and step_idx >= 0:
+                elapsed = time.time() - start_time
+                print("Integrator = %s, step = %d, wallclock = %.2fs" % (
+                    cfg.scheme, step_idx, elapsed))
+                save_clones(step_idx, state)
+            key, sub = jax.random.split(key)
+            state, carry, aux = jit_step(state, sub, carry)
+            det_iters += int(aux.det_iterations)
+            stoch_iters += int(aux.stoch_iterations)
+            rejections += int(aux.rejections)
+        save_clones(cfg.n_steps, state)
+
+        with open(cfg.output_name + ".info", "w") as f:
+            f.write("invalid_configuration_count      %d\n" % rejections)
+            f.write("deterministic_iterations_count   %d\n" % det_iters)
+            f.write("stochastic_iterations_count      %d\n" % stoch_iters)
+
+    with open(cfg.output_name + ".time", "w") as f:
+        f.write(str(time.time() - start_time) + "\n")
+    print("\n\n\n# End")
+
+
+if __name__ == "__main__":
+    main()

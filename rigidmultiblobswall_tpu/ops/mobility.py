@@ -268,6 +268,89 @@ def grand_mobility_matvec(r_vectors, force, torque, eta, a, **kw):
 
 
 # ---------------------------------------------------------------------------
+# Source-target products with per-blob radii (velocity-field evaluation,
+# radii variants). Reference: mobility_numba.py:1480-1658 and the
+# shift/damping wrapper mobility/mobility.py:830-905.
+# ---------------------------------------------------------------------------
+
+
+def source_target_matvec(
+    r_src,
+    r_tgt,
+    vec,
+    radius_src,
+    radius_tgt,
+    eta,
+    *,
+    wall=True,
+    periodic_length=(0.0, 0.0, 0.0),
+    row_tile=None,
+):
+    """u_i = sum_j M_tt(target_i, source_j) f_j with per-blob radii.
+
+    Physical-units RPY for unequal radii plus the finite-size wall image
+    system; overlap regularization with per-blob radii applied on both
+    sides.
+    """
+    periodic_length = tuple(float(x) for x in periodic_length)
+    n_src = r_src.shape[0]
+    n_tgt = r_tgt.shape[0]
+    dtype = jnp.result_type(r_src.dtype, vec.dtype)
+    vec = vec.reshape(n_src, 3).astype(dtype)
+    radius_src = jnp.broadcast_to(jnp.asarray(radius_src, dtype), (n_src,))
+    radius_tgt = jnp.broadcast_to(jnp.asarray(radius_tgt, dtype), (n_tgt,))
+
+    if wall:
+        damp_s = jnp.minimum(r_src[:, 2] / radius_src, 1.0).astype(dtype)
+        # zero-radius targets (tracers) never damp
+        damp_t = jnp.where(radius_tgt > 0,
+                           jnp.minimum(r_tgt[:, 2] / jnp.where(radius_tgt > 0,
+                                                               radius_tgt, 1.0), 1.0),
+                           1.0).astype(dtype)
+        r_src = r_src.at[:, 2].set(jnp.maximum(r_src[:, 2], radius_src))
+        r_tgt = r_tgt.at[:, 2].set(jnp.maximum(r_tgt[:, 2], radius_tgt))
+        vec = vec * damp_s[:, None]
+
+    if row_tile is None:
+        row_tile = _default_row_tile(n_src, n_tgt, jnp.dtype(dtype).itemsize)
+    n_tiles = -(-n_tgt // row_tile)
+    n_pad = n_tiles * row_tile
+    r_tgt_pad = jnp.pad(r_tgt.astype(dtype), ((0, n_pad - n_tgt), (0, 0)),
+                        constant_values=1.0)
+    rad_tgt_pad = jnp.pad(radius_tgt, (0, n_pad - n_tgt), constant_values=1.0)
+
+    offsets = _box_offsets(periodic_length)
+    Lvec = jnp.asarray(periodic_length, dtype=dtype)
+    zs = r_src[:, 2].astype(dtype)
+    r_src = r_src.astype(dtype)
+
+    def tile_fn(i0):
+        rt = lax.dynamic_slice(r_tgt_pad, (i0, 0), (row_tile, 3))
+        at = lax.dynamic_slice(rad_tgt_pad, (i0,), (row_tile,))[:, None]
+        d0 = _min_image(rt[:, None, :] - r_src[None, :, :], periodic_length)
+        acc = jnp.zeros((row_tile, 3), dtype=dtype)
+        bs = radius_src[None, :]
+        for box in offsets:
+            d = d0 if box == (0, 0, 0) else d0 + jnp.asarray(box, dtype) * Lvec
+            m = rpy.rpy_tt_radii(d, at, bs)
+            if wall:
+                rz = rt[:, 2][:, None] + zs[None, :]
+                m = m + rpy.wall_tt_radii(d[..., 0], d[..., 1], rz,
+                                          rt[:, 2][:, None], zs[None, :],
+                                          at, bs)
+            acc = acc + jnp.einsum("tsab,sb->ta", m, vec,
+                                   precision=lax.Precision.HIGHEST)
+        return acc
+
+    out = lax.map(tile_fn, jnp.arange(0, n_pad, row_tile))
+    out = out.reshape(n_pad, 3)[:n_tgt]
+    out = out / (8.0 * jnp.pi * eta)
+    if wall:
+        out = out * damp_t[:, None]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Dense mobility matrices (for per-body preconditioner blocks and the
 # dense-algebra schemes). No periodic images (matches reference dense
 # builders, mobility/mobility.py:967-1116).
