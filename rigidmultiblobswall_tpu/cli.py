@@ -95,6 +95,56 @@ def main(argv=None):
                    delimiter="  ")
         print("Time to compute body mobility =", time.time() - start_time)
 
+    elif cfg.scheme.endswith("_rollers"):
+        # minimally-resolved rollers path (reference main_rollers.py)
+        from .models import rollers
+
+        opts = cfg.options
+        sus = rollers.RollerSuspension(
+            num_rollers=system.num_bodies, eta=cfg.eta,
+            blob_radius=cfg.blob_radius, kT=cfg.kT, g=cfg.g,
+            domain=cfg.domain, periodic_length=tuple(cfg.periodic_length),
+            repulsion_strength=cfg.repulsion_strength,
+            debye_length=cfg.debye_length,
+            repulsion_strength_wall=cfg.repulsion_strength_wall,
+            debye_length_wall=cfg.debye_length_wall,
+            solver_tolerance=cfg.solver_tolerance, rf_delta=cfg.rf_delta,
+            free_kinematics=(opts.get("free_kinematics", "True") == "True"),
+            omega_one_roller=tuple(np.fromstring(
+                opts.get("omega_one_roller", "0 0 0"), sep=" ")),
+            hydro_interactions=bool(int(opts.get("hydro_interactions", 1))))
+        key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+        step = rollers.make_stepper(sus, cfg.scheme, cfg.dt)
+        carry = rollers.init_carry(sus, dtype=state.pos.dtype)
+        positions = state.pos
+
+        @jax.jit
+        def jit_step(r, key, carry):
+            return step(r, key, carry)
+
+        det_iters = stoch_iters = rejections = overlaps = 0
+        name = system.types[0].name
+        quat0 = np.asarray(state.quat)
+        for step_idx in range(cfg.initial_step, cfg.n_steps):
+            if (step_idx % cfg.n_save) == 0:
+                scene.write_clones_file(
+                    "%s.%s.%08d.clones" % (cfg.output_name, name, step_idx),
+                    np.asarray(positions), quat0)
+            key, sub = jax.random.split(key)
+            positions, carry, aux = jit_step(positions, sub, carry)
+            det_iters += int(aux.det_iterations)
+            stoch_iters += int(aux.stoch_iterations)
+            rejections += int(aux.rejections)
+            overlaps += int(aux.wall_overlaps)
+        scene.write_clones_file(
+            "%s.%s.%08d.clones" % (cfg.output_name, name, cfg.n_steps),
+            np.asarray(positions), quat0)
+        with open(cfg.output_name + ".info", "w") as f:
+            f.write("invalid_configuration_count      %d\n" % rejections)
+            f.write("deterministic_iterations_count   %d\n" % det_iters)
+            f.write("stochastic_iterations_count      %d\n" % stoch_iters)
+            f.write("wall_overlaps                    %d\n" % overlaps)
+
     else:
         # dynamic simulation
         key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)

@@ -1,0 +1,440 @@
+"""Minimally-resolved roller suspensions: one blob per body with grand
+(trans-rot) mobility coupling.
+
+Functional re-design of QuaternionIntegratorRollers
+(/root/reference/quaternion_integrator/quaternion_integrator_rollers.py):
+state is just blob positions (N,3); bodies spin either freely under a
+prescribed torque (free_kinematics=True) or with a prescribed angular
+velocity, in which case the torque solves M_rr T = omega - M_rt F by
+unpreconditioned GMRES (:905-982).
+
+With hydro_interactions off, the closed-form Swan-Brady self mobilities
+with wall damping are used instead (:985-1079, :1263-1312).
+
+Schemes: deterministic forward_euler / adams_bashforth, stochastic
+first_order / adams_bashforth (recommended) / EM, with the wall-rejection
+retry on body centers z < 0 (:136-150).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import forces as force_ops
+from ..ops import mobility as mob
+from ..ops.gmres import gmres
+from ..ops.lanczos import stochastic_forcing_lanczos
+
+
+@dataclasses.dataclass(frozen=True)
+class RollerSuspension:
+    """Static description of a roller suspension (N single-blob bodies)."""
+
+    num_rollers: int
+    eta: float = 1.0
+    blob_radius: float = 1.0
+    kT: float = 0.0
+    g: float = 0.0
+    domain: str = "single_wall"
+    periodic_length: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    repulsion_strength: float = 0.0
+    debye_length: float = 1.0
+    repulsion_strength_wall: float = 0.0
+    debye_length_wall: float = 1.0
+    solver_tolerance: float = 1e-8
+    rf_delta: float = 1e-3
+    free_kinematics: bool = True
+    omega_one_roller: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    hydro_interactions: bool = True
+    lanczos_max_iter: int = 64
+    # hooks: prescribed torque (free kinematics) and extra blob forces
+    torque_fn: Optional[Callable] = None
+    force_fn: Optional[Callable] = None
+    mesh: Optional[object] = dataclasses.field(default=None, compare=False)
+
+    @property
+    def mobility_kwargs(self):
+        kw = dict(domain=self.domain, periodic_length=self.periodic_length)
+        if self.mesh is not None:
+            kw["mesh"] = self.mesh
+        return kw
+
+
+class RollerAux(NamedTuple):
+    velocities: jax.Array
+    torques: jax.Array
+    det_iterations: jax.Array
+    stoch_iterations: jax.Array
+    rejections: jax.Array
+    wall_overlaps: jax.Array
+
+
+class RollerCarry(NamedTuple):
+    velocities_prev: jax.Array
+    first_step: jax.Array
+
+
+def init_carry(sus: RollerSuspension, dtype=jnp.float64) -> RollerCarry:
+    return RollerCarry(
+        velocities_prev=jnp.zeros((sus.num_rollers, 3), dtype=dtype),
+        first_step=jnp.asarray(True))
+
+
+# ---------------------------------------------------------------------------
+# Forces and closed-form Swan-Brady self mobilities
+# ---------------------------------------------------------------------------
+
+
+def roller_forces(sus: RollerSuspension, r):
+    f = force_ops.blob_external_forces(
+        r, g=sus.g, blob_mass=1.0, blob_radius=sus.blob_radius,
+        repulsion_strength_wall=sus.repulsion_strength_wall,
+        debye_length_wall=sus.debye_length_wall)
+    f = f + force_ops.blob_blob_forces(
+        r, repulsion_strength=sus.repulsion_strength,
+        debye_length=sus.debye_length, blob_radius=sus.blob_radius,
+        periodic_length=sus.periodic_length)
+    if sus.force_fn is not None:
+        f = f + sus.force_fn(sus, r)
+    return f
+
+
+def roller_torques(sus: RollerSuspension, r, dtype):
+    if sus.torque_fn is not None:
+        return sus.torque_fn(sus, r).reshape(sus.num_rollers, 3)
+    return jnp.zeros((sus.num_rollers, 3), dtype=dtype)
+
+
+def swan_brady_self_mobilities(sus: RollerSuspension, z):
+    """Closed-form single-wall self mobilities with overlap damping
+    (quaternion_integrator_rollers.py:1016-1064)."""
+    a = sus.blob_radius
+    eta = sus.eta
+    f_tt = 1.0 / (6.0 * jnp.pi * eta * a)
+    f_rr = 1.0 / (6.0 * jnp.pi * eta * a**3)
+    f_rt = 1.0 / (6.0 * jnp.pi * eta * a**2)
+    h = z / a
+    he = jnp.maximum(h, 1.0)
+    damping = jnp.clip(h, 0.0, 1.0)
+    mu_rt_para = f_rt * (3.0 / (32.0 * he**4)) * damping
+    mu_tt_perp = f_tt * (1.0 - 9.0 / (8.0 * he) + 1.0 / (2.0 * he**3)
+                         - 1.0 / (8.0 * he**5)) * damping
+    mu_tt_para = f_tt * (1.0 - 9.0 / (16.0 * he) + 2.0 / (16.0 * he**3)
+                         - 1.0 / (16.0 * he**5)) * damping
+    mu_rr_perp = f_rr * (0.75 - 3.0 / (32.0 * he**3)) * damping
+    mu_rr_para = f_rr * (0.75 - 15.0 / (64.0 * he**3)) * damping
+    deriv_mu_tt_perp = f_tt * (9.0 / (8.0 * he**2) - 1.5 / he**4
+                               + 5.0 / (8.0 * he**6)) * damping
+    return dict(tt_para=mu_tt_para, tt_perp=mu_tt_perp, rt_para=mu_rt_para,
+                rr_para=mu_rr_para, rr_perp=mu_rr_perp,
+                d_tt_perp=deriv_mu_tt_perp)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic velocity (+ constrained-omega torque solve)
+# ---------------------------------------------------------------------------
+
+
+def deterministic_velocity_and_torque(sus: RollerSuspension, r, *,
+                                      x0_torque=None,
+                                      gmres_restart=20, gmres_maxiter=1000):
+    """(v, T, gmres_iters) per quaternion_integrator_rollers.py:905-982."""
+    dtype = r.dtype
+    kw = sus.mobility_kwargs
+    force = roller_forces(sus, r)
+
+    if not sus.hydro_interactions:
+        return _deterministic_uncorrelated(sus, r, force)
+
+    if not sus.free_kinematics:
+        omega = jnp.broadcast_to(
+            jnp.asarray(sus.omega_one_roller, dtype=dtype),
+            (sus.num_rollers, 3))
+        rhs = omega - mob.mobility_rot_times_force(
+            r, force, sus.eta, sus.blob_radius, **kw)
+        rhs_flat = rhs.ravel()
+        rhs_norm = jnp.linalg.norm(rhs_flat)
+        safe = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
+
+        def op(t):
+            return mob.mobility_rot_times_torque(
+                r, t.reshape(-1, 3), sus.eta, sus.blob_radius, **kw).ravel()
+
+        res = gmres(op, rhs_flat / safe, x0=x0_torque,
+                    tol=sus.solver_tolerance, restart=gmres_restart,
+                    maxiter=gmres_maxiter)
+        torque = (res.x * rhs_norm).reshape(sus.num_rollers, 3)
+        iters = res.iterations
+    else:
+        torque = roller_torques(sus, r, dtype)
+        iters = jnp.asarray(0)
+
+    velocity = mob.mobility_trans_times_force(r, force, sus.eta,
+                                              sus.blob_radius, **kw)
+    velocity = velocity + mob.mobility_trans_times_torque(
+        r, torque, sus.eta, sus.blob_radius, **kw)
+    return velocity, torque, iters
+
+
+def _deterministic_uncorrelated(sus: RollerSuspension, r, force):
+    """Closed-form uncorrelated mobilities
+    (quaternion_integrator_rollers.py:985-1079)."""
+    mus = swan_brady_self_mobilities(sus, r[:, 2])
+    fx, fy, fz = force[:, 0], force[:, 1], force[:, 2]
+    if not sus.free_kinematics:
+        omega = jnp.broadcast_to(
+            jnp.asarray(sus.omega_one_roller, dtype=r.dtype),
+            (sus.num_rollers, 3))
+
+        def safe_inv(x):
+            return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
+
+        inv_para = safe_inv(mus["rr_para"])
+        inv_perp = safe_inv(mus["rr_perp"])
+        tx = inv_para * (omega[:, 0] + mus["rt_para"] * fy)
+        ty = inv_para * (omega[:, 1] - mus["rt_para"] * fx)
+        tz = inv_perp * omega[:, 2]
+        torque = jnp.stack([tx, ty, tz], axis=1)
+    else:
+        torque = roller_torques(sus, r, r.dtype)
+    vx = mus["tt_para"] * fx + mus["rt_para"] * torque[:, 1]
+    vy = mus["tt_para"] * fy - mus["rt_para"] * torque[:, 0]
+    vz = mus["tt_perp"] * fz
+    velocity = jnp.stack([vx, vy, vz], axis=1)
+    return velocity, torque, jnp.asarray(0)
+
+
+# ---------------------------------------------------------------------------
+# Stochastic velocity
+# ---------------------------------------------------------------------------
+
+
+def _rfd_div(sus, r, key, product):
+    """(kT/(delta a)) * [P(r+dx/2) dx - P(r-dx/2) dx] for product P."""
+    dtype = r.dtype
+    dx = jax.random.normal(key, r.shape, dtype=dtype)
+    shift = sus.rf_delta * sus.blob_radius * 0.5
+    plus = product(r + dx * shift, dx)
+    minus = product(r - dx * shift, dx)
+    return (sus.kT / (sus.rf_delta * sus.blob_radius)) * (plus - minus)
+
+
+def stochastic_velocity(sus: RollerSuspension, r, key, dt, *,
+                        gmres_restart=20, gmres_maxiter=1000):
+    """Full grand-mobility stochastic velocity with RFD drift terms
+    (quaternion_integrator_rollers.py:1082-1200). Returns
+    (v_stoch, lanczos_iters, gmres_iters)."""
+    dtype = r.dtype
+    n = sus.num_rollers
+    kw = sus.mobility_kwargs
+    k_noise, k_rfd = jax.random.split(key)
+
+    def grand(ft):
+        f = ft[:3 * n].reshape(n, 3)
+        t = ft[3 * n:].reshape(n, 3)
+        u, w = mob.grand_mobility_matvec(r, f, t, sus.eta, sus.blob_radius, **kw)
+        return jnp.concatenate([u.ravel(), w.ravel()])
+
+    z = jax.random.normal(k_noise, (6 * n,), dtype=dtype)
+    noise = stochastic_forcing_lanczos(
+        grand, z, factor=jnp.sqrt(2.0 * sus.kT / dt),
+        tolerance=sus.solver_tolerance, max_iter=sus.lanczos_max_iter)
+
+    wall = sus.domain != "no_wall"
+    if sus.kT > 0 and wall:
+        div_M_tt = _rfd_div(sus, r, k_rfd, lambda rr, dx:
+                            mob.mobility_trans_times_force(
+                                rr, dx, sus.eta, sus.blob_radius, **kw))
+        div_M_rt = _rfd_div(sus, r, k_rfd, lambda rr, dx:
+                            mob.mobility_rot_times_force(
+                                rr, dx, sus.eta, sus.blob_radius, **kw))
+    else:
+        div_M_tt = jnp.zeros((n, 3), dtype)
+        div_M_rt = jnp.zeros((n, 3), dtype)
+
+    noise_t = noise.noise[:3 * n].reshape(n, 3)
+    noise_r = noise.noise[3 * n:].reshape(n, 3)
+
+    if not sus.free_kinematics:
+        rhs = (-noise_r - div_M_rt).ravel()
+        rhs_norm = jnp.linalg.norm(rhs)
+        safe = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
+
+        def op(t):
+            return mob.mobility_rot_times_torque(
+                r, t.reshape(-1, 3), sus.eta, sus.blob_radius, **kw).ravel()
+
+        res = gmres(op, rhs / safe, tol=sus.solver_tolerance,
+                    restart=gmres_restart, maxiter=gmres_maxiter)
+        torque = (res.x * rhs_norm).reshape(n, 3)
+        iters = res.iterations
+    else:
+        torque = jnp.zeros((n, 3), dtype)
+        iters = jnp.asarray(0)
+
+    v = mob.mobility_trans_times_torque(r, torque, sus.eta, sus.blob_radius,
+                                        **kw)
+    v = v + noise_t + div_M_tt
+    return v, noise.iterations, iters
+
+
+def stochastic_linear_velocity(sus: RollerSuspension, r, key, dt, *,
+                               with_drift=True):
+    """Free-kinematics M_tt-only noise (+ RFD drift)
+    (quaternion_integrator_rollers.py:1203-1260, :1315-1353)."""
+    dtype = r.dtype
+    n = sus.num_rollers
+    kw = sus.mobility_kwargs
+    k_noise, k_rfd = jax.random.split(key)
+
+    if not sus.hydro_interactions:
+        z = jax.random.normal(k_noise, (n, 3), dtype=dtype)
+        mus = swan_brady_self_mobilities(sus, r[:, 2])
+        fd = jnp.sqrt(2.0 * sus.kT / dt)
+        vx = fd * jnp.sqrt(mus["tt_para"]) * z[:, 0]
+        vy = fd * jnp.sqrt(mus["tt_para"]) * z[:, 1]
+        vz = fd * jnp.sqrt(mus["tt_perp"]) * z[:, 2]
+        if with_drift:
+            vz = vz + sus.kT * mus["d_tt_perp"]
+        return jnp.stack([vx, vy, vz], axis=1), jnp.asarray(0)
+
+    def mtt(f):
+        return mob.mobility_trans_times_force(
+            r, f.reshape(-1, 3), sus.eta, sus.blob_radius, **kw).ravel()
+
+    z = jax.random.normal(k_noise, (3 * n,), dtype=dtype)
+    noise = stochastic_forcing_lanczos(
+        mtt, z, factor=jnp.sqrt(2.0 * sus.kT / dt),
+        tolerance=sus.solver_tolerance, max_iter=sus.lanczos_max_iter)
+    v = noise.noise.reshape(n, 3)
+    if with_drift and sus.kT > 0 and sus.domain != "no_wall":
+        v = v + _rfd_div(sus, r, k_rfd, lambda rr, dx:
+                         mob.mobility_trans_times_force(
+                             rr, dx, sus.eta, sus.blob_radius, **kw))
+    return v, noise.iterations
+
+
+# ---------------------------------------------------------------------------
+# Schemes + stepper
+# ---------------------------------------------------------------------------
+
+
+def _scheme_forward_euler(sus, dt, key, r, carry):
+    v, t, it = deterministic_velocity_and_torque(sus, r)
+    return r + dt * v, v, t, it, jnp.asarray(0)
+
+
+def _scheme_adams_bashforth(sus, dt, key, r, carry):
+    v, t, it = deterministic_velocity_and_torque(sus, r)
+    v_ab = jnp.where(carry.first_step, v, 1.5 * v - 0.5 * carry.velocities_prev)
+    return r + dt * v_ab, v, t, it, jnp.asarray(0)
+
+
+def _scheme_stochastic_first_order(sus, dt, key, r, carry):
+    k1, k2 = jax.random.split(key)
+    v, t, it = deterministic_velocity_and_torque(sus, r)
+    if sus.free_kinematics:
+        vs, it_l = stochastic_linear_velocity(sus, r, k2, dt)
+        it_g = jnp.asarray(0)
+    else:
+        vs, it_l, it_g = stochastic_velocity(sus, r, k2, dt)
+    return r + dt * (v + vs), v, t, it + it_g, it_l
+
+
+def _scheme_stochastic_adams_bashforth(sus, dt, key, r, carry):
+    k1, k2 = jax.random.split(key)
+    v, t, it = deterministic_velocity_and_torque(sus, r)
+    if sus.free_kinematics:
+        vs, it_l = stochastic_linear_velocity(sus, r, k2, dt)
+        it_g = jnp.asarray(0)
+    else:
+        vs, it_l, it_g = stochastic_velocity(sus, r, k2, dt)
+    v_ab = jnp.where(carry.first_step, v, 1.5 * v - 0.5 * carry.velocities_prev)
+    return r + dt * (v_ab + vs), v, t, it + it_g, it_l
+
+
+def _scheme_stochastic_EM(sus, dt, key, r, carry):
+    k1, k2 = jax.random.split(key)
+    v, t, it = deterministic_velocity_and_torque(sus, r)
+    vs, it_l = stochastic_linear_velocity(sus, r, k2, dt, with_drift=False)
+    return r + dt * (v + vs), v, t, it, it_l
+
+
+_SCHEMES = {
+    "deterministic_forward_euler_rollers": _scheme_forward_euler,
+    "deterministic_adams_bashforth_rollers": _scheme_adams_bashforth,
+    "stochastic_first_order_rollers": _scheme_stochastic_first_order,
+    "stochastic_adams_bashforth_rollers": _scheme_stochastic_adams_bashforth,
+    "stochastic_EM_rollers": _scheme_stochastic_EM,
+}
+
+
+def available_schemes():
+    return tuple(_SCHEMES)
+
+
+def make_stepper(sus: RollerSuspension, scheme: str, dt: float, *,
+                 max_rejections: int = 50):
+    """step(positions (N,3), key, carry) -> (positions, carry, RollerAux)."""
+    if scheme not in _SCHEMES:
+        raise ValueError(f"unknown roller scheme {scheme!r}; "
+                         f"available: {sorted(_SCHEMES)}")
+    body_fn = _SCHEMES[scheme]
+    wall = sus.domain == "single_wall"
+
+    def step(r, key, carry: RollerCarry):
+        def cond(loop):
+            _, _, _, attempts, ok = loop
+            return jnp.logical_not(ok) & (attempts < max_rejections)
+
+        def body(loop):
+            _, key, _, attempts, _ = loop
+            key, sub = jax.random.split(key)
+            r_new, v, t, det_it, st_it = body_fn(sus, dt, sub, r, carry)
+            ok = jnp.min(r_new[:, 2]) >= 0.0 if wall else jnp.asarray(True)
+            return (r_new, key, (v, t, det_it, st_it), attempts + 1, ok)
+
+        zero = (jnp.zeros_like(r), jnp.zeros_like(r), jnp.asarray(0),
+                jnp.asarray(0))
+        init = (r, key, zero, jnp.asarray(0), jnp.asarray(False))
+        r_new, _, (v, t, det_it, st_it), attempts, ok = jax.lax.while_loop(
+            cond, body, init)
+
+        overlaps = (jnp.sum(r_new[:, 2] < sus.blob_radius)
+                    if wall else jnp.asarray(0))
+        carry = RollerCarry(velocities_prev=v, first_step=jnp.asarray(False))
+        aux = RollerAux(velocities=v, torques=t, det_iterations=det_it,
+                        stoch_iterations=st_it, rejections=attempts - 1,
+                        wall_overlaps=overlaps)
+        return r_new, carry, aux
+
+    return step
+
+
+def simulate(sus: RollerSuspension, positions, key, *, scheme, dt, n_steps,
+             save_every=1, **kw):
+    step = make_stepper(sus, scheme, dt, **kw)
+    carry0 = init_carry(sus, dtype=positions.dtype)
+
+    def scan_body(lc, _):
+        r, key, carry = lc
+
+        def inner(lc, _):
+            r, key, carry = lc
+            key, sub = jax.random.split(key)
+            r, carry, aux = step(r, sub, carry)
+            return (r, key, carry), aux
+
+        (r, key, carry), aux = jax.lax.scan(inner, (r, key, carry), None,
+                                            length=save_every)
+        return (r, key, carry), (r, jax.tree.map(lambda x: x[-1], aux))
+
+    (r, key, carry), (traj, aux) = jax.lax.scan(
+        scan_body, (positions, key, carry0), None,
+        length=n_steps // save_every)
+    return r, traj, aux
