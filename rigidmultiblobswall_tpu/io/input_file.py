@@ -129,6 +129,42 @@ def read_input(path) -> InputConfig:
     return cfg
 
 
+def _compile_links_fn(extra, links):
+    """Compile the reference's numexpr link expressions
+    (constraint.py:100-127) into a jax-traceable time hook.
+
+    extra: per-constraint list of 12 expression strings
+    (6 link components + 6 time derivatives) in variable t."""
+    import jax.numpy as jnp
+
+    env = {name: getattr(jnp, name) for name in
+           ("sin", "cos", "tan", "exp", "sqrt", "abs", "arctan2", "where")}
+    env["pi"] = np.pi
+    compiled = []
+    for k, exprs in enumerate(extra):
+        if len(exprs) >= 12:
+            compiled.append([compile(e, f"<link{k}>", "eval")
+                             for e in exprs[:12]])
+        else:
+            compiled.append(None)
+
+    def links_fn(t):
+        rows_l, rows_d = [], []
+        for k, exprs in enumerate(compiled):
+            if exprs is None:
+                rows_l.append(jnp.asarray(links[k]))
+                rows_d.append(jnp.zeros(6))
+            else:
+                vals = [eval(e, dict(env), {"t": t}) for e in exprs]
+                rows_l.append(jnp.stack([jnp.asarray(v, jnp.result_type(float))
+                                         for v in vals[:6]]))
+                rows_d.append(jnp.stack([jnp.asarray(v, jnp.result_type(float))
+                                         for v in vals[6:12]]))
+        return jnp.stack(rows_l), jnp.stack(rows_d)
+
+    return links_fn
+
+
 def build_system(cfg: InputConfig, base_dir="."):
     """Build (System, State) from an InputConfig. Each structure entry
     becomes one BodyType group (reference multi_bodies.py:1164-1219)."""
@@ -158,7 +194,41 @@ def build_system(cfg: InputConfig, base_dir="."):
     for files, name in zip(cfg.obstacles, cfg.obstacles_ID):
         _add(files, name, True)
 
+    # articulated structures: entry = list_vertex clones const [slip]
+    # (reference multi_bodies_utilities.py:327-400). Bodies are stored
+    # type-major internally (sub-body j of every instance is one BodyType).
+    from ..models.articulated import ArticulatedType
+
+    articulated_types = []
+    for files, name in zip(cfg.articulated, cfg.articulated_ID):
+        ref_configs = scene.read_vertex_file_list(_resolve(files[0]))
+        n_total, locs, quats = scene.read_clones_file(_resolve(files[1]))
+        (nb_art, nc_art, indices, links, extra) = scene.read_constraints_file(
+            _resolve(files[2]))
+        slip_files = [f for f in files[3:] if f.endswith(".slip")]
+        slip = scene.read_slip_file(_resolve(slip_files[0])) if slip_files else None
+        n_inst = n_total // nb_art
+        locs_i = locs.reshape(n_inst, nb_art, 3)
+        quats_i = quats.reshape(n_inst, nb_art, 4)
+        sub_type_indices = []
+        for j in range(nb_art):
+            ref = ref_configs[j]
+            sub_type_indices.append(len(types))
+            types.append(BodyType(
+                name=f"{name}_sub{j}", ref_config=ref[:, :3], count=n_inst,
+                blob_radii=ref[:, 3] if ref.shape[1] == 4 else None,
+                slip_ref=slip))
+            locations.append(locs_i[:, j])
+            quaternions.append(quats_i[:, j])
+        links_fn = _compile_links_fn(extra, links) if any(extra) else None
+        articulated_types.append(ArticulatedType(
+            name=name, count=n_inst, sub_type_indices=tuple(sub_type_indices),
+            pairs_local=indices, links=links, links_fn=links_fn))
+
     system = System(
+        articulated=tuple(articulated_types),
+        nonlinear_solver_tolerance=float(
+            cfg.options.get("nonlinear_solver_tolerance", 1e-8)),
         types=tuple(types),
         eta=cfg.eta,
         blob_radius=cfg.blob_radius,

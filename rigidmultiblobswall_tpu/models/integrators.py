@@ -264,8 +264,170 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
     return new_state, velocities, iters, it_l, ok
 
 
+def _dense_sqrt_mul(N, z, factor):
+    """factor * N^{1/2} z via dense eigendecomposition (the reference's
+    stochastic_forcing_eig, stochastic_forcing/stochastic_forcing.py:7-83)."""
+    w, q = jnp.linalg.eigh(N)
+    w = jnp.sqrt(jnp.maximum(w, 0.0))
+    return factor * (q @ (w * (q.T @ z)))
+
+
+def _stochastic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
+                                key, state, carry):
+    """AB2 deterministic + EM noise + RFD drift: rollers-style AB for
+    multi-body suspensions
+    (quaternion_integrator_multi_bodies.py:431-549)."""
+    dtype = state.pos.dtype
+    pc = saddle.build_block_diag_pc(system, state)
+    k_noise, k_rfd = jax.random.split(key)
+    factor = jnp.sqrt(2.0 * system.kT / dt)
+    n3 = 3 * system.num_blobs
+
+    noise, it_l = _noise_slip(system, state, pc, k_noise, factor, **lanczos_kw)
+    sol_stoch = solvers.solve_mobility_problem(
+        system, state, rhs=jnp.zeros(n3 + 6 * system.num_bodies, dtype),
+        noise_slip=noise, pc=pc, **solver_kw)
+    v_stoch = sol_stoch.velocities
+
+    sol_det = solvers.solve_mobility_problem(system, state, pc=pc, **solver_kw)
+    v_det = sol_det.velocities
+
+    W = jax.random.normal(k_rfd, (system.num_bodies, 6), dtype=dtype)
+    lengths = body_lengths(system, dtype)
+    disp = W.at[:, :3].multiply(lengths[:, None])
+    force_rfd = W.at[:, :3].divide(lengths[:, None])
+    delta = system.rf_delta
+    rhs_rfd = jnp.concatenate([jnp.zeros(n3, dtype), -force_rfd.ravel()])
+
+    state_minus = State(pos=state.pos - 0.5 * delta * disp[:, :3],
+                        quat=kin.quat.step(state.quat, W[:, 3:], -0.5 * delta))
+    sol_minus = solvers.solve_mobility_problem(system, state_minus, pc=pc,
+                                               rhs=rhs_rfd, **solver_kw)
+    state_plus = State(pos=state.pos + 0.5 * delta * disp[:, :3],
+                       quat=kin.quat.step(state.quat, W[:, 3:], 0.5 * delta))
+    op_plus = saddle.make_linear_operator(system, state_plus)
+    sol_minus_flat = jnp.concatenate([sol_minus.lam.ravel(),
+                                      sol_minus.velocities.ravel()])
+    rhs_residual = rhs_rfd - op_plus(sol_minus_flat)
+    sol_drift = solvers.solve_mobility_problem(system, state_plus, pc=pc,
+                                               rhs=rhs_residual, **solver_kw)
+    v_stoch = v_stoch + (system.kT / delta) * sol_drift.velocities
+
+    v_ab = jnp.where(carry.first_step, v_det,
+                     1.5 * v_det - 0.5 * carry.velocities_prev)
+    new_state = kin.advance(state, v_ab + v_stoch, dt)
+    ok = kin.valid_configuration(system, new_state)
+    iters = (sol_stoch.iterations + sol_det.iterations
+             + sol_minus.iterations + sol_drift.iterations)
+    # carry keeps only the deterministic velocity (reference :546)
+    return new_state, v_det, iters, it_l, ok
+
+
+def _deterministic_forward_euler_dense(system, dt, solver_kw, lanczos_kw,
+                                       key, state, carry):
+    v, _ = solvers.solve_mobility_problem_dense(system, state)
+    new_state = kin.advance(state, v, dt)
+    ok = kin.valid_configuration(system, new_state)
+    return new_state, v, jnp.asarray(0), jnp.asarray(0), ok
+
+
+def _stochastic_first_order_RFD_dense(system, dt, solver_kw, lanczos_kw,
+                                      key, state, carry):
+    """Dense-algebra RFD scheme
+    (quaternion_integrator_multi_bodies.py:552-623)."""
+    dtype = state.pos.dtype
+    k_noise, k_rfd = jax.random.split(key)
+    v, N = solvers.solve_mobility_problem_dense(system, state)
+    z = jax.random.normal(k_noise, (6 * system.num_bodies,), dtype=dtype)
+    v = v + _dense_sqrt_mul(N, z, jnp.sqrt(2.0 * system.kT / dt)).reshape(
+        system.num_bodies, 6)
+
+    W = jax.random.normal(k_rfd, (system.num_bodies, 6), dtype=dtype)
+    lengths = body_lengths(system, dtype)
+    disp = W.at[:, :3].multiply(lengths[:, None])
+    force_rfd = W.at[:, :3].divide(lengths[:, None])
+    delta = system.rf_delta
+    state_plus = State(pos=state.pos + delta * disp[:, :3],
+                       quat=kin.quat.step(state.quat, W[:, 3:], delta))
+    N_plus = solvers.solve_body_mobility(system, state_plus)
+    v = v + (system.kT / delta) * (
+        (N_plus - N) @ force_rfd.ravel()).reshape(system.num_bodies, 6)
+    new_state = kin.advance(state, v, dt)
+    ok = kin.valid_configuration(system, new_state)
+    return new_state, v, jnp.asarray(0), jnp.asarray(0), ok
+
+
+def _fixman(system, dt, solver_kw, lanczos_kw, key, state, carry):
+    """Fixman midpoint with dense algebra
+    (quaternion_integrator_multi_bodies.py:738-800)."""
+    dtype = state.pos.dtype
+    k1, k2 = jax.random.split(key)
+    v_mid, N = solvers.solve_mobility_problem_dense(system, state)
+    W1 = jax.random.normal(k1, (6 * system.num_bodies,), dtype=dtype)
+    W_cor = W1 + jax.random.normal(k2, (6 * system.num_bodies,), dtype=dtype)
+    Nhalf_W1 = _dense_sqrt_mul(N, W1, jnp.sqrt(4.0 * system.kT / dt))
+    Nhalf_Wcor = _dense_sqrt_mul(N, W_cor, jnp.sqrt(system.kT / dt))
+    Ninvhalf_cor = jnp.linalg.pinv(N) @ Nhalf_Wcor
+    v_mid = v_mid + Nhalf_W1.reshape(system.num_bodies, 6)
+
+    mid = kin.advance(state, v_mid, 0.5 * dt)
+    ok_mid = kin.valid_configuration(system, mid)
+    v_new, N_new = solvers.solve_mobility_problem_dense(system, mid)
+    v_new = v_new + (N_new @ Ninvhalf_cor).reshape(system.num_bodies, 6)
+    new_state = kin.advance(state, v_new, dt)
+    ok = ok_mid & kin.valid_configuration(system, new_state)
+    return new_state, v_new, jnp.asarray(0), jnp.asarray(0), ok
+
+
+def _articulated_deterministic_forward_euler(system, dt, solver_kw,
+                                             lanczos_kw, key, state, carry):
+    """FE for articulated bodies: solve with constraints, advance, CM
+    correction, nonlinear projection
+    (quaternion_integrator_multi_bodies.py:1638-1687)."""
+    from . import articulated as art_mod
+
+    sol = solvers.solve_mobility_problem(system, state, **solver_kw)
+    moved = kin.advance(state, sol.velocities, dt)
+    moved = art_mod.correct_center_of_mass(system, moved, state,
+                                           sol.velocities, dt)
+    moved = art_mod.nonlinear_projection(
+        system, moved, tol=system.nonlinear_solver_tolerance)
+    ok = kin.valid_configuration(system, moved)
+    return moved, sol.velocities, sol.iterations, jnp.asarray(0), ok
+
+
+def _articulated_deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
+                                        key, state, carry):
+    """Midpoint for articulated bodies
+    (quaternion_integrator_multi_bodies.py:1690-1776)."""
+    from . import articulated as art_mod
+
+    sol1 = solvers.solve_mobility_problem(system, state, **solver_kw)
+    mid = kin.advance(state, sol1.velocities, 0.5 * dt)
+    mid = art_mod.correct_center_of_mass(system, mid, state, sol1.velocities,
+                                         dt, midpoint_fraction=0.5)
+    mid = art_mod.nonlinear_projection(
+        system, mid, tol=system.nonlinear_solver_tolerance)
+
+    sol2 = solvers.solve_mobility_problem(system, mid, **solver_kw)
+    new = kin.advance(state, sol2.velocities, dt)
+    new = art_mod.correct_center_of_mass(system, new, state, sol2.velocities,
+                                         dt)
+    new = art_mod.nonlinear_projection(
+        system, new, tol=system.nonlinear_solver_tolerance)
+    ok = kin.valid_configuration(system, new)
+    return (new, sol2.velocities, sol1.iterations + sol2.iterations,
+            jnp.asarray(0), ok)
+
+
 _SCHEMES = {
     "deterministic_forward_euler": _deterministic_forward_euler,
+    "articulated_deterministic_forward_euler": _articulated_deterministic_forward_euler,
+    "articulated_deterministic_midpoint": _articulated_deterministic_midpoint,
+    "deterministic_forward_euler_dense_algebra": _deterministic_forward_euler_dense,
+    "stochastic_adams_bashforth": _stochastic_adams_bashforth,
+    "stochastic_first_order_RFD_dense_algebra": _stochastic_first_order_RFD_dense,
+    "Fixman": _fixman,
     "deterministic_adams_bashforth": _deterministic_adams_bashforth,
     "deterministic_midpoint": _deterministic_midpoint,
     "stochastic_EM": _stochastic_EM,

@@ -27,39 +27,58 @@ from . import kinematics as kin
 from .system import State, System
 
 
+def num_constraints(system: System) -> int:
+    from . import articulated as art_mod
+
+    return art_mod.num_constraints(system)
+
+
 def saddle_size(system: System) -> int:
-    return 3 * system.num_blobs + 6 * system.num_bodies
+    return (3 * system.num_blobs + 6 * system.num_bodies
+            + 3 * num_constraints(system))
 
 
 def split_saddle_vector(system: System, vec):
     n3 = 3 * system.num_blobs
+    nb6 = 6 * system.num_bodies
     lam = vec[:n3].reshape(system.num_blobs, 3)
-    U = vec[n3:n3 + 6 * system.num_bodies].reshape(system.num_bodies, 6)
-    return lam, U
+    U = vec[n3:n3 + nb6].reshape(system.num_bodies, 6)
+    phi = vec[n3 + nb6:].reshape(-1, 3)
+    return lam, U, phi
 
 
-def make_linear_operator(system: System, state: State, r_blobs=None):
-    """Return vec -> saddle operator action (flat in, flat out)
-    (multi_bodies.py:424-471)."""
+def make_linear_operator(system: System, state: State, r_blobs=None,
+                         time=0.0):
+    """Return vec -> saddle operator action (flat in, flat out):
+    [M lam - K U; -K^T lam + C^T phi; C U] with prescribed-kinematics
+    rewrites (multi_bodies.py:424-471)."""
     if r_blobs is None:
         r_blobs = kin.blob_positions(system, state)
     prescribed = jnp.asarray(system.prescribed_body_mask)
     any_prescribed = bool(system.prescribed_body_mask.any())
+    has_constraints = num_constraints(system) > 0
     kwargs = system.mobility_kwargs
 
     def operator(vec):
-        lam, U = split_saddle_vector(system, vec)
+        lam, U, phi = split_saddle_vector(system, vec)
         m_lam = mob.mobility_trans_times_force(
             r_blobs, lam, system.eta, system.blob_radius, **kwargs)
         KU = kin.K_mul(system, state, U)
         res_blobs = m_lam - KU
         res_bodies = -kin.KT_mul(system, state, lam)
+        parts = [res_blobs, res_bodies]
+        if has_constraints:
+            from . import articulated as art_mod
+
+            res_bodies = res_bodies + art_mod.CT_mul(system, state, phi, time)
+            parts = [res_blobs, res_bodies,
+                     art_mod.C_mul(system, state, U, time)]
         if any_prescribed:
             # identity row on U, and K U moved back out of the blob rows
             blob_mask = blob_prescribed_mask(system)[:, None]
-            res_blobs = res_blobs + blob_mask * KU
-            res_bodies = res_bodies + prescribed[:, None] * U
-        return jnp.concatenate([res_blobs.ravel(), res_bodies.ravel()])
+            parts[0] = parts[0] + blob_mask * KU
+            parts[1] = parts[1] + prescribed[:, None] * U
+        return jnp.concatenate([p.ravel() for p in parts])
 
     return operator
 
@@ -85,8 +104,40 @@ class TypePC(NamedTuple):
     N_body: jax.Array    # (c, 6, 6) = pinv(K^T M^{-1} K)
 
 
+class ArticulatedPC(NamedTuple):
+    """Per articulated-type batched constraint factors."""
+
+    C: jax.Array       # (count, 3nc, 6nb)
+    G: jax.Array       # (count, 3nc, 3nc) = pinv(C N C^T)
+
+
 class BlockDiagPC(NamedTuple):
     per_type: tuple
+    per_articulated: tuple = ()
+
+
+def _build_articulated_pc(system: System, state: State, per_type, time=0.0):
+    """Constraint resistance G = pinv(C N_diag C^T) per articulated
+    instance, batched per type (multi_bodies.py:787-806)."""
+    from . import articulated as art_mod
+
+    out = []
+    for art in system.articulated:
+        C = art_mod.dense_C_per_instance(system, art, state, time)
+        # block-diagonal body mobility N of the instance's sub-bodies
+        nb = art.num_bodies
+        N_blocks = jnp.stack(
+            [per_type[tj].N_body for tj in art.sub_type_indices], axis=1
+        )  # (count, nb, 6, 6)
+        CN = jnp.zeros_like(C)
+        for j in range(nb):
+            cols = slice(6 * j, 6 * j + 6)
+            CN = CN.at[:, :, cols].set(
+                jnp.einsum("cik,ckl->cil", C[:, :, cols], N_blocks[:, j]))
+        CNCT = jnp.einsum("cik,cjk->cij", CN, C)
+        G = jnp.linalg.pinv(CNCT)
+        out.append(ArticulatedPC(C=C, G=G))
+    return tuple(out)
 
 
 def build_block_diag_pc(system: System, state: State) -> BlockDiagPC:
@@ -118,13 +169,18 @@ def build_block_diag_pc(system: System, state: State) -> BlockDiagPC:
         N_body = jnp.linalg.pinv(KtMinvK)
         per_type.append(TypePC(chol=chol, chol_inv=chol_inv, m_inv=m_inv,
                                K=K, N_body=N_body))
-    return BlockDiagPC(per_type=tuple(per_type))
+    per_art = ()
+    if num_constraints(system) > 0:
+        per_art = _build_articulated_pc(system, state, per_type)
+    return BlockDiagPC(per_type=tuple(per_type), per_articulated=per_art)
 
 
 def apply_block_diag_pc(system: System, pc: BlockDiagPC, vec):
-    """Apply the saddle preconditioner (multi_bodies.py:552-582):
-    per body solve the isolated mobility problem exactly."""
-    lam, F = split_saddle_vector(system, vec)
+    """Apply the saddle preconditioner: per body solve the isolated
+    mobility problem exactly (multi_bodies.py:552-582), then correct the
+    articulated instances with the constraint resistance G
+    (multi_bodies.py:863-894)."""
+    lam, F, B = split_saddle_vector(system, vec)
     lam_out = []
     body_out = []
     for i, t in enumerate(system.types):
@@ -145,9 +201,40 @@ def apply_block_diag_pc(system: System, pc: BlockDiagPC, vec):
             lam_t = jnp.einsum("cij,cj->ci", p.m_inv, slip + KY)
             lam_out.append(lam_t.reshape(c * nb, 3))
             body_out.append(Y)
-    lam_full = jnp.concatenate(lam_out, axis=0)
+    lam_full = jnp.concatenate(lam_out, axis=0).reshape(system.num_blobs, 3)
     body_full = jnp.concatenate(body_out, axis=0)
-    return jnp.concatenate([lam_full.ravel(), body_full.ravel()])
+
+    if not pc.per_articulated:
+        return jnp.concatenate([lam_full.ravel(), body_full.ravel()])
+
+    from . import articulated as art_mod
+
+    phi_out = []
+    offs = art_mod.constraint_offsets(system)
+    for ia, art in enumerate(system.articulated):
+        apc = pc.per_articulated[ia]
+        nb_a, nc_a = art.num_bodies, art.num_constraints
+        # gather unconstrained instance velocities (count, 6 nb)
+        U_unc = art_mod._instance_bodies(system, art, body_full).reshape(
+            art.count, 6 * nb_a)
+        CU = jnp.einsum("cij,cj->ci", apc.C, U_unc)
+        B_a = B[offs[ia]:offs[ia + 1]].reshape(art.count, 3 * nc_a)
+        Phi = jnp.einsum("cij,cj->ci", apc.G, B_a - CU)
+        Fc = jnp.einsum("cji,cj->ci", apc.C, Phi).reshape(art.count, nb_a, 6)
+        # per sub-body: N Fc, and the lambda correction M^{-1} K N Fc
+        for j, tj in enumerate(art.sub_type_indices):
+            p = pc.per_type[tj]
+            NFc = jnp.einsum("cij,cj->ci", p.N_body, Fc[:, j])
+            body_full = body_full.at[system.body_slice(tj)].add(NFc)
+            KNFc = jnp.einsum("cni,ci->cn", p.K, NFc)
+            lam_corr = jnp.einsum("cij,cj->ci", p.m_inv, KNFc)
+            nb_blobs = system.types[tj].num_blobs
+            lam_full = lam_full.at[system.blob_slice(tj)].add(
+                lam_corr.reshape(-1, 3))
+        phi_out.append(Phi.reshape(-1, 3))
+    phi_full = jnp.concatenate(phi_out, axis=0)
+    return jnp.concatenate([lam_full.ravel(), body_full.ravel(),
+                            phi_full.ravel()])
 
 
 def make_noise_pc(system: System, state: State, pc: BlockDiagPC,

@@ -27,6 +27,7 @@ class MobilitySolution(NamedTuple):
     velocities: jax.Array   # (B,6)
     iterations: jax.Array
     residual_norm: jax.Array
+    phi: jax.Array = None   # (C,3) articulated constraint forces
 
 
 def force_torque_calculator(system: System, state: State, r_blobs):
@@ -54,12 +55,15 @@ def force_torque_calculator(system: System, state: State, r_blobs):
 
 
 def build_rhs(system: System, state: State, r_blobs, slip=None,
-              force_torque=None, noise_slip=None, noise_ft=None):
-    """RHS = [slip - noise, -(F+noise_FT)] with prescribed-kinematics
+              force_torque=None, noise_slip=None, noise_ft=None, time=0.0):
+    """RHS = [slip - noise, -(F+noise_FT), B] with prescribed-kinematics
     rewrite (quaternion_integrator_multi_bodies.py:1457-1489)."""
     dtype = state.pos.dtype
     if slip is None:
         slip = kin.active_slip(system, state, dtype)
+        if system.slip_fn is not None:
+            slip = slip + system.slip_fn(system, state).reshape(
+                system.num_blobs, 3)
     slip = slip.reshape(system.num_blobs, 3)
     if force_torque is None:
         force_torque = force_torque_calculator(system, state, r_blobs)
@@ -75,7 +79,12 @@ def build_rhs(system: System, state: State, r_blobs, slip=None,
         body_mask = jnp.asarray(system.prescribed_body_mask)[:, None]
         force_torque = jnp.where(body_mask, 0.0, force_torque)
 
-    rhs = jnp.concatenate([slip.ravel(), -force_torque.ravel()])
+    parts = [slip.ravel(), -force_torque.ravel()]
+    if saddle.num_constraints(system) > 0:
+        from . import articulated as art_mod
+
+        parts.append(art_mod.constraint_rhs(system, state, time).ravel())
+    rhs = jnp.concatenate(parts)
     if noise_slip is not None:
         n3 = 3 * system.num_blobs
         rhs = rhs.at[:n3].add(-noise_slip.ravel())
@@ -117,7 +126,7 @@ def solve_mobility_problem(
                    maxiter=maxiter,
                    M=lambda v: saddle.apply_block_diag_pc(system, pc, v))
     sol = result.x * rhs_norm
-    lam, U = saddle.split_saddle_vector(system, sol)
+    lam, U, phi = saddle.split_saddle_vector(system, sol)
 
     if system.prescribed_body_mask.any():
         mask = jnp.asarray(system.prescribed_body_mask)[:, None]
@@ -126,7 +135,7 @@ def solve_mobility_problem(
                       U)
     return MobilitySolution(lam=lam, velocities=U,
                             iterations=result.iterations,
-                            residual_norm=result.residual_norm)
+                            residual_norm=result.residual_norm, phi=phi)
 
 
 # ---------------------------------------------------------------------------
@@ -162,6 +171,26 @@ def solve_body_mobility(system: System, state: State):
     K = _dense_K(system, state)
     MinvK = jnp.linalg.solve(M, K)
     return jnp.linalg.pinv(K.T @ MinvK)
+
+
+def solve_mobility_problem_dense(system: System, state: State, slip=None,
+                                 force_torque=None):
+    """Dense-algebra mobility solve: returns (velocities (B,6),
+    body mobility N (6B,6B))
+    (quaternion_integrator_multi_bodies.py:1550-1589)."""
+    dtype = state.pos.dtype
+    r_blobs = kin.blob_positions(system, state)
+    if slip is None:
+        slip = kin.active_slip(system, state, dtype)
+    if force_torque is None:
+        force_torque = force_torque_calculator(system, state, r_blobs)
+    M = dense_blob_mobility(system, state)
+    K = _dense_K(system, state)
+    Minv_slip = jnp.linalg.solve(M, slip.ravel())
+    FT = force_torque.ravel() - K.T @ Minv_slip
+    MinvK = jnp.linalg.solve(M, K)
+    N = jnp.linalg.pinv(K.T @ MinvK)
+    return (N @ FT).reshape(system.num_bodies, 6), N
 
 
 def solve_resistance(system: System, state: State, velocities, slip=None):

@@ -90,6 +90,12 @@ class System:
     # user-extension hooks (reference L5 layer); all optional callables
     blob_force_fn: Optional[Callable] = None
     body_force_torque_fn: Optional[Callable] = None
+    # extra slip source (e.g. phoretic slip): (system, state) -> (N,3),
+    # added to the per-type prescribed active slip
+    slip_fn: Optional[Callable] = None
+    # articulated-body constraint groups (models/articulated.ArticulatedType)
+    articulated: Tuple = ()
+    nonlinear_solver_tolerance: float = 1e-8
     # multi-chip execution: shard the O(N^2) pairwise products over this
     # jax.sharding.Mesh (see parallel/mesh.py); None = single device
     mesh: Optional[object] = dataclasses.field(default=None, compare=False)
@@ -172,7 +178,8 @@ class State(NamedTuple):
     quat: jnp.ndarray  # (B, 4), unit, scalar-first
 
 
-def make_state(positions, quaternions) -> State:
-    pos = jnp.asarray(positions).reshape(-1, 3)
-    quat = jnp.asarray(quaternions).reshape(-1, 4)
+def make_state(positions, quaternions, dtype=None) -> State:
+    dtype = dtype or jnp.result_type(float)
+    pos = jnp.asarray(positions, dtype=dtype).reshape(-1, 3)
+    quat = jnp.asarray(quaternions, dtype=dtype).reshape(-1, 4)
     return State(pos=pos, quat=quat)

@@ -63,6 +63,11 @@ def _block(coupling, domain, d, zt, zs, self_mask):
         m = rpy.rpy_tt_in_plane(d, self_mask)
         return m + rpy.wall_tt_in_plane(d[..., 0], d[..., 1], zt + zs, zs, self_mask)
 
+    if domain == "free_surface":
+        if coupling != "tt":
+            raise NotImplementedError("free_surface only supports 'tt'")
+        return rpy.free_surface_tt(d, zt + zs, self_mask)
+
     if coupling == "tt":
         m = rpy.rpy_tt(d, self_mask)
         if domain == "single_wall":
@@ -134,6 +139,7 @@ def pairwise_matvec(
     row_tile=None,
     mesh=None,
     shard_axis="blobs",
+    method="auto",
 ):
     """u_i = sum_j M^{coupling}_ij v_j over all (target, source) pairs.
 
@@ -170,6 +176,25 @@ def pairwise_matvec(
         if mesh is not None:
             # at least one tile per device
             row_tile = min(row_tile, -(-n_tgt // mesh.shape[shard_axis]))
+
+    # fast path: scalar-field + MXU-matmul decomposition of the TT product
+    # (no pseudo-periodic images: the min-image shift breaks the expansion)
+    use_sfm = (method == "sfm" or (
+        method == "auto" and coupling == "tt"
+        and domain in ("no_wall", "single_wall")
+        and all(L <= 0 for L in periodic_length)))
+    if use_sfm:
+        from . import mobility_sfm
+
+        out = mobility_sfm.tt_matvec_sfm(
+            q_src, q_tgt, vec, zs, wall=wall,
+            self_interaction=self_interaction, row_tile=row_tile,
+            mesh=mesh, shard_axis=shard_axis)
+        out = out / (8.0 * jnp.pi * eta * a)
+        if wall:
+            out = out * damp_t[:, None]
+        return out
+
     n_tiles = -(-n_tgt // row_tile)
     if mesh is not None:
         n_dev = mesh.shape[shard_axis]
@@ -207,7 +232,7 @@ def pairwise_matvec(
         out = lax.map(lambda i0: tile_fn(i0, q_tgt_pad, q_src, zs, vec),
                       tile_starts)
     else:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def shard_fn(starts, q_tgt_pad, q_src, zs, vec):
@@ -218,7 +243,7 @@ def pairwise_matvec(
         out = shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(shard_axis), P(), P(), P(), P()),
-            out_specs=P(), check_rep=False,
+            out_specs=P(), check_vma=False,
         )(tile_starts, q_tgt_pad, q_src, zs, vec)
     out = out.reshape(n_pad, 3)[:n_tgt]
 
@@ -283,15 +308,22 @@ def source_target_matvec(
     eta,
     *,
     wall=True,
+    domain=None,
     periodic_length=(0.0, 0.0, 0.0),
     row_tile=None,
 ):
     """u_i = sum_j M_tt(target_i, source_j) f_j with per-blob radii.
 
-    Physical-units RPY for unequal radii plus the finite-size wall image
-    system; overlap regularization with per-blob radii applied on both
-    sides.
+    Physical-units RPY for unequal radii plus, for domain='single_wall',
+    the finite-size wall image system with per-blob-radius overlap
+    regularization, or for domain='free_surface' the reflected image
+    (mobility_numba.py:1941-2092).
     """
+    if domain is not None:
+        wall = domain == "single_wall"
+    else:
+        domain = "single_wall" if wall else "no_wall"
+    free_surface = domain == "free_surface"
     periodic_length = tuple(float(x) for x in periodic_length)
     n_src = r_src.shape[0]
     n_tgt = r_tgt.shape[0]
@@ -338,6 +370,11 @@ def source_target_matvec(
                 m = m + rpy.wall_tt_radii(d[..., 0], d[..., 1], rz,
                                           rt[:, 2][:, None], zs[None, :],
                                           at, bs)
+            elif free_surface:
+                rz = rt[:, 2][:, None] + zs[None, :]
+                d_img = d.at[..., 2].set(rz)
+                refl = jnp.asarray([1.0, 1.0, -1.0], dtype=dtype)
+                m = m + rpy.rpy_tt_radii(d_img, at, bs) * refl
             acc = acc + jnp.einsum("tsab,sb->ta", m, vec,
                                    precision=lax.Precision.HIGHEST)
         return acc

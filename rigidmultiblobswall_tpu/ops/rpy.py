@@ -463,6 +463,18 @@ def wall_tt_radii(dx, dy, rz, x3, y3, a_tgt, b_src):
     return _mat3((xx, xy, xz, yx, yy, yz, zx, zy, zz))
 
 
+def free_surface_tt(d, rz_img, self_mask):
+    """TT block above a free surface (slip plane at z=0): RPY plus its
+    image with the z-column reflected, M += M_RPY(R_img) diag(1,1,-1)
+    (mobility_numba.py:1769-1937). rz_img = (z_t + z_s)/a; the image term
+    applies to self pairs too (no separate self branch)."""
+    m = rpy_tt(d, self_mask)
+    d_img = d.at[..., 2].set(rz_img)
+    m_img = rpy_tt(d_img, jnp.zeros_like(self_mask))
+    refl = jnp.asarray([1.0, 1.0, -1.0], dtype=m.dtype)
+    return m + m_img * refl
+
+
 def _z_coupling_mask(dtype):
     zmask = jnp.ones((3, 3), dtype=dtype)
     zmask = zmask.at[2, 2].set(0.0)

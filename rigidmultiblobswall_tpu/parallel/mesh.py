@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "blobs") -> Mesh:
@@ -51,5 +51,5 @@ def sharded_rows_apply(mesh: Mesh, axis_name: str, fn, n_rows: int, *args):
 
     specs = tuple(P() for _ in args)
     wrapped = shard_map(shard_fn, mesh=mesh, in_specs=specs, out_specs=P(),
-                        check_rep=False)
+                        check_vma=False)
     return wrapped(*args)

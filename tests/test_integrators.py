@@ -73,9 +73,22 @@ def test_wall_rejection_retries_and_preserves_validity():
     assert bool(kin.valid_configuration(system, new_state))
 
 
+def test_dense_fe_matches_gmres_fe():
+    system, state = _sphere_system(count=2, seed=20)
+    s1, _, _ = _step(system, state, "deterministic_forward_euler", 1e-3,
+                     tolerance=1e-12)
+    s2, _, _ = _step(system, state, "deterministic_forward_euler_dense_algebra",
+                     1e-3)
+    assert np.allclose(np.asarray(s1.pos), np.asarray(s2.pos), atol=1e-9)
+    assert np.allclose(np.asarray(s1.quat), np.asarray(s2.quat), atol=1e-9)
+
+
 @pytest.mark.parametrize("scheme", ["stochastic_EM", "stochastic_Slip_Trapz",
                                     "stochastic_first_order_RFD",
-                                    "stochastic_traction_EM"])
+                                    "stochastic_traction_EM",
+                                    "stochastic_adams_bashforth",
+                                    "stochastic_first_order_RFD_dense_algebra",
+                                    "Fixman"])
 def test_stochastic_schemes_step_is_finite(scheme):
     system, state = _sphere_system(count=2, seed=12)
     system = System(types=system.types, eta=system.eta,
@@ -88,7 +101,8 @@ def test_stochastic_schemes_step_is_finite(scheme):
     assert np.all(np.isfinite(np.asarray(new_state.quat)))
     assert np.allclose(np.linalg.norm(np.asarray(new_state.quat), axis=1),
                        1.0, atol=1e-9)
-    assert int(aux.stoch_iterations) > 0
+    if "dense" not in scheme and scheme != "Fixman":
+        assert int(aux.stoch_iterations) > 0  # Lanczos ran
 
 
 def test_em_velocity_covariance():

@@ -1,0 +1,58 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rigidmultiblobswall_tpu.models import mcmc
+from rigidmultiblobswall_tpu.models.system import BodyType, System, make_state
+
+
+def _single_blob_system(kT=0.5, g=2.0):
+    t = BodyType(name="b", ref_config=np.zeros((1, 3)), count=1)
+    return System(types=(t,), blob_radius=0.25, kT=kT, g=g,
+                  repulsion_strength_wall=1.0, debye_length_wall=0.25,
+                  repulsion_strength=0.0, domain="single_wall")
+
+
+def test_energy_components():
+    system = _single_blob_system()
+    state = make_state([[0, 0, 2.0]], [[1, 0, 0, 0]])
+    e = float(mcmc.total_energy(system, state))
+    # gravity + wall repulsion at z=2, a=0.25, b=0.25
+    expected = 2.0 * 2.0 + 1.0 * np.exp(-(2.0 - 0.25) / 0.25)
+    assert np.isclose(e, expected, rtol=1e-12)
+    # below wall: huge penalty
+    bad = make_state([[0, 0, -0.5]], [[1, 0, 0, 0]])
+    assert float(mcmc.total_energy(system, bad)) > 1e4
+
+
+def test_mcmc_chain_acceptance_and_validity():
+    system = _single_blob_system()
+    state = make_state([[0, 0, 1.0]], [[1, 0, 0, 0]])
+    mc, traj, energies = mcmc.run_mcmc(system, state, jax.random.PRNGKey(0),
+                                       n_steps=400, save_every=10)
+    acc = int(mc.accepted) / 400
+    assert 0.05 < acc < 1.0
+    assert np.all(np.isfinite(np.asarray(energies)))
+    assert np.all(np.asarray(traj.pos)[:, 0, 2] > 0)
+
+
+def test_mcmc_gibbs_boltzmann_height_distribution():
+    """Equilibrium height distribution of a single blob under gravity +
+    wall repulsion must match exp(-U(z)/kT) (the reference's physics
+    regression for samplers, e.g. single_sphere/)."""
+    system = _single_blob_system(kT=0.5, g=2.0)
+    state = make_state([[0, 0, 0.6]], [[1, 0, 0, 0]])
+    mc, traj, _ = mcmc.run_mcmc(system, state, jax.random.PRNGKey(1),
+                                n_steps=200000, save_every=10,
+                                max_translation=0.3)
+    z = np.asarray(traj.pos)[:, 0, 2]
+    z = z[len(z) // 5:]  # burn-in
+
+    # compare mean height against the analytic Gibbs-Boltzmann average
+    zg = np.linspace(1e-4, 6, 4000)
+    a, b, eps, g, kT = 0.25, 0.25, 1.0, 2.0, 0.5
+    U = g * zg + np.where(zg < a, eps + eps * (a - zg) / b,
+                          eps * np.exp(-(zg - a) / b))
+    w = np.exp(-U / kT)
+    z_mean_exact = np.trapezoid(zg * w, zg) / np.trapezoid(w, zg)
+    assert np.isclose(z.mean(), z_mean_exact, rtol=0.1)

@@ -139,14 +139,19 @@ def test_lanczos_covariance_statistics():
     on)."""
     n = 12
     M = _spd_matrix(n, seed=15, cond=10.0)
-    key = jax.random.PRNGKey(0)
-    samples = []
     mj = jnp.asarray(M)
-    for i in range(400):
-        key, sub = jax.random.split(key)
-        z = jax.random.normal(sub, (n,), dtype=jnp.float64)
-        res = stochastic_forcing_lanczos(lambda v: mj @ v, z,
-                                         tolerance=1e-10, max_iter=n + 2)
-        samples.append(np.asarray(res.noise))
-    cov = np.cov(np.stack(samples).T, bias=True)
+
+    @jax.jit
+    def sample(keys):
+        def one(key):
+            z = jax.random.normal(key, (n,), dtype=jnp.float64)
+            return stochastic_forcing_lanczos(lambda v: mj @ v, z,
+                                              tolerance=1e-10,
+                                              max_iter=n + 2).noise
+
+        return jax.lax.map(one, keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 400)
+    samples = np.asarray(sample(keys))
+    cov = np.cov(samples.T, bias=True)
     assert np.allclose(cov, M, atol=0.35 * np.abs(M).max())
