@@ -379,6 +379,194 @@ def _fixman(system, dt, solver_kw, lanczos_kw, key, state, carry):
     return new_state, v_new, jnp.asarray(0), jnp.asarray(0), ok
 
 
+def _unpc_noise(system, state, key, factor, tolerance, max_iter):
+    """Plain M^{1/2} W (no preconditioner), used by the GDC scheme."""
+    r_blobs = kin.blob_positions(system, state)
+
+    def mtt(v):
+        return mob.mobility_trans_times_force(
+            r_blobs, v.reshape(-1, 3), system.eta, system.blob_radius,
+            **system.mobility_kwargs).ravel()
+
+    z = jax.random.normal(key, (3 * system.num_blobs,), dtype=state.pos.dtype)
+    res = stochastic_forcing_lanczos(mtt, z, factor=factor,
+                                     tolerance=tolerance, max_iter=max_iter)
+    return res.noise, res.iterations, z
+
+
+def _stochastic_GDC_RFD(system, dt, solver_kw, lanczos_kw, key, state, carry):
+    """Generalized Drifter-Corrector: 1 constrained solve + 3 Lanczos +
+    2 identity unconstrained solves
+    (quaternion_integrator_multi_bodies.py:1048-1212)."""
+    dtype = state.pos.dtype
+    k_w, k_rfd = jax.random.split(key)
+    factor = jnp.sqrt(2.0 * system.kT / dt)
+    n3 = 3 * system.num_blobs
+    zeros_b = jnp.zeros(6 * system.num_bodies, dtype)
+
+    noise_n, it1, z = _unpc_noise(system, state, k_w, factor, **lanczos_kw)
+    sol_n = saddle.apply_identity_saddle_solver(
+        system, state, jnp.concatenate([-noise_n, zeros_b]))
+    _, U_n, _ = saddle.split_saddle_vector(system, sol_n)
+
+    # one-sided RFD of the unconstrained velocity divergence
+    W = jax.random.normal(k_rfd, (system.num_bodies, 6), dtype=dtype)
+    lengths = body_lengths(system, dtype)
+    rfd_state = State(
+        pos=state.pos + system.rf_delta * lengths[:, None] * W[:, :3],
+        quat=kin.quat.step(state.quat, W[:, 3:], system.rf_delta))
+    # reuse the same z at the displaced configuration (:1126-1132)
+    r_rfd = kin.blob_positions(system, rfd_state)
+
+    def mtt_rfd(v):
+        return mob.mobility_trans_times_force(
+            r_rfd, v.reshape(-1, 3), system.eta, system.blob_radius,
+            **system.mobility_kwargs).ravel()
+
+    res_rfd = stochastic_forcing_lanczos(mtt_rfd, z, factor=factor,
+                                         **lanczos_kw)
+    sol_rfd = saddle.apply_identity_saddle_solver(
+        system, rfd_state, jnp.concatenate([-res_rfd.noise, zeros_b]))
+    _, U_rfd, _ = saddle.split_saddle_vector(system, sol_rfd)
+
+    dU = U_rfd - U_n
+    div = (jnp.sum(dU[:, :3] * W[:, :3] / (system.rf_delta * lengths[:, None]))
+           + jnp.sum(dU[:, 3:] * W[:, 3:]) / system.rf_delta)
+
+    mid = kin.advance(state, U_n, 0.5 * dt)
+    ok_mid = kin.valid_configuration(system, mid)
+
+    pc_mid = saddle.build_block_diag_pc(system, mid)
+    noise_mid, it3 = _noise_slip(system, mid, pc_mid, k_w, factor,
+                                 **lanczos_kw)
+    sol_mid = solvers.solve_mobility_problem(system, mid, pc=pc_mid,
+                                             noise_slip=noise_mid,
+                                             **solver_kw)
+    correction = 1.0 + 0.5 * dt * div
+    new_state = kin.advance(state, sol_mid.velocities * correction, dt)
+    ok = ok_mid & kin.valid_configuration(system, new_state)
+    iters = sol_mid.iterations
+    st_iters = it1 + res_rfd.iterations + it3
+    return new_state, sol_mid.velocities, iters, st_iters, ok
+
+
+def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
+                         carry):
+    """Stochastic midpoint with slip-level drift: 3 rigid solves + 2
+    Lanczos (quaternion_integrator_multi_bodies.py:1214-1343)."""
+    dtype = state.pos.dtype
+    pc = saddle.build_block_diag_pc(system, state)
+    k1, k2, k3 = jax.random.split(key, 3)
+    mob_kw = system.mobility_kwargs
+
+    W_slip = jax.random.normal(k2, (system.num_blobs, 3), dtype=dtype)
+    r_blobs = kin.blob_positions(system, state)
+    MxW = mob.mobility_trans_times_force(r_blobs, W_slip, system.eta,
+                                         system.blob_radius, **mob_kw)
+    KTxW = kin.KT_mul(system, state, W_slip)
+
+    mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc)
+    W1 = jax.random.normal(k1, (3 * system.num_blobs,), dtype=dtype)
+    Wcor = W1 + jax.random.normal(k3, (3 * system.num_blobs,), dtype=dtype)
+    noise_W1 = stochastic_forcing_lanczos(
+        mobility_pc, W1, factor=jnp.sqrt(4.0 * system.kT / dt),
+        L_mult=L_mult, **lanczos_kw)
+    noise_Wcor = stochastic_forcing_lanczos(
+        mobility_pc, Wcor, factor=jnp.sqrt(system.kT / dt),
+        L_mult=L_mult, **lanczos_kw)
+
+    sol_mid = solvers.solve_mobility_problem(system, state, pc=pc,
+                                             noise_slip=noise_W1.noise,
+                                             **solver_kw)
+    v_mid = sol_mid.velocities
+
+    sol_rfd = solvers.solve_mobility_problem(
+        system, state,
+        rhs=jnp.concatenate([-W_slip.ravel(),
+                             jnp.zeros(6 * system.num_bodies, dtype)]),
+        pc=pc, **solver_kw)
+    W_RFD = sol_rfd.velocities * _free_mask(system, dtype)
+
+    rfd_state = kin.advance(state, W_RFD, system.rf_delta)
+    r_rfd = kin.blob_positions(system, rfd_state)
+    M_rfd_xW = mob.mobility_trans_times_force(r_rfd, W_slip, system.eta,
+                                              system.blob_radius, **mob_kw)
+    KT_rfd_xW = kin.KT_mul(system, rfd_state, W_slip)
+
+    kT_over_delta = system.kT / system.rf_delta
+    rand_slip_cor = noise_Wcor.noise + kT_over_delta * (M_rfd_xW - MxW).ravel()
+    rand_ft_cor = -kT_over_delta * (KT_rfd_xW - KTxW)
+
+    mid = kin.advance(state, v_mid, 0.5 * dt)
+    ok_mid = kin.valid_configuration(system, mid)
+    sol_cor = solvers.solve_mobility_problem(system, mid, pc=pc,
+                                             noise_slip=rand_slip_cor,
+                                             noise_ft=rand_ft_cor,
+                                             **solver_kw)
+    new_state = kin.advance(state, sol_cor.velocities, dt)
+    ok = ok_mid & kin.valid_configuration(system, new_state)
+    iters = sol_mid.iterations + sol_rfd.iterations + sol_cor.iterations
+    st = noise_W1.iterations + noise_Wcor.iterations
+    return new_state, sol_cor.velocities, iters, st, ok
+
+
+def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
+                            carry):
+    """AB with traction-level RFD: 3 rigid solves + 1 Lanczos
+    (quaternion_integrator_multi_bodies.py:803-923)."""
+    dtype = state.pos.dtype
+    pc = saddle.build_block_diag_pc(system, state)
+    k_rfd, k_noise = jax.random.split(key)
+    n3 = 3 * system.num_blobs
+    mob_kw = system.mobility_kwargs
+    lengths = body_lengths(system, dtype)
+
+    rfd_noise = jax.random.normal(k_rfd, (system.num_bodies, 6), dtype=dtype)
+    W = rfd_noise.at[:, :3].multiply(system.kT / lengths[:, None])
+    W = W.at[:, 3:].multiply(system.kT)
+    rhs_rand = jnp.concatenate([jnp.zeros(n3, dtype), -W.ravel()])
+    sol_rfd = solvers.solve_mobility_problem(system, state, rhs=rhs_rand,
+                                             pc=pc, **solver_kw)
+    U_RFD, Lam_RFD = sol_rfd.velocities, sol_rfd.lam
+
+    r_blobs = kin.blob_positions(system, state)
+    MxLam = mob.mobility_trans_times_force(r_blobs, Lam_RFD, system.eta,
+                                           system.blob_radius, **mob_kw)
+    KTxLam = kin.KT_mul(system, state, Lam_RFD)
+    KxU = kin.K_mul(system, state, U_RFD)
+
+    rfd_state = State(
+        pos=state.pos + system.rf_delta * lengths[:, None] * rfd_noise[:, :3],
+        quat=kin.quat.step(state.quat, rfd_noise[:, 3:], system.rf_delta))
+    r_rfd = kin.blob_positions(system, rfd_state)
+    DxM = mob.mobility_trans_times_force(r_rfd, Lam_RFD, system.eta,
+                                         system.blob_radius, **mob_kw) - MxLam
+    DxKT = kin.KT_mul(system, rfd_state, Lam_RFD) - KTxLam
+    DxK = kin.K_mul(system, rfd_state, U_RFD) - KxU
+
+    noise, it_l = _noise_slip(system, state, pc, k_noise,
+                              jnp.sqrt(2.0 * system.kT / dt), **lanczos_kw)
+    rand_slip = (DxM - DxK).ravel() / system.rf_delta
+    rand_ft = -DxKT / system.rf_delta
+
+    sol_new = solvers.solve_mobility_problem(system, state, pc=pc,
+                                             noise_slip=rand_slip,
+                                             noise_ft=rand_ft, **solver_kw)
+    sol_rand = solvers.solve_mobility_problem(
+        system, state, rhs=jnp.concatenate([-noise,
+                                            jnp.zeros(6 * system.num_bodies,
+                                                      dtype)]),
+        pc=pc, **solver_kw)
+    v_det = sol_new.velocities
+    v_noise = sol_rand.velocities
+    v_ab = jnp.where(carry.first_step, v_det + v_noise,
+                     1.5 * v_det + v_noise - 0.5 * carry.velocities_prev)
+    new_state = kin.advance(state, v_ab, dt)
+    ok = kin.valid_configuration(system, new_state)
+    iters = sol_rfd.iterations + sol_new.iterations + sol_rand.iterations
+    return new_state, v_det, iters, it_l, ok
+
+
 def _articulated_deterministic_forward_euler(system, dt, solver_kw,
                                              lanczos_kw, key, state, carry):
     """FE for articulated bodies: solve with constraints, advance, CM
@@ -428,6 +616,9 @@ _SCHEMES = {
     "stochastic_adams_bashforth": _stochastic_adams_bashforth,
     "stochastic_first_order_RFD_dense_algebra": _stochastic_first_order_RFD_dense,
     "Fixman": _fixman,
+    "stochastic_GDC_RFD": _stochastic_GDC_RFD,
+    "stochastic_Slip_Mid": _stochastic_slip_mid,
+    "stochastic_traction_AB": _stochastic_traction_AB,
     "deterministic_adams_bashforth": _deterministic_adams_bashforth,
     "deterministic_midpoint": _deterministic_midpoint,
     "stochastic_EM": _stochastic_EM,

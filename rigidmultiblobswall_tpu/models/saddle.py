@@ -237,6 +237,28 @@ def apply_block_diag_pc(system: System, pc: BlockDiagPC, vec):
                             phi_full.ravel()])
 
 
+def apply_identity_saddle_solver(system: System, state: State, vec):
+    """Exact solve of the M=I saddle system [I -K; -K^T 0] per body: the
+    'identity' unconstrained mobility solver used by the GDC scheme
+    (multi_bodies.py:626-743). vec = [slip, F] flat; returns [lam, U]."""
+    lam, F, _ = split_saddle_vector(system, vec)
+    lam_out = []
+    body_out = []
+    for i, t in enumerate(system.types):
+        c, nb = t.count, t.num_blobs
+        slip = lam[system.blob_slice(i)].reshape(c, 3 * nb)
+        Fb = F[system.body_slice(i)].reshape(c, 6)
+        K = kin.K_dense(system, state, i)
+        N = jnp.linalg.pinv(jnp.einsum("cni,cnj->cij", K, K))
+        rhs = -Fb - jnp.einsum("cni,cn->ci", K, slip)
+        Y = jnp.einsum("cij,cj->ci", N, rhs)
+        lam_t = slip + jnp.einsum("cni,ci->cn", K, Y)
+        lam_out.append(lam_t.reshape(c * nb, 3))
+        body_out.append(Y)
+    return jnp.concatenate([jnp.concatenate(lam_out).ravel(),
+                            jnp.concatenate(body_out).ravel()])
+
+
 def make_noise_pc(system: System, state: State, pc: BlockDiagPC,
                   r_blobs=None):
     """Operators for the preconditioned Lanczos noise

@@ -88,7 +88,10 @@ def test_dense_fe_matches_gmres_fe():
                                     "stochastic_traction_EM",
                                     "stochastic_adams_bashforth",
                                     "stochastic_first_order_RFD_dense_algebra",
-                                    "Fixman"])
+                                    "Fixman",
+                                    "stochastic_GDC_RFD",
+                                    "stochastic_Slip_Mid",
+                                    "stochastic_traction_AB"])
 def test_stochastic_schemes_step_is_finite(scheme):
     system, state = _sphere_system(count=2, seed=12)
     system = System(types=system.types, eta=system.eta,
