@@ -44,7 +44,11 @@ def main(argv=None):
 
     cfg = input_mod.read_input(args.input_file)
     shutil.copyfile(args.input_file, cfg.output_name + ".inputfile")
-    system, state = input_mod.build_system(cfg)
+    # scene-file paths resolve relative to the input file's directory
+    import os
+
+    system, state = input_mod.build_system(
+        cfg, base_dir=os.path.dirname(os.path.abspath(args.input_file)))
 
     with open(cfg.output_name + ".bodies_info", "w") as f:
         f.write("num_of_body_types  %d\n" % len(system.types))
