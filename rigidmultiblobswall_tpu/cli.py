@@ -164,13 +164,27 @@ def main(argv=None):
         stoch_iters = 0
         rejections = 0
 
+        velocities_log = []
+
         def save_clones(step_idx, state):
             offs = system.body_offsets
             for i, t in enumerate(system.types):
-                name = "%s.%s.%08d.clones" % (cfg.output_name, t.name, step_idx)
-                scene.write_clones_file(
-                    name, np.asarray(state.pos)[offs[i]:offs[i + 1]],
-                    np.asarray(state.quat)[offs[i]:offs[i + 1]])
+                pos_i = np.asarray(state.pos)[offs[i]:offs[i + 1]]
+                quat_i = np.asarray(state.quat)[offs[i]:offs[i + 1]]
+                if cfg.save_clones == "one_file":
+                    # append snapshots into a single .config file
+                    # (reference multi_bodies.py save_clones='one_file')
+                    name = "%s.%s.config" % (cfg.output_name, t.name)
+                    mode = "w" if step_idx == cfg.initial_step else "a"
+                    with open(name, mode) as f:
+                        f.write("%d\n" % len(pos_i))
+                        for x, q in zip(pos_i, quat_i):
+                            f.write("%s %s %s %s %s %s %s\n" % (
+                                x[0], x[1], x[2], q[0], q[1], q[2], q[3]))
+                else:
+                    name = "%s.%s.%08d.clones" % (cfg.output_name, t.name,
+                                                  step_idx)
+                    scene.write_clones_file(name, pos_i, quat_i)
 
         for step_idx in range(cfg.initial_step, cfg.n_steps):
             if (step_idx % cfg.n_save) == 0 and step_idx >= 0:
@@ -183,7 +197,12 @@ def main(argv=None):
             det_iters += int(aux.det_iterations)
             stoch_iters += int(aux.stoch_iterations)
             rejections += int(aux.rejections)
+            if cfg.options.get("save_velocities", "False") == "True":
+                velocities_log.append(np.asarray(aux.velocities))
         save_clones(cfg.n_steps, state)
+        if velocities_log:
+            np.savetxt(cfg.output_name + ".velocities.dat",
+                       np.stack(velocities_log).reshape(len(velocities_log), -1))
 
         with open(cfg.output_name + ".info", "w") as f:
             f.write("invalid_configuration_count      %d\n" % rejections)

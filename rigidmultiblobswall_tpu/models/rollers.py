@@ -358,6 +358,125 @@ def _scheme_stochastic_adams_bashforth(sus, dt, key, r, carry):
     return r + dt * (v_ab + vs), v, t, it + it_g, it_l
 
 
+def _thermal_drift(sus, r, key):
+    """kT div_t(M_tt) via centered RFD
+    (quaternion_integrator_rollers.py:1404-1434)."""
+    if sus.kT <= 0 or sus.domain == "no_wall":
+        return jnp.zeros_like(r)
+    kw = sus.mobility_kwargs
+    return _rfd_div(sus, r, key, lambda rr, dx:
+                    mob.mobility_trans_times_force(
+                        rr, dx, sus.eta, sus.blob_radius, **kw))
+
+
+def _noise_velocity(sus, r, key, dt_eff):
+    """sqrt(2 kT / dt_eff) M_tt^{1/2} W without drift, both hydro modes."""
+    n = sus.num_rollers
+    dtype = r.dtype
+    if not sus.hydro_interactions:
+        z = jax.random.normal(key, (n, 3), dtype=dtype)
+        mus = swan_brady_self_mobilities(sus, r[:, 2])
+        fd = jnp.sqrt(2.0 * sus.kT / dt_eff)
+        return jnp.stack([fd * jnp.sqrt(mus["tt_para"]) * z[:, 0],
+                          fd * jnp.sqrt(mus["tt_para"]) * z[:, 1],
+                          fd * jnp.sqrt(mus["tt_perp"]) * z[:, 2]],
+                         axis=1), jnp.asarray(0)
+    kw = sus.mobility_kwargs
+
+    def mtt(f):
+        return mob.mobility_trans_times_force(
+            r, f.reshape(-1, 3), sus.eta, sus.blob_radius, **kw).ravel()
+
+    z = jax.random.normal(key, (3 * n,), dtype=dtype)
+    res = stochastic_forcing_lanczos(
+        mtt, z, factor=jnp.sqrt(2.0 * sus.kT / dt_eff),
+        tolerance=sus.solver_tolerance, max_iter=sus.lanczos_max_iter)
+    return res.noise.reshape(n, 3), res.iterations
+
+
+def _scheme_stochastic_mid_point(sus, dt, key, r, carry):
+    """Midpoint with centered-RFD drift
+    (quaternion_integrator_rollers.py:495-574)."""
+    k_drift, k1, k2 = jax.random.split(key, 3)
+    drift = _thermal_drift(sus, r, k_drift)
+    v1, t, it1 = deterministic_velocity_and_torque(sus, r)
+    vs1, itl1 = _noise_velocity(sus, r, k1, 0.5 * dt)
+    r_mid = r + 0.5 * dt * (v1 + vs1)
+    v2, _, it2 = deterministic_velocity_and_torque(sus, r_mid)
+    vs2, itl2 = _noise_velocity(sus, r_mid, k2, 0.5 * dt)
+    v = v2 + drift + 0.5 * (vs1 + vs2)
+    return r + dt * v, v2, t, it1 + it2, itl1 + itl2
+
+
+def _scheme_stochastic_mid_point_v2(sus, dt, key, r, carry):
+    """Midpoint variant: both noises drawn at the initial configuration
+    (quaternion_integrator_rollers.py:577-656)."""
+    k_drift, k1, k2 = jax.random.split(key, 3)
+    drift = _thermal_drift(sus, r, k_drift)
+    v1, t, it1 = deterministic_velocity_and_torque(sus, r)
+    vs1, itl1 = _noise_velocity(sus, r, k1, 0.5 * dt)
+    vs2, itl2 = _noise_velocity(sus, r, k2, 0.5 * dt)
+    r_mid = r + 0.5 * dt * (v1 + vs1)
+    v2, _, it2 = deterministic_velocity_and_torque(sus, r_mid)
+    v = v2 + drift + 0.5 * (vs1 + vs2)
+    return r + dt * v, v2, t, it1 + it2, itl1 + itl2
+
+
+def _scheme_stochastic_trapezoidal(sus, dt, key, r, carry):
+    """Trapezoidal with centered-RFD drift
+    (quaternion_integrator_rollers.py:659-735)."""
+    k_drift, k1 = jax.random.split(key)
+    drift = _thermal_drift(sus, r, k_drift)
+    v1, t, it1 = deterministic_velocity_and_torque(sus, r)
+    vs, itl = _noise_velocity(sus, r, k1, dt)
+    r_star = r + dt * (v1 + vs)
+    v2, _, it2 = deterministic_velocity_and_torque(sus, r_star)
+    v = 0.5 * (v1 + v2) + drift + vs
+    return r + dt * v, v2, t, it1 + it2, itl
+
+
+def _scheme_stochastic_GDC(sus, dt, key, r, carry):
+    """Generalized drifter-corrector: the divergence of the Brownian
+    velocity is estimated by a z finite difference and enters as a time
+    rescaling (quaternion_integrator_rollers.py:369-493)."""
+    dtype = r.dtype
+    k1, _ = jax.random.split(key)
+    n = sus.num_rollers
+
+    if sus.hydro_interactions:
+        # reuse the same noise vector at both configurations via same key
+        vs_n, itl1 = _noise_velocity(sus, r, k1, dt)
+        dz = jnp.zeros_like(r).at[:, 2].set(sus.rf_delta * sus.blob_radius)
+        vs_fd, itl2 = _noise_velocity(sus, r + dz, k1, dt)
+        div = jnp.sum((vs_fd[:, 2] - vs_n[:, 2])
+                      / (sus.rf_delta * sus.blob_radius))
+        correction = 1.0 + 0.5 * dt * div
+    else:
+        z = jax.random.normal(k1, (n, 3), dtype=dtype)
+
+        def uncorr_noise(rr):
+            mus = swan_brady_self_mobilities(sus, rr[:, 2])
+            fd = jnp.sqrt(2.0 * sus.kT / dt)
+            return jnp.stack([fd * jnp.sqrt(mus["tt_para"]) * z[:, 0],
+                              fd * jnp.sqrt(mus["tt_para"]) * z[:, 1],
+                              fd * jnp.sqrt(mus["tt_perp"]) * z[:, 2]],
+                             axis=1)
+
+        vs_n = uncorr_noise(r)
+        dz = jnp.zeros_like(r).at[:, 2].set(sus.rf_delta * sus.blob_radius)
+        vs_fd = uncorr_noise(r + dz)
+        div = (vs_fd[:, 2] - vs_n[:, 2]) / (sus.rf_delta * sus.blob_radius)
+        correction = (1.0 + 0.5 * dt * div)[:, None]
+        itl1 = itl2 = jnp.asarray(0)
+
+    v_det, t, it = deterministic_velocity_and_torque(sus, r)
+    # the reference evaluates det+noise at the Brownian midpoint; the noise
+    # at the midpoint reuses the same random vector
+    v_mid = v_det + vs_n
+    r_new = r + dt * v_mid * correction
+    return r_new, v_det, t, it, itl1 + (itl2 if sus.hydro_interactions else 0)
+
+
 def _scheme_stochastic_EM(sus, dt, key, r, carry):
     k1, k2 = jax.random.split(key)
     v, t, it = deterministic_velocity_and_torque(sus, r)
@@ -371,6 +490,10 @@ _SCHEMES = {
     "stochastic_first_order_rollers": _scheme_stochastic_first_order,
     "stochastic_adams_bashforth_rollers": _scheme_stochastic_adams_bashforth,
     "stochastic_EM_rollers": _scheme_stochastic_EM,
+    "stochastic_mid_point_rollers": _scheme_stochastic_mid_point,
+    "stochastic_mid_point_version_2_rollers": _scheme_stochastic_mid_point_v2,
+    "stochastic_trapezoidal_rollers": _scheme_stochastic_trapezoidal,
+    "stochastic_GDC_rollers": _scheme_stochastic_GDC,
 }
 
 

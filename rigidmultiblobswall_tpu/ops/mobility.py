@@ -186,10 +186,22 @@ def pairwise_matvec(
     if use_sfm:
         from . import mobility_sfm
 
-        out = mobility_sfm.tt_matvec_sfm(
-            q_src, q_tgt, vec, zs, wall=wall,
-            self_interaction=self_interaction, row_tile=row_tile,
-            mesh=mesh, shard_axis=shard_axis)
+        # on real TPUs the fused Pallas kernel wins for f32 single-device
+        # products; the XLA SFM path covers CPU, f64 and sharded runs
+        use_pallas = (method != "sfm" and mesh is None
+                      and dtype == jnp.float32
+                      and jax.default_backend() in ("tpu", "axon"))
+        if use_pallas:
+            from . import mobility_pallas
+
+            out = mobility_pallas.tt_matvec_pallas(
+                q_src, q_tgt, vec, zs, wall=wall,
+                self_interaction=self_interaction)
+        else:
+            out = mobility_sfm.tt_matvec_sfm(
+                q_src, q_tgt, vec, zs, wall=wall,
+                self_interaction=self_interaction, row_tile=row_tile,
+                mesh=mesh, shard_axis=shard_axis)
         out = out / (8.0 * jnp.pi * eta * a)
         if wall:
             out = out * damp_t[:, None]

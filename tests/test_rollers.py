@@ -73,7 +73,11 @@ def test_torque_solve_satisfies_omega_constraint():
 
 @pytest.mark.parametrize("scheme", ["stochastic_adams_bashforth_rollers",
                                     "stochastic_first_order_rollers",
-                                    "stochastic_EM_rollers"])
+                                    "stochastic_EM_rollers",
+                                    "stochastic_mid_point_rollers",
+                                    "stochastic_mid_point_version_2_rollers",
+                                    "stochastic_trapezoidal_rollers",
+                                    "stochastic_GDC_rollers"])
 @pytest.mark.parametrize("hydro", [True, False])
 def test_stochastic_schemes_finite_and_above_wall(scheme, hydro):
     sus = _suspension(6, kT=0.2, free_kinematics=True,
