@@ -71,7 +71,7 @@ def main():
     n_blobs = system.num_blobs
     step = integrators.make_stepper(
         system, SCHEME, DT,
-        lanczos_tolerance=5e-4, lanczos_max_iter=32,
+        lanczos_tolerance=5e-4, lanczos_max_iter=32, lanczos_check_every=4,
         gmres_restart=60, gmres_maxiter=300, max_rejections=3)
     carry = integrators.init_carry(system, dtype=jnp.float32)
 

@@ -61,13 +61,15 @@ def body_lengths(system: System, dtype=jnp.float64):
     return jnp.asarray(out, dtype=dtype)
 
 
-def _noise_slip(system, state, pc, key, factor, tolerance, max_iter):
+def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
+                check_every=1, m_dense=None):
     """sqrt(2 kT/dt) M^{1/2} W via preconditioned Lanczos."""
-    mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc)
+    mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc,
+                                               m_dense=m_dense)
     z = jax.random.normal(key, (3 * system.num_blobs,), dtype=state.pos.dtype)
     res = stochastic_forcing_lanczos(mobility_pc, z, factor=factor,
                                      tolerance=tolerance, max_iter=max_iter,
-                                     L_mult=L_mult)
+                                     L_mult=L_mult, check_every=check_every)
     return res.noise, res.iterations
 
 
@@ -225,21 +227,23 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
 
     W_slip = jax.random.normal(k2, (system.num_blobs, 3), dtype=dtype)
     r_blobs = kin.blob_positions(system, state)
-    MxW = mob.mobility_trans_times_force(r_blobs, W_slip, system.eta,
-                                         system.blob_radius, **mob_kw)
+    m_dense = saddle.maybe_dense_mobility(system, r_blobs)
+    MxW = saddle._mobility_apply(system, r_blobs, m_dense, W_slip)
     KTxW = kin.KT_mul(system, state, W_slip)
 
-    noise1, it_l = _noise_slip(system, state, pc, k1, factor, **lanczos_kw)
+    noise1, it_l = _noise_slip(system, state, pc, k1, factor,
+                               m_dense=m_dense, **lanczos_kw)
 
     sol1 = solvers.solve_mobility_problem(system, state, pc=pc,
-                                          noise_slip=noise1, **solver_kw)
+                                          noise_slip=noise1,
+                                          m_dense=m_dense, **solver_kw)
     v1 = sol1.velocities
 
     sol_rfd = solvers.solve_mobility_problem(
         system, state,
         rhs=jnp.concatenate([-W_slip.ravel(),
                              jnp.zeros(6 * system.num_bodies, dtype)]),
-        pc=pc, **solver_kw)
+        pc=pc, m_dense=m_dense, **solver_kw)
     W_RFD = sol_rfd.velocities * _free_mask(system, dtype)
 
     rfd_state = kin.advance(state, W_RFD, system.rf_delta)
@@ -379,7 +383,8 @@ def _fixman(system, dt, solver_kw, lanczos_kw, key, state, carry):
     return new_state, v_new, jnp.asarray(0), jnp.asarray(0), ok
 
 
-def _unpc_noise(system, state, key, factor, tolerance, max_iter):
+def _unpc_noise(system, state, key, factor, tolerance, max_iter,
+                check_every=1):
     """Plain M^{1/2} W (no preconditioner), used by the GDC scheme."""
     r_blobs = kin.blob_positions(system, state)
 
@@ -390,7 +395,8 @@ def _unpc_noise(system, state, key, factor, tolerance, max_iter):
 
     z = jax.random.normal(key, (3 * system.num_blobs,), dtype=state.pos.dtype)
     res = stochastic_forcing_lanczos(mtt, z, factor=factor,
-                                     tolerance=tolerance, max_iter=max_iter)
+                                     tolerance=tolerance, max_iter=max_iter,
+                                     check_every=check_every)
     return res.noise, res.iterations, z
 
 
@@ -636,6 +642,7 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                  tolerance: float = None,
                  lanczos_tolerance: float = 1e-6,
                  lanczos_max_iter: int = 64,
+                 lanczos_check_every: int = 1,
                  gmres_restart: int = 60,
                  gmres_maxiter: int = 1000,
                  max_rejections: int = 50) -> Callable:
@@ -651,7 +658,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
     body_fn = _SCHEMES[scheme]
     solver_kw = dict(tol=tolerance, restart=gmres_restart,
                      maxiter=gmres_maxiter)
-    lanczos_kw = dict(tolerance=lanczos_tolerance, max_iter=lanczos_max_iter)
+    lanczos_kw = dict(tolerance=lanczos_tolerance, max_iter=lanczos_max_iter,
+                      check_every=lanczos_check_every)
 
     def attempt(key, state, carry):
         return body_fn(system, dt, solver_kw, lanczos_kw, key, state, carry)

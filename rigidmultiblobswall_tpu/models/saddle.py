@@ -47,8 +47,39 @@ def split_saddle_vector(system: System, vec):
     return lam, U, phi
 
 
+# budget for materializing (3N,3N): a Slip-Trapz step keeps two
+# configurations' matrices live, so stay well under half the HBM
+MATERIALIZE_BUDGET_BYTES = int(
+    __import__("os").environ.get("RMW_MATERIALIZE_BUDGET", 2 << 30))
+
+
+def maybe_dense_mobility(system: System, r_blobs):
+    """Materialize the (3N,3N) blob mobility when it fits the budget: at
+    fixed positions, GMRES/Lanczos iterations then cost one MXU matmul
+    each instead of recomputing the O(N^2) pair fields. Returns None when
+    too large (the matrix-free pairwise engine is used instead)."""
+    n = r_blobs.shape[0]
+    nbytes = 9 * n * n * jnp.dtype(r_blobs.dtype).itemsize
+    if nbytes > MATERIALIZE_BUDGET_BYTES:
+        return None
+    return mob.dense_mobility_tiled(
+        r_blobs, system.eta, system.blob_radius, domain=system.domain,
+        periodic_length=system.periodic_length)
+
+
+def _mobility_apply(system, r_blobs, m_dense, lam):
+    if m_dense is not None:
+        # m_dense: (3,3,N,N) component planes (see dense_mobility_tiled)
+        lam = lam.reshape(-1, 3)
+        return jnp.einsum("abij,jb->ia", m_dense, lam,
+                          precision=jax.lax.Precision.HIGHEST)
+    return mob.mobility_trans_times_force(
+        r_blobs, lam, system.eta, system.blob_radius,
+        **system.mobility_kwargs)
+
+
 def make_linear_operator(system: System, state: State, r_blobs=None,
-                         time=0.0):
+                         time=0.0, m_dense=None):
     """Return vec -> saddle operator action (flat in, flat out):
     [M lam - K U; -K^T lam + C^T phi; C U] with prescribed-kinematics
     rewrites (multi_bodies.py:424-471)."""
@@ -61,8 +92,7 @@ def make_linear_operator(system: System, state: State, r_blobs=None,
 
     def operator(vec):
         lam, U, phi = split_saddle_vector(system, vec)
-        m_lam = mob.mobility_trans_times_force(
-            r_blobs, lam, system.eta, system.blob_radius, **kwargs)
+        m_lam = _mobility_apply(system, r_blobs, m_dense, lam)
         KU = kin.K_mul(system, state, U)
         res_blobs = m_lam - KU
         res_bodies = -kin.KT_mul(system, state, lam)
@@ -260,7 +290,7 @@ def apply_identity_saddle_solver(system: System, state: State, vec):
 
 
 def make_noise_pc(system: System, state: State, pc: BlockDiagPC,
-                  r_blobs=None):
+                  r_blobs=None, m_dense=None):
     """Operators for the preconditioned Lanczos noise
     (multi_bodies.py:591-615):
       mobility_pc(w) = P^T M P w   with per-body P = U_chol^{-1}
@@ -288,8 +318,7 @@ def make_noise_pc(system: System, state: State, pc: BlockDiagPC,
 
     def mobility_pc(w):
         y = _apply_per_body(w, "P").reshape(system.num_blobs, 3)
-        my = mob.mobility_trans_times_force(
-            r_blobs, y, system.eta, system.blob_radius, **kwargs)
+        my = _mobility_apply(system, r_blobs, m_dense, y)
         return _apply_per_body(my.ravel(), "PT")
 
     def L_mult(w):

@@ -105,17 +105,25 @@ def solve_mobility_problem(
     tol: Optional[float] = None,
     restart: int = 60,
     maxiter: int = 1000,
+    m_dense="auto",
 ) -> MobilitySolution:
     """Preconditioned GMRES solve of the saddle system
-    (quaternion_integrator_multi_bodies.py:1441-1547)."""
+    (quaternion_integrator_multi_bodies.py:1441-1547).
+
+    m_dense: 'auto' materializes the blob mobility when it fits the memory
+    budget so each GMRES iteration is one MXU matmul; None forces the
+    matrix-free pairwise engine; or pass a prebuilt (3N,3N) matrix."""
     r_blobs = kin.blob_positions(system, state)
+    if isinstance(m_dense, str) and m_dense == "auto":
+        m_dense = saddle.maybe_dense_mobility(system, r_blobs)
     if rhs is None:
         rhs = build_rhs(system, state, r_blobs, slip=slip,
                         force_torque=force_torque, noise_slip=noise_slip,
                         noise_ft=noise_ft)
     if pc is None:
         pc = saddle.build_block_diag_pc(system, state)
-    operator = saddle.make_linear_operator(system, state, r_blobs)
+    operator = saddle.make_linear_operator(system, state, r_blobs,
+                                           m_dense=m_dense)
     tol = system.solver_tolerance if tol is None else tol
 
     rhs_norm = jnp.linalg.norm(rhs)

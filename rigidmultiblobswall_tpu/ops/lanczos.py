@@ -31,12 +31,16 @@ def stochastic_forcing_lanczos(
     tolerance: float = 1e-6,
     max_iter: int = 64,
     L_mult: Optional[Callable] = None,
+    check_every: int = 1,
 ) -> LanczosResult:
     """Return factor * M^{1/2} z (flat vector of static size).
 
     mobility_mult: v -> M v for the SPD operator M.
     L_mult: optional map applied to the result (preconditioned variant:
         the Lanczos runs on P M P^T and the caller supplies L = P^{-1}).
+    check_every: evaluate the noise (a small eigh, serial on TPU) and test
+        convergence only every k-th iteration (k=1 matches the reference
+        cadence; larger k trades a few extra matvecs for fewer eighs).
     """
     n = z.shape[0]
     dtype = z.dtype
@@ -80,18 +84,27 @@ def stochastic_forcing_lanczos(
         h_diag = h_diag.at[i].set(hd)
         h_sup = h_sup.at[i].set(hs)
 
-        noise = tridiag_noise(h_diag, h_sup, i, V)
-
         # full reorthogonalization against the built basis
         mask = (jnp.arange(m + 1) <= i).astype(dtype)
         proj = (V @ w) * mask
         w = w - V.T @ proj
         V = V.at[i + 1].set(w)
 
-        noise_old_norm = jnp.linalg.norm(noise_old)
-        diff = jnp.linalg.norm(noise - noise_old)
-        eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-        converged = (i > 0) & (diff / jnp.maximum(noise_old_norm, eps) < tolerance)
+        do_check = ((i + 1) % check_every == 0) | (i + 1 >= m)
+
+        def checked(_):
+            noise = tridiag_noise(h_diag, h_sup, i, V)
+            noise_old_norm = jnp.linalg.norm(noise_old)
+            diff = jnp.linalg.norm(noise - noise_old)
+            eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+            conv = (i > 0) & (diff / jnp.maximum(noise_old_norm, eps)
+                              < tolerance)
+            return noise, conv
+
+        def unchecked(_):
+            return noise_old, jnp.asarray(False)
+
+        noise, converged = lax.cond(do_check, checked, unchecked, None)
         return (i + 1, V, h_diag, h_sup, noise, noise, converged)
 
     zeros = jnp.zeros(n, dtype)

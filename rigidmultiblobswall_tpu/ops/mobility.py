@@ -399,6 +399,19 @@ def source_target_matvec(
     return out
 
 
+def mobility_radii_trans_times_force(r_vectors, vec, radii, eta, *,
+                                     domain="single_wall",
+                                     periodic_length=(0.0, 0.0, 0.0),
+                                     row_tile=None):
+    """Square TT product with per-blob radii (the reference's
+    radii_* kernel family, mobility/mobility.py:1369-1375): the
+    source-target kernel with sources == targets (its r=0 branch IS the
+    self mobility 4/(3 max(a,b)))."""
+    return source_target_matvec(
+        r_vectors, r_vectors, vec, radii, radii, eta, domain=domain,
+        periodic_length=periodic_length, row_tile=row_tile)
+
+
 # ---------------------------------------------------------------------------
 # Dense mobility matrices (for per-body preconditioner blocks and the
 # dense-algebra schemes). No periodic images (matches reference dense
@@ -424,6 +437,64 @@ def _dense(coupling, r_vectors, eta, a, domain):
         m = m * damp[:, None, None, None] * damp[None, :, None, None]
     # (N,N,3,3) -> (3N,3N)
     return m.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+
+
+def dense_mobility_tiled(r_vectors, eta, a, *, domain="single_wall",
+                         coupling="tt", periodic_length=(0.0, 0.0, 0.0),
+                         row_tile=None):
+    """Materialize the mobility as nine (N,N) component matrices, shape
+    (3,3,N,N), with the row-tiled engine (bounded peak memory), including
+    periodic images and wall regularization.
+
+    Component layout (not interleaved (3N,3N)): on TPU the minor length-3
+    dims of a block layout get padded to full (8,128) tiles — a 40x memory
+    blowup; (N,N) planes tile perfectly. Used by the
+    materialized-operator fast path (models/saddle.maybe_dense_mobility):
+    at fixed positions every GMRES/Lanczos iteration becomes nine MXU
+    matvecs instead of recomputing the O(N^2) pair fields."""
+    periodic_length = tuple(float(x) for x in periodic_length)
+    n = r_vectors.shape[0]
+    dtype = r_vectors.dtype
+    wall = domain in ("single_wall", "in_plane")
+    if wall:
+        damp = damping_factors(r_vectors, a).astype(dtype)
+        r_vectors = shift_heights(r_vectors, a)
+    q = r_vectors.astype(dtype) * (1.0 / a)
+    zs = q[:, 2]
+    if row_tile is None:
+        row_tile = _default_row_tile(n, n, jnp.dtype(dtype).itemsize)
+    n_tiles = -(-n // row_tile)
+    n_pad = n_tiles * row_tile
+    q_pad = jnp.pad(q, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    offsets = _box_offsets(periodic_length)
+    Lvec = jnp.asarray(periodic_length, dtype=dtype)
+    src_ids = jnp.arange(n)
+    inva = 1.0 / a
+
+    def tile_fn(i0):
+        rt = lax.dynamic_slice(q_pad, (i0, 0), (row_tile, 3))
+        rows = i0 + jnp.arange(row_tile)
+        d0 = rt[:, None, :] - q[None, :, :]
+        d0 = _min_image(d0 * a, periodic_length) * inva
+        zt = rt[:, 2][:, None]
+        acc = jnp.zeros((row_tile, n, 3, 3), dtype=dtype)
+        for box in offsets:
+            if box == (0, 0, 0):
+                self_mask = rows[:, None] == src_ids[None, :]
+                d = d0
+            else:
+                self_mask = jnp.zeros((row_tile, n), dtype=bool)
+                d = d0 + jnp.asarray(box, dtype=dtype) * Lvec * inva
+            acc = acc + _block(coupling, domain, d, zt, zs[None, :], self_mask)
+        # (T,N,3,3) -> (3,3,T,N): the copy keeps (T,N) minor, no padding
+        return acc.transpose(2, 3, 0, 1)
+
+    m = lax.map(tile_fn, jnp.arange(0, n_pad, row_tile))  # (tiles,3,3,T,N)
+    m = jnp.moveaxis(m, 0, 2).reshape(3, 3, n_pad, n)[:, :, :n, :]
+    m = m / (8.0 * jnp.pi * eta * a ** _PREF_POW[coupling])
+    if wall:
+        m = m * damp[None, None, :, None] * damp[None, None, None, :]
+    return m  # (3,3,N,N) component planes
 
 
 def rotne_prager_tensor(r_vectors, eta, a):

@@ -56,6 +56,34 @@ def pressure_stokeslet(r_src, r_tgt, force, *, wall=False,
     return p / (4.0 * jnp.pi)
 
 
+def double_layer_rpy_source_target(r_src, r_tgt, normals, vector, weights,
+                                   blob_radius):
+    """RPY-regularized Stokes double layer (finite blob radius corrections,
+    mobility_numba.py:2094-2170). Returns (Nt, 3)."""
+    vector = vector.reshape(-1, 3)
+    normals = normals.reshape(-1, 3)
+    d = r_tgt[:, None, :] - r_src[None, :, :]
+    r2 = jnp.sum(d * d, axis=-1)
+    skip = r2 <= 1e-28
+    r2s = jnp.where(skip, 1.0, r2)
+    invr5 = 1.0 / (r2s * r2s * jnp.sqrt(r2s))
+    rn = jnp.einsum("tsk,sk->ts", d, normals)
+    rv = jnp.einsum("tsk,sk->ts", d, vector)
+    a2 = blob_radius * blob_radius
+    w = weights[None, :]
+
+    coeff = (1.0 - 10.0 * a2 / (3.0 * r2s)) * rn * rv * invr5 * w
+    coeff = jnp.where(skip, 0.0, coeff)
+    u = jnp.einsum("ts,tsk->tk", coeff, d)
+
+    nv = jnp.einsum("sk,sk->s", normals, vector)[None, :]
+    c2 = jnp.where(skip, 0.0, (2.0 * a2 / 3.0) * invr5 * w)
+    u = u + jnp.einsum("ts,tsk->tk", c2 * nv, d)
+    u = u + jnp.einsum("ts,sk->tk", c2 * rv, normals)
+    u = u + jnp.einsum("ts,sk->tk", c2 * rn, vector)
+    return -3.0 / (4.0 * jnp.pi) * u
+
+
 def double_layer_source_target(r_src, r_tgt, normals, vector, weights, *,
                                wall=False):
     """Stokes double-layer: u_i = -3/(4 pi) sum_j w_j r (r.n)(r.v)/r^5,

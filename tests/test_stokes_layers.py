@@ -75,6 +75,16 @@ def test_double_layer_matches_reference(wall):
     assert np.allclose(ours, ref, atol=1e-12)
 
 
+def test_double_layer_rpy_matches_reference():
+    src, tgt, f, normals, weights = _setup(seed=5)
+    ours = np.asarray(stokes_layers.double_layer_rpy_source_target(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(normals),
+        jnp.asarray(f), jnp.asarray(weights), 0.27))
+    ref = REF.double_layer_rpy_source_target_numba(
+        src, tgt, normals, f.copy(), weights, 0.27).reshape(-1, 3)
+    assert np.allclose(ours, ref, atol=1e-12)
+
+
 def test_double_layer_self_skipped():
     src, tgt, f, normals, weights = _setup(seed=4)
     # same points as src and tgt: diagonal skipped, finite output
