@@ -62,7 +62,7 @@ def body_lengths(system: System, dtype=jnp.float64):
 
 
 def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
-                check_every=1, m_dense=None):
+                check_every=1, m_dense=None, **_ignored):
     """sqrt(2 kT/dt) M^{1/2} W via preconditioned Lanczos."""
     mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc,
                                                m_dense=m_dense)
@@ -71,6 +71,19 @@ def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
                                      tolerance=tolerance, max_iter=max_iter,
                                      L_mult=L_mult, check_every=check_every)
     return res.noise, res.iterations
+
+
+_PC_CACHE_KEY = "_cached_pc"
+
+
+def _get_pc(system, state, lanczos_kw):
+    """Use the stepper's cached preconditioner when update_PC > 1
+    (reference static-var memoization keyed on step % update_PC,
+    multi_bodies.py:508); otherwise factor at the current state."""
+    pc = lanczos_kw.get(_PC_CACHE_KEY)
+    if pc is not None:
+        return pc
+    return saddle.build_block_diag_pc(system, state)
 
 
 def _free_mask(system, dtype):
@@ -102,7 +115,7 @@ def _deterministic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
 
 def _deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
                             key, state, carry):
-    pc = saddle.build_block_diag_pc(system, state)
+    pc = _get_pc(system, state, lanczos_kw)
     sol1 = solvers.solve_mobility_problem(system, state, pc=pc, **solver_kw)
     mid = kin.advance(state, sol1.velocities, 0.5 * dt)
     ok_mid = kin.valid_configuration(system, mid)
@@ -114,7 +127,7 @@ def _deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
 
 
 def _stochastic_EM(system, dt, solver_kw, lanczos_kw, key, state, carry):
-    pc = saddle.build_block_diag_pc(system, state)
+    pc = _get_pc(system, state, lanczos_kw)
     factor = jnp.sqrt(2.0 * system.kT / dt)
     noise, it_l = _noise_slip(system, state, pc, key, factor, **lanczos_kw)
     sol = solvers.solve_mobility_problem(system, state, pc=pc,
@@ -129,7 +142,7 @@ def _stochastic_first_order_RFD(system, dt, solver_kw, lanczos_kw,
     """EM + RFD thermal drift kT div_x N via two extra solves
     (quaternion_integrator_multi_bodies.py:326-428)."""
     dtype = state.pos.dtype
-    pc = saddle.build_block_diag_pc(system, state)
+    pc = _get_pc(system, state, lanczos_kw)
     k_noise, k_rfd = jax.random.split(key)
     factor = jnp.sqrt(2.0 * system.kT / dt)
     noise, it_l = _noise_slip(system, state, pc, k_noise, factor, **lanczos_kw)
@@ -174,7 +187,7 @@ def _stochastic_traction_EM(system, dt, solver_kw, lanczos_kw,
     1 Lanczos + 2 M products + 4 K products
     (quaternion_integrator_multi_bodies.py:626-737)."""
     dtype = state.pos.dtype
-    pc = saddle.build_block_diag_pc(system, state)
+    pc = _get_pc(system, state, lanczos_kw)
     k_noise, k_rfd = jax.random.split(key)
     factor = jnp.sqrt(2.0 * system.kT / dt)
     kT_over_delta = 2.0 * system.kT / system.rf_delta
@@ -219,7 +232,7 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
     + 1 Lanczos + 2 M products + 2 K^T products (the reference's
     recommended scheme, quaternion_integrator_multi_bodies.py:925-1045)."""
     dtype = state.pos.dtype
-    pc = saddle.build_block_diag_pc(system, state)
+    pc = _get_pc(system, state, lanczos_kw)
     k1, k2 = jax.random.split(key)
     factor = jnp.sqrt(2.0 * system.kT / dt)
     kT_over_delta = 2.0 * system.kT / system.rf_delta
@@ -282,7 +295,7 @@ def _stochastic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
     multi-body suspensions
     (quaternion_integrator_multi_bodies.py:431-549)."""
     dtype = state.pos.dtype
-    pc = saddle.build_block_diag_pc(system, state)
+    pc = _get_pc(system, state, lanczos_kw)
     k_noise, k_rfd = jax.random.split(key)
     factor = jnp.sqrt(2.0 * system.kT / dt)
     n3 = 3 * system.num_blobs
@@ -384,7 +397,7 @@ def _fixman(system, dt, solver_kw, lanczos_kw, key, state, carry):
 
 
 def _unpc_noise(system, state, key, factor, tolerance, max_iter,
-                check_every=1):
+                check_every=1, **_ignored):
     """Plain M^{1/2} W (no preconditioner), used by the GDC scheme."""
     r_blobs = kin.blob_positions(system, state)
 
@@ -429,8 +442,9 @@ def _stochastic_GDC_RFD(system, dt, solver_kw, lanczos_kw, key, state, carry):
             r_rfd, v.reshape(-1, 3), system.eta, system.blob_radius,
             **system.mobility_kwargs).ravel()
 
-    res_rfd = stochastic_forcing_lanczos(mtt_rfd, z, factor=factor,
-                                         **lanczos_kw)
+    res_rfd = stochastic_forcing_lanczos(
+        mtt_rfd, z, factor=factor,
+        **{k: v for k, v in lanczos_kw.items() if k != _PC_CACHE_KEY})
     sol_rfd = saddle.apply_identity_saddle_solver(
         system, rfd_state, jnp.concatenate([-res_rfd.noise, zeros_b]))
     _, U_rfd, _ = saddle.split_saddle_vector(system, sol_rfd)
@@ -461,7 +475,7 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
     """Stochastic midpoint with slip-level drift: 3 rigid solves + 2
     Lanczos (quaternion_integrator_multi_bodies.py:1214-1343)."""
     dtype = state.pos.dtype
-    pc = saddle.build_block_diag_pc(system, state)
+    pc = _get_pc(system, state, lanczos_kw)
     k1, k2, k3 = jax.random.split(key, 3)
     mob_kw = system.mobility_kwargs
 
@@ -474,12 +488,13 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
     mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc)
     W1 = jax.random.normal(k1, (3 * system.num_blobs,), dtype=dtype)
     Wcor = W1 + jax.random.normal(k3, (3 * system.num_blobs,), dtype=dtype)
+    lkw = {k: v for k, v in lanczos_kw.items() if k != _PC_CACHE_KEY}
     noise_W1 = stochastic_forcing_lanczos(
         mobility_pc, W1, factor=jnp.sqrt(4.0 * system.kT / dt),
-        L_mult=L_mult, **lanczos_kw)
+        L_mult=L_mult, **lkw)
     noise_Wcor = stochastic_forcing_lanczos(
         mobility_pc, Wcor, factor=jnp.sqrt(system.kT / dt),
-        L_mult=L_mult, **lanczos_kw)
+        L_mult=L_mult, **lkw)
 
     sol_mid = solvers.solve_mobility_problem(system, state, pc=pc,
                                              noise_slip=noise_W1.noise,
@@ -521,7 +536,7 @@ def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
     """AB with traction-level RFD: 3 rigid solves + 1 Lanczos
     (quaternion_integrator_multi_bodies.py:803-923)."""
     dtype = state.pos.dtype
-    pc = saddle.build_block_diag_pc(system, state)
+    pc = _get_pc(system, state, lanczos_kw)
     k_rfd, k_noise = jax.random.split(key)
     n3 = 3 * system.num_blobs
     mob_kw = system.mobility_kwargs
@@ -645,7 +660,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                  lanczos_check_every: int = 1,
                  gmres_restart: int = 60,
                  gmres_maxiter: int = 1000,
-                 max_rejections: int = 50) -> Callable:
+                 max_rejections: int = 50,
+                 update_PC: int = 1) -> Callable:
     """Build step(state, key, carry) -> (state, carry, StepAux).
 
     The wall-rejection loop retries the whole step with fresh Brownian
@@ -661,8 +677,43 @@ def make_stepper(system: System, scheme: str, dt: float, *,
     lanczos_kw = dict(tolerance=lanczos_tolerance, max_iter=lanczos_max_iter,
                       check_every=lanczos_check_every)
 
-    def attempt(key, state, carry):
-        return body_fn(system, dt, solver_kw, lanczos_kw, key, state, carry)
+    def attempt(key, state, carry, extra_kw=None):
+        lkw = dict(lanczos_kw, **(extra_kw or {}))
+        return body_fn(system, dt, solver_kw, lkw, key, state, carry)
+
+    if update_PC > 1:
+        def step(state: State, key, carry):
+            inner, pc, step_idx = carry
+            pc = jax.lax.cond(
+                step_idx % update_PC == 0,
+                lambda: saddle.build_block_diag_pc(system, state),
+                lambda: pc)
+
+            def cond(loop):
+                _, _, _, attempts, ok = loop
+                return jnp.logical_not(ok) & (attempts < max_rejections)
+
+            def body(loop):
+                _, key, _, attempts, _ = loop
+                key, sub = jax.random.split(key)
+                new_state, velocities, det_it, st_it, ok = attempt(
+                    sub, state, inner, {_PC_CACHE_KEY: pc})
+                return (new_state, key, (velocities, det_it, st_it),
+                        attempts + 1, ok)
+
+            zero_aux = (jnp.zeros((system.num_bodies, 6),
+                                  dtype=state.pos.dtype),
+                        jnp.asarray(0), jnp.asarray(0))
+            init = (state, key, zero_aux, jnp.asarray(0), jnp.asarray(False))
+            new_state, _, (velocities, det_it, st_it), attempts, ok = (
+                jax.lax.while_loop(cond, body, init))
+            new_inner = Carry(velocities_prev=velocities,
+                              first_step=jnp.asarray(False))
+            aux = StepAux(velocities=velocities, det_iterations=det_it,
+                          stoch_iterations=st_it, rejections=attempts - 1)
+            return new_state, (new_inner, pc, step_idx + 1), aux
+
+        return step
 
     def step(state: State, key, carry: Carry):
         def cond(loop):
@@ -717,3 +768,12 @@ def simulate(system: System, state: State, key, *, scheme: str, dt: float,
     (state, key, carry), (traj, aux_hist) = jax.lax.scan(
         scan_body, (state, key, carry0), None, length=n_saves)
     return state, traj, aux_hist
+
+
+def init_carry_with_pc(system: System, state: State, dtype=jnp.float64):
+    """Carry for steppers built with update_PC > 1: (Carry, cached PC,
+    step index). The PC is refactored every update_PC steps inside the
+    step (reference update_PC option, multi_bodies.py:508)."""
+    return (init_carry(system, dtype=dtype),
+            saddle.build_block_diag_pc(system, state),
+            jnp.asarray(0))

@@ -137,6 +137,26 @@ def test_em_velocity_covariance():
     assert np.allclose(cov, expected, atol=0.25 * scale)
 
 
+def test_update_pc_caching_matches_fresh_pc():
+    """update_PC=3: the cached preconditioner changes GMRES convergence
+    only (not the solution): deterministic trajectories must agree."""
+    system, state = _sphere_system(count=2, seed=21)
+    dt = 1e-3
+    step1 = integrators.make_stepper(system, "deterministic_forward_euler",
+                                     dt, tolerance=1e-10)
+    step3 = integrators.make_stepper(system, "deterministic_forward_euler",
+                                     dt, tolerance=1e-10, update_PC=3)
+    c1 = integrators.init_carry(system)
+    c3 = integrators.init_carry_with_pc(system, state)
+    s1 = s3 = state
+    key = jax.random.PRNGKey(0)
+    for i in range(4):
+        s1, c1, _ = step1(s1, key, c1)
+        s3, c3, aux3 = step3(s3, key, c3)
+    assert np.allclose(np.asarray(s1.pos), np.asarray(s3.pos), atol=1e-7)
+    assert np.allclose(np.asarray(s1.quat), np.asarray(s3.quat), atol=1e-7)
+
+
 def test_scan_simulation_runs():
     system, state = _sphere_system(count=1, seed=13)
     system = System(types=system.types, eta=system.eta,
