@@ -208,6 +208,10 @@ def main(argv=None):
             f.write("invalid_configuration_count      %d\n" % rejections)
             f.write("deterministic_iterations_count   %d\n" % det_iters)
             f.write("stochastic_iterations_count      %d\n" % stoch_iters)
+        # PRNG reproducibility (the reference pickles np.random state,
+        # multi_bodies.py:1160-1162; the JAX equivalent is the final key)
+        np.savetxt(cfg.output_name + ".random_state",
+                   np.asarray(jax.random.key_data(key)), fmt="%d")
 
     with open(cfg.output_name + ".time", "w") as f:
         f.write(str(time.time() - start_time) + "\n")

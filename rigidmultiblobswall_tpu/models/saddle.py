@@ -62,6 +62,24 @@ def maybe_dense_mobility(system: System, r_blobs):
     nbytes = 9 * n * n * jnp.dtype(r_blobs.dtype).itemsize
     if nbytes > MATERIALIZE_BUDGET_BYTES:
         return None
+    use_pallas = (r_blobs.dtype == jnp.float32
+                  and system.domain in ("no_wall", "single_wall")
+                  and all(L <= 0 for L in system.periodic_length)
+                  and jax.default_backend() in ("tpu", "axon"))
+    if use_pallas:
+        from ..ops import mobility_pallas
+
+        wall = system.domain == "single_wall"
+        a = system.blob_radius
+        r = mob.shift_heights(r_blobs, a) if wall else r_blobs
+        q = r * (1.0 / a)
+        m = mobility_pallas.dense_tt_pallas(q, q, wall=wall,
+                                            self_interaction=True)
+        m = m / (8.0 * jnp.pi * system.eta * a)
+        if wall:
+            damp = mob.damping_factors(r_blobs, a).astype(m.dtype)
+            m = m * damp[None, None, :, None] * damp[None, None, None, :]
+        return m
     return mob.dense_mobility_tiled(
         r_blobs, system.eta, system.blob_radius, domain=system.domain,
         periodic_length=system.periodic_length)
@@ -165,7 +183,7 @@ def _build_articulated_pc(system: System, state: State, per_type, time=0.0):
             CN = CN.at[:, :, cols].set(
                 jnp.einsum("cik,ckl->cil", C[:, :, cols], N_blocks[:, j]))
         CNCT = jnp.einsum("cik,cjk->cij", CN, C)
-        G = jnp.linalg.pinv(CNCT)
+        G = jnp.linalg.inv(CNCT)
         out.append(ArticulatedPC(C=C, G=G))
     return tuple(out)
 
@@ -196,7 +214,13 @@ def build_block_diag_pc(system: System, state: State) -> BlockDiagPC:
         m_inv = jnp.einsum("cij,ckj->cik", chol_inv, chol_inv)
         K = kin.K_dense(system, state, i)  # (c, 3nb, 6)
         KtMinvK = jnp.einsum("cni,cnm,cmj->cij", K, m_inv, K)
-        N_body = jnp.linalg.pinv(KtMinvK)
+        # SPD and full-rank for >=3 non-collinear blobs: LU inverse is much
+        # faster than the batched-SVD pinv (serial Jacobi sweeps on TPU);
+        # degenerate small bodies keep the reference's pinv
+        if t.num_blobs >= 3:
+            N_body = jnp.linalg.inv(KtMinvK)
+        else:
+            N_body = jnp.linalg.pinv(KtMinvK)
         per_type.append(TypePC(chol=chol, chol_inv=chol_inv, m_inv=m_inv,
                                K=K, N_body=N_body))
     per_art = ()

@@ -155,6 +155,104 @@ def _tt_kernel(qx_ref, qy_ref, qz_ref, rhs_ref, qsx_ref, qsy_ref, qsz_ref,
     out_ref[...] = out
 
 
+def _dense_kernel(qx_ref, qy_ref, qz_ref, qsx_ref, qsy_ref, qsz_ref,
+                  out_ref, *, wall, self_interaction):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tr = qx_ref.shape[1]
+    tc = qsx_ref.shape[1]
+    xt = qx_ref[0, :]
+    yt = qy_ref[0, :]
+    zt = qz_ref[0, :]
+    xs = qsx_ref[0, :]
+    ys = qsy_ref[0, :]
+    zs = qsz_ref[0, :]
+
+    dx = xt[:, None] - xs[None, :]
+    dy = yt[:, None] - ys[None, :]
+    dz = zt[:, None] - zs[None, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    rows = i * tr + lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+    cols = j * tc + lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+    self_mask = (rows == cols) if self_interaction else (
+        jnp.zeros((tr, tc), dtype=bool))
+    A, B = _core_fields(r2, self_mask)
+
+    mxx = A + B * dx * dx
+    mxy = B * dx * dy
+    mxz = B * dx * dz
+    myx = mxy
+    myy = A + B * dy * dy
+    myz = B * dy * dz
+    mzx = mxz
+    mzy = myz
+    mzz = A + B * dz * dz
+
+    if wall:
+        Rz = zt[:, None] + zs[None, :]
+        R2 = dx * dx + dy * dy + Rz * Rz
+        f1, g2, g3, g4, f5 = _wall_fields(R2, Rz, zs[None, :])
+        mxx += f1 + g2 * dx * dx
+        mxy += g2 * dx * dy
+        mxz += g2 * dx * Rz + g3 * dx
+        myx += g2 * dy * dx
+        myy += f1 + g2 * dy * dy
+        myz += g2 * dy * Rz + g3 * dy
+        mzx += g2 * Rz * dx + g4 * dx
+        mzy += g2 * Rz * dy + g4 * dy
+        mzz += f1 + g2 * Rz * Rz + g3 * Rz + g4 * Rz + f5
+
+    for k, m in enumerate((mxx, mxy, mxz, myx, myy, myz, mzx, mzy, mzz)):
+        out_ref[k, :, :] = m
+
+
+def dense_tt_pallas(q_src, q_tgt, *, wall, self_interaction,
+                    row_tile=128, col_tile=512, interpret=False):
+    """Materialize the TT mobility as (3,3,Nt,Ns) component planes in one
+    fused kernel (normalized units; caller applies prefactor/damping).
+    ~3x over the XLA blocked builder: fields computed once in VMEM, nine
+    planes written straight to HBM."""
+    dtype = jnp.float32
+    n_src = q_src.shape[0]
+    n_tgt = q_tgt.shape[0]
+    q_src = q_src.astype(dtype)
+    q_tgt = q_tgt.astype(dtype)
+
+    col_tile = min(col_tile, max(128, 1 << (n_src - 1).bit_length()))
+    row_tile = min(row_tile, max(8, 1 << (n_tgt - 1).bit_length()))
+    n_src_pad = -(-n_src // col_tile) * col_tile
+    n_tgt_pad = -(-n_tgt // row_tile) * row_tile
+
+    def pad1(x, n, fill):
+        return jnp.pad(x, (0, n - x.shape[0]), constant_values=fill)[None, :]
+
+    qtx = pad1(q_tgt[:, 0], n_tgt_pad, 0.0)
+    qty = pad1(q_tgt[:, 1], n_tgt_pad, 0.0)
+    qtz = pad1(q_tgt[:, 2], n_tgt_pad, 1.0)
+    qsx = pad1(q_src[:, 0], n_src_pad, 0.0)
+    qsy = pad1(q_src[:, 1], n_src_pad, 0.0)
+    qsz = pad1(q_src[:, 2], n_src_pad, 1.0)
+
+    grid = (n_tgt_pad // row_tile, n_src_pad // col_tile)
+    kernel = functools.partial(_dense_kernel, wall=wall,
+                               self_interaction=self_interaction)
+    row_spec = pl.BlockSpec((1, row_tile), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, col_tile), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec, col_spec, col_spec, col_spec],
+        out_specs=pl.BlockSpec((9, row_tile, col_tile),
+                               lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, n_tgt_pad, n_src_pad), dtype),
+        interpret=interpret,
+    )(qtx, qty, qtz, qsx, qsy, qsz)
+    return out[:, :n_tgt, :n_src].reshape(3, 3, n_tgt, n_src)
+
+
 def tt_matvec_pallas(q_src, q_tgt, vec, zs, *, wall, self_interaction,
                      row_tile=256, col_tile=512, interpret=False):
     """Fused TT product in normalized units (prefactor applied by caller).
