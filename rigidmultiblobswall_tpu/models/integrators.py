@@ -43,12 +43,14 @@ class StepAux(NamedTuple):
 class Carry(NamedTuple):
     velocities_prev: jax.Array  # (B,6) for Adams-Bashforth
     first_step: jax.Array       # bool
+    step_idx: jax.Array = None  # int, for time-dependent constraints
 
 
 def init_carry(system: System, dtype=jnp.float64) -> Carry:
     return Carry(
         velocities_prev=jnp.zeros((system.num_bodies, 6), dtype=dtype),
         first_step=jnp.asarray(True),
+        step_idx=jnp.asarray(0),
     )
 
 
@@ -592,15 +594,20 @@ def _articulated_deterministic_forward_euler(system, dt, solver_kw,
                                              lanczos_kw, key, state, carry):
     """FE for articulated bodies: solve with constraints, advance, CM
     correction, nonlinear projection
-    (quaternion_integrator_multi_bodies.py:1638-1687)."""
+    (quaternion_integrator_multi_bodies.py:1638-1687). Time-dependent
+    links evaluate at t = step * dt via the carried step index."""
     from . import articulated as art_mod
 
-    sol = solvers.solve_mobility_problem(system, state, **solver_kw)
+    t_now = carry.step_idx * dt
+    sol = solvers.solve_mobility_problem(system, state, time=t_now,
+                                         **solver_kw)
     moved = kin.advance(state, sol.velocities, dt)
     moved = art_mod.correct_center_of_mass(system, moved, state,
-                                           sol.velocities, dt)
+                                           sol.velocities, dt,
+                                           time=t_now + dt)
     moved = art_mod.nonlinear_projection(
-        system, moved, tol=system.nonlinear_solver_tolerance)
+        system, moved, time=t_now + dt,
+        tol=system.nonlinear_solver_tolerance)
     ok = kin.valid_configuration(system, moved)
     return moved, sol.velocities, sol.iterations, jnp.asarray(0), ok
 
@@ -611,19 +618,25 @@ def _articulated_deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
     (quaternion_integrator_multi_bodies.py:1690-1776)."""
     from . import articulated as art_mod
 
-    sol1 = solvers.solve_mobility_problem(system, state, **solver_kw)
+    t_now = carry.step_idx * dt
+    sol1 = solvers.solve_mobility_problem(system, state, time=t_now,
+                                          **solver_kw)
     mid = kin.advance(state, sol1.velocities, 0.5 * dt)
     mid = art_mod.correct_center_of_mass(system, mid, state, sol1.velocities,
-                                         dt, midpoint_fraction=0.5)
+                                         dt, midpoint_fraction=0.5,
+                                         time=t_now + 0.5 * dt)
     mid = art_mod.nonlinear_projection(
-        system, mid, tol=system.nonlinear_solver_tolerance)
+        system, mid, time=t_now + 0.5 * dt,
+        tol=system.nonlinear_solver_tolerance)
 
-    sol2 = solvers.solve_mobility_problem(system, mid, **solver_kw)
+    sol2 = solvers.solve_mobility_problem(system, mid, time=t_now + 0.5 * dt,
+                                          **solver_kw)
     new = kin.advance(state, sol2.velocities, dt)
     new = art_mod.correct_center_of_mass(system, new, state, sol2.velocities,
-                                         dt)
+                                         dt, time=t_now + dt)
     new = art_mod.nonlinear_projection(
-        system, new, tol=system.nonlinear_solver_tolerance)
+        system, new, time=t_now + dt,
+        tol=system.nonlinear_solver_tolerance)
     ok = kin.valid_configuration(system, new)
     return (new, sol2.velocities, sol1.iterations + sol2.iterations,
             jnp.asarray(0), ok)
@@ -708,7 +721,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
             new_state, _, (velocities, det_it, st_it), attempts, ok = (
                 jax.lax.while_loop(cond, body, init))
             new_inner = Carry(velocities_prev=velocities,
-                              first_step=jnp.asarray(False))
+                              first_step=jnp.asarray(False),
+                              step_idx=inner.step_idx + 1)
             aux = StepAux(velocities=velocities, det_iterations=det_it,
                           stoch_iterations=st_it, rejections=attempts - 1)
             return new_state, (new_inner, pc, step_idx + 1), aux
@@ -734,7 +748,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
             jax.lax.while_loop(cond, body, init))
 
         new_carry = Carry(velocities_prev=velocities,
-                          first_step=jnp.asarray(False))
+                          first_step=jnp.asarray(False),
+                          step_idx=carry.step_idx + 1)
         aux = StepAux(velocities=velocities, det_iterations=det_it,
                       stoch_iterations=st_it, rejections=attempts - 1)
         return new_state, new_carry, aux

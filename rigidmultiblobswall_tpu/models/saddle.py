@@ -188,7 +188,7 @@ def _build_articulated_pc(system: System, state: State, per_type, time=0.0):
     return tuple(out)
 
 
-def build_block_diag_pc(system: System, state: State) -> BlockDiagPC:
+def build_block_diag_pc(system: System, state: State, time=0.0) -> BlockDiagPC:
     """Factor every body's blob mobility; batched per type
     (multi_bodies.py:480-618). Uses the dense single-body mobility in the
     system's domain without periodic images, like the reference."""
@@ -225,7 +225,7 @@ def build_block_diag_pc(system: System, state: State) -> BlockDiagPC:
                                K=K, N_body=N_body))
     per_art = ()
     if num_constraints(system) > 0:
-        per_art = _build_articulated_pc(system, state, per_type)
+        per_art = _build_articulated_pc(system, state, per_type, time=time)
     return BlockDiagPC(per_type=tuple(per_type), per_articulated=per_art)
 
 

@@ -106,6 +106,7 @@ def solve_mobility_problem(
     restart: int = 60,
     maxiter: int = 1000,
     m_dense="auto",
+    time=0.0,
 ) -> MobilitySolution:
     """Preconditioned GMRES solve of the saddle system
     (quaternion_integrator_multi_bodies.py:1441-1547).
@@ -119,11 +120,11 @@ def solve_mobility_problem(
     if rhs is None:
         rhs = build_rhs(system, state, r_blobs, slip=slip,
                         force_torque=force_torque, noise_slip=noise_slip,
-                        noise_ft=noise_ft)
+                        noise_ft=noise_ft, time=time)
     if pc is None:
-        pc = saddle.build_block_diag_pc(system, state)
+        pc = saddle.build_block_diag_pc(system, state, time=time)
     operator = saddle.make_linear_operator(system, state, r_blobs,
-                                           m_dense=m_dense)
+                                           m_dense=m_dense, time=time)
     tol = system.solver_tolerance if tol is None else tol
 
     rhs_norm = jnp.linalg.norm(rhs)
