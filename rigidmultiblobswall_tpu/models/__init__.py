@@ -1,1 +1,14 @@
-from . import system, kinematics, saddle, solvers, integrators  # noqa: F401
+from . import (  # noqa: F401
+    articulated,
+    fields,
+    integrators,
+    kinematics,
+    lubrication,
+    mcmc,
+    phoretic,
+    rollers,
+    saddle,
+    solvers,
+    system,
+)
+

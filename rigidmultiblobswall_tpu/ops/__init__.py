@@ -1,1 +1,12 @@
-from . import quaternion, rpy, mobility  # noqa: F401
+from . import (  # noqa: F401
+    forces,
+    gmres,
+    lanczos,
+    laplace,
+    mobility,
+    mobility_sfm,
+    quaternion,
+    rpy,
+    stokes_layers,
+)
+

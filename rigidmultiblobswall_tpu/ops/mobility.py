@@ -399,6 +399,36 @@ def source_target_matvec(
     return out
 
 
+def single_wall_self_mobility_with_rotation(height, eta, a):
+    """6x6 single-blob self mobility (trans+rot blocks with coupling)
+    above the wall, from the Swan-Brady expansions — the reference's
+    single_wall_self_mobility_with_rotation (mobility/mobility.py:739-774).
+    height: scalar or (...,) z coordinates. Returns (...,6,6)."""
+    h = jnp.asarray(height) / a
+    he = jnp.maximum(h, 1.0)
+    damp = jnp.clip(h, 0.0, 1.0)
+    f_tt = 1.0 / (6.0 * jnp.pi * eta * a)
+    f_rr = 1.0 / (6.0 * jnp.pi * eta * a**3)
+    f_rt = 1.0 / (6.0 * jnp.pi * eta * a**2)
+    tt_para = f_tt * (1 - 9 / (16 * he) + 2 / (16 * he**3)
+                      - 1 / (16 * he**5)) * damp
+    tt_perp = f_tt * (1 - 9 / (8 * he) + 1 / (2 * he**3)
+                      - 1 / (8 * he**5)) * damp
+    rr_para = f_rr * (0.75 - 15 / (64 * he**3)) * damp
+    rr_perp = f_rr * (0.75 - 3 / (32 * he**3)) * damp
+    rt_para = f_rt * (3 / (32 * he**4)) * damp
+    z = jnp.zeros_like(he)
+    rows = [
+        jnp.stack([tt_para, z, z, z, rt_para, z], axis=-1),
+        jnp.stack([z, tt_para, z, -rt_para, z, z], axis=-1),
+        jnp.stack([z, z, tt_perp, z, z, z], axis=-1),
+        jnp.stack([z, -rt_para, z, rr_para, z, z], axis=-1),
+        jnp.stack([rt_para, z, z, z, rr_para, z], axis=-1),
+        jnp.stack([z, z, z, z, z, rr_perp], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
 def mobility_radii_trans_times_force(r_vectors, vec, radii, eta, *,
                                      domain="single_wall",
                                      periodic_length=(0.0, 0.0, 0.0),
