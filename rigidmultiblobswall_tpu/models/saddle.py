@@ -47,10 +47,11 @@ def split_saddle_vector(system: System, vec):
     return lam, U, phi
 
 
-# budget for materializing (3N,3N): a Slip-Trapz step keeps two
-# configurations' matrices live, so stay well under half the HBM
+# budget for materializing (3N,3N): a Slip-Trapz step keeps up to two
+# configurations' matrices live simultaneously (verified at 2 x 5.4 GB on
+# a 16 GB v5e); lower via RMW_MATERIALIZE_BUDGET for schemes holding more
 MATERIALIZE_BUDGET_BYTES = int(
-    __import__("os").environ.get("RMW_MATERIALIZE_BUDGET", 2 << 30))
+    __import__("os").environ.get("RMW_MATERIALIZE_BUDGET", 6 << 30))
 
 
 def maybe_dense_mobility(system: System, r_blobs):
