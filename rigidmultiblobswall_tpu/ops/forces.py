@@ -50,6 +50,17 @@ def blob_blob_forces(r_vectors, *, repulsion_strength=0.0, debye_length=1.0,
     if repulsion_strength == 0.0:
         return jnp.zeros((n, 3), dtype=dtype)
 
+    # fused Pallas kernel on TPU for f32 non-periodic sweeps
+    import jax
+
+    if (dtype == jnp.float32 and all(L <= 0 for L in periodic_length)
+            and jax.default_backend() in ("tpu", "axon")):
+        from . import mobility_pallas
+
+        return mobility_pallas.blob_blob_forces_pallas(
+            r_vectors, repulsion_strength=repulsion_strength,
+            debye_length=debye_length, blob_radius=blob_radius)
+
     if row_tile is None:
         row_tile = int(min(max(1 << 26 // (max(n, 1) * 8), 8), n))
     n_tiles = -(-n // row_tile)

@@ -253,6 +253,85 @@ def dense_tt_pallas(q_src, q_tgt, *, wall, self_interaction,
     return out[:, :n_tgt, :n_src].reshape(3, 3, n_tgt, n_src)
 
 
+def _force_kernel(qx_ref, qy_ref, qz_ref, qsx_ref, qsy_ref, qsz_ref,
+                  out_ref, *, eps_over_b, inv_debye, two_a):
+    j = pl.program_id(1)
+    i = pl.program_id(0)
+    tr = qx_ref.shape[1]
+    tc = qsx_ref.shape[1]
+    xt, yt, zt = qx_ref[0, :], qy_ref[0, :], qz_ref[0, :]
+    xs, ys, zs = qsx_ref[0, :], qsy_ref[0, :], qsz_ref[0, :]
+
+    dx = xt[:, None] - xs[None, :]
+    dy = yt[:, None] - ys[None, :]
+    dz = zt[:, None] - zs[None, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    rows = i * tr + lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+    cols = j * tc + lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+    skip = (rows == cols) | (r2 == 0.0)
+    r2s = jnp.where(skip, 1.0, r2)
+    invr = lax.rsqrt(r2s)
+    r = r2s * invr
+    mag = jnp.where(r > two_a,
+                    eps_over_b * jnp.exp(-(r - two_a) * inv_debye) * invr,
+                    eps_over_b * invr)
+    mag = jnp.where(skip, 0.0, mag)
+
+    fx = jnp.sum(mag * dx, axis=1)
+    fy = jnp.sum(mag * dy, axis=1)
+    fz = jnp.sum(mag * dz, axis=1)
+    contrib = jnp.stack([fx, fy, fz], axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += contrib
+
+
+def blob_blob_forces_pallas(r_vectors, *, repulsion_strength, debye_length,
+                            blob_radius, row_tile=256, col_tile=512,
+                            interpret=False):
+    """Fused soft-repulsion pair force (the reference's forces_pycuda
+    kernel, multi_bodies/forces_pycuda.py); non-periodic only."""
+    dtype = jnp.float32
+    n = r_vectors.shape[0]
+    r = r_vectors.astype(dtype)
+    col_tile = min(col_tile, max(128, 1 << (n - 1).bit_length()))
+    row_tile = min(row_tile, max(8, 1 << (n - 1).bit_length()))
+    n_pad_r = -(-n // row_tile) * row_tile
+    n_pad_c = -(-n // col_tile) * col_tile
+
+    def pad1(x, m, fill):
+        return jnp.pad(x, (0, m - x.shape[0]), constant_values=fill)[None, :]
+
+    qtx = pad1(r[:, 0], n_pad_r, 1e15)
+    qty = pad1(r[:, 1], n_pad_r, 1e15)
+    qtz = pad1(r[:, 2], n_pad_r, 1e15)
+    qsx = pad1(r[:, 0], n_pad_c, -1e15)
+    qsy = pad1(r[:, 1], n_pad_c, -1e15)
+    qsz = pad1(r[:, 2], n_pad_c, -1e15)
+
+    grid = (n_pad_r // row_tile, n_pad_c // col_tile)
+    kernel = functools.partial(
+        _force_kernel, eps_over_b=repulsion_strength / debye_length,
+        inv_debye=1.0 / debye_length, two_a=2.0 * blob_radius)
+    row_spec = pl.BlockSpec((1, row_tile), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, col_tile), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec, col_spec, col_spec, col_spec],
+        out_specs=pl.BlockSpec((row_tile, 3), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad_r, 3), dtype),
+        interpret=interpret,
+    )(qtx, qty, qtz, qsx, qsy, qsz)
+    return out[:n]
+
+
 def tt_matvec_pallas(q_src, q_tgt, vec, zs, *, wall, self_interaction,
                      row_tile=256, col_tile=512, interpret=False):
     """Fused TT product in normalized units (prefactor applied by caller).

@@ -19,6 +19,36 @@ def _gb_mean_height(kT, g, eps, a, b):
     return np.trapezoid(z * w, z) / np.trapezoid(w, z)
 
 
+def test_bulk_diffusion_coefficient_from_msd():
+    """Einstein relation: the in-plane MSD slope of a Brownian body far
+    from the wall must equal 2 kT mu_tt per dimension, with mu_tt from
+    the body mobility solve (the reference's MSD physics regressions)."""
+    from rigidmultiblobswall_tpu.models import solvers
+    from rigidmultiblobswall_tpu.utils import analysis
+
+    kT = 0.4
+    t = BodyType(name="blob", ref_config=np.zeros((1, 3)), count=1)
+    system = System(types=(t,), eta=1.3, blob_radius=0.35, kT=kT, g=0.0,
+                    domain="no_wall")
+    state = make_state([[0.0, 0.0, 100.0]], [[1.0, 0, 0, 0]])
+
+    N_body = np.asarray(solvers.solve_body_mobility(system, state))
+    mu = N_body[0, 0]
+
+    dt = 0.02
+    final, traj, aux = integrators.simulate(
+        system, state, jax.random.PRNGKey(3), scheme="stochastic_EM",
+        dt=dt, n_steps=20000, save_every=1, lanczos_max_iter=4,
+        gmres_maxiter=20)
+    xy = np.asarray(traj.pos)[:, 0, 0:2]
+    msd = analysis.msd_fft(xy, max_lag=40)
+    lags = np.arange(40) * dt
+    slope = np.polyfit(lags[1:], msd[1:], 1)[0]
+    D_measured = slope / 4.0  # 2 dimensions: MSD = 4 D t
+    D_exact = kT * mu
+    assert abs(D_measured - D_exact) / D_exact < 0.1, (D_measured, D_exact)
+
+
 @pytest.mark.parametrize("scheme", ["stochastic_Slip_Trapz", "stochastic_EM"])
 def test_single_blob_gibbs_boltzmann_height(scheme):
     """A single-blob body under gravity + wall repulsion: the long-run
