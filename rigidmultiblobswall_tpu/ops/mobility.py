@@ -58,10 +58,19 @@ def _block(coupling, domain, d, zt, zs, self_mask):
     units of a. Wall corrections use the image-projected in-plane
     displacement and the raw vertical image distance rz = zt + zs."""
     if domain == "in_plane":
-        if coupling != "tt":
-            raise NotImplementedError("in_plane only supports 'tt'")
-        m = rpy.rpy_tt_in_plane(d, self_mask)
-        return m + rpy.wall_tt_in_plane(d[..., 0], d[..., 1], zt + zs, zs, self_mask)
+        # the reference's in_plane family covers trans-force and
+        # trans-torque only (mobility/mobility.py:85-91); both zero the z
+        # row and column of the block (mobility_numba.py:291-435,:689-830)
+        if coupling == "tt":
+            m = rpy.rpy_tt_in_plane(d, self_mask)
+            return m + rpy.wall_tt_in_plane(d[..., 0], d[..., 1], zt + zs,
+                                            zs, self_mask)
+        if coupling == "tr":
+            m = rpy.rpy_cross(d, self_mask)
+            m = m + rpy.wall_trans_torque(d[..., 0], d[..., 1], zt + zs,
+                                          zt, self_mask)
+            return m * rpy._z_coupling_mask(m.dtype)
+        raise NotImplementedError("in_plane supports 'tt' and 'tr' only")
 
     if domain == "free_surface":
         if coupling != "tt":

@@ -100,8 +100,8 @@ def test_operator_matches_dense_with_constraints():
 
 def test_articulated_fe_step_maintains_constraints():
     system, state = _dimer_system(count=2, seed=8)
-    step = integrators.make_stepper(
-        system, "articulated_deterministic_forward_euler", 5e-3)
+    step = jax.jit(integrators.make_stepper(
+        system, "articulated_deterministic_forward_euler", 5e-3))
     carry = integrators.init_carry(system)
     s = state
     for i in range(3):

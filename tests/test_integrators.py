@@ -32,7 +32,8 @@ def test_forward_euler_matches_manual_update():
 def test_adams_bashforth_second_step_uses_history():
     system, state = _sphere_system(count=1, seed=11)
     dt = 1e-3
-    step = integrators.make_stepper(system, "deterministic_adams_bashforth", dt)
+    step = jax.jit(integrators.make_stepper(
+        system, "deterministic_adams_bashforth", dt))
     carry = integrators.init_carry(system)
     key = jax.random.PRNGKey(0)
     s1, carry, aux1 = step(state, key, carry)
@@ -142,10 +143,11 @@ def test_update_pc_caching_matches_fresh_pc():
     only (not the solution): deterministic trajectories must agree."""
     system, state = _sphere_system(count=2, seed=21)
     dt = 1e-3
-    step1 = integrators.make_stepper(system, "deterministic_forward_euler",
-                                     dt, tolerance=1e-10)
-    step3 = integrators.make_stepper(system, "deterministic_forward_euler",
-                                     dt, tolerance=1e-10, update_PC=3)
+    step1 = jax.jit(integrators.make_stepper(
+        system, "deterministic_forward_euler", dt, tolerance=1e-10))
+    step3 = jax.jit(integrators.make_stepper(
+        system, "deterministic_forward_euler", dt, tolerance=1e-10,
+        update_PC=3))
     c1 = integrators.init_carry(system)
     c3 = integrators.init_carry_with_pc(system, state)
     s1 = s3 = state

@@ -48,9 +48,9 @@ def test_links_fn_evaluated_at_time():
 def test_oscillating_link_drives_relative_motion():
     system, state = _oscillating_dimer()
     dt = 0.02
-    step = integrators.make_stepper(
+    step = jax.jit(integrators.make_stepper(
         system, "articulated_deterministic_forward_euler", dt,
-        tolerance=1e-9)
+        tolerance=1e-9))
     carry = integrators.init_carry(system)
     s = state
     seps = []
