@@ -90,6 +90,14 @@ def _mobility_apply(system, r_blobs, m_dense, lam):
     if m_dense is not None:
         # m_dense: (3,3,N,N) component planes (see dense_mobility_tiled)
         lam = lam.reshape(-1, 3)
+        n = m_dense.shape[2]
+        # HBM-bandwidth-bound product: on TPU exploit reciprocity symmetry
+        # M[a,b,i,j] = M[b,a,j,i] and stream only upper-triangle tiles
+        if (m_dense.dtype == jnp.float32 and n >= 1024
+                and jax.default_backend() in ("tpu", "axon")):
+            from ..ops import mobility_pallas
+
+            return mobility_pallas.symm_planes_matvec(m_dense, lam)
         return jnp.einsum("abij,jb->ia", m_dense, lam,
                           precision=jax.lax.Precision.HIGHEST)
     return mob.mobility_trans_times_force(

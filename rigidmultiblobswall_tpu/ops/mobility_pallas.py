@@ -332,6 +332,90 @@ def blob_blob_forces_pallas(r_vectors, *, repulsion_strength, debye_length,
     return out[:n]
 
 
+def _symm_kernel(i_ref, j_ref, m_ref, v_ref, out_ref, *, tile):
+    """One upper-triangle tile (i,j) of the symmetric planes matvec:
+    out_i += sum_b M[a,b,i,j] v_j[b]; for i != j also the transpose
+    contribution out_j += sum_a M[a,b,i,j]^T v_i[a]. Sequential TPU grid
+    makes the read-modify-write accumulation into the full VMEM-resident
+    output race-free."""
+    k = pl.program_id(0)
+    i = i_ref[k]
+    j = j_ref[k]
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    m = m_ref[...]                                  # (3,3,T,T)
+    vj = v_ref[:, pl.ds(j * tile, tile)]            # (3,T)
+    ui = [0.0] * 3
+    for a in range(3):
+        for b in range(3):
+            ui[a] += jnp.sum(m[a, b] * vj[b][None, :], axis=1)
+    sl_i = (slice(None), pl.ds(i * tile, tile))
+    out_ref[sl_i] += jnp.stack(ui)
+
+    @pl.when(i != j)
+    def _():
+        vi = v_ref[:, pl.ds(i * tile, tile)]        # (3,T)
+        uj = [0.0] * 3
+        for b in range(3):
+            for a in range(3):
+                uj[b] += jnp.sum(m[a, b] * vi[a][:, None], axis=0)
+        sl_j = (slice(None), pl.ds(j * tile, tile))
+        out_ref[sl_j] += jnp.stack(uj)
+
+
+def symm_planes_matvec(planes, vec, *, tile=256, interpret=False):
+    """Symmetric matvec with materialized (3,3,N,N) mobility planes,
+    reading only the upper-triangle tiles: u[i,a] = sum_{j,b} M[a,b,i,j]
+    v[j,b] using the reciprocity symmetry M[a,b,i,j] = M[b,a,j,i].
+
+    The dense operator matvec is HBM-bandwidth bound (every GMRES/Lanczos
+    iteration streams all 9 N^2 planes); this kernel nearly halves that
+    traffic. The reference has no equivalent (its dense path is a scipy
+    `.dot`, mobility/mobility.py:711-738); this is a TPU-specific
+    optimization of the materialized-operator fast path."""
+    n = planes.shape[2]
+    v = vec.reshape(n, 3).astype(planes.dtype)
+    n_pad = -(-n // tile) * tile
+    t_tiles = n_pad // tile
+    if n_pad != n:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, n_pad - n),
+                                  (0, n_pad - n)))
+        v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
+    vT = v.T.reshape(3, n_pad)
+
+    iu, ju = [], []
+    for i in range(t_tiles):
+        for j in range(i, t_tiles):
+            iu.append(i)
+            ju.append(j)
+    i_map = jnp.asarray(iu, dtype=jnp.int32)
+    j_map = jnp.asarray(ju, dtype=jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(iu),),
+        in_specs=[
+            pl.BlockSpec((3, 3, tile, tile),
+                         lambda k, i_ref, j_ref: (0, 0, i_ref[k], j_ref[k]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n_pad), lambda k, i_ref, j_ref: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, n_pad), lambda k, i_ref, j_ref: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_symm_kernel, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, n_pad), planes.dtype),
+        interpret=interpret,
+    )(i_map, j_map, planes, vT)
+    return out[:, :n].T
+
+
 def tt_matvec_pallas(q_src, q_tgt, vec, zs, *, wall, self_interaction,
                      row_tile=256, col_tile=512, interpret=False):
     """Fused TT product in normalized units (prefactor applied by caller).
