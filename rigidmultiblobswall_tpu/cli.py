@@ -99,8 +99,11 @@ def main(argv=None):
                    delimiter="  ")
         print("Time to compute body mobility =", time.time() - start_time)
 
-    elif cfg.scheme.endswith("_rollers"):
-        # minimally-resolved rollers path (reference main_rollers.py)
+    elif (cfg.scheme.endswith("_rollers")
+          and not cfg.scheme.startswith("articulated_")):
+        # minimally-resolved rollers path (reference main_rollers.py);
+        # articulated_*_rollers instead use the System-based dynamic loop
+        # below (grand-mobility constrained solve, integrators._SCHEMES)
         from .models import rollers
 
         opts = cfg.options

@@ -642,8 +642,50 @@ def _articulated_deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
             jnp.asarray(0), ok)
 
 
+def _articulated_single_blob_scheme(midpoint):
+    """Articulated single-blob (rollers) FE / midpoint: the multibody
+    articulated update driven by the grand-mobility constrained solve
+    (quaternion_integrator_rollers.py:737-802). Bodies must be
+    single-blob types."""
+
+    def scheme(system, dt, solver_kw, lanczos_kw, key, state, carry):
+        from . import articulated as art_mod
+
+        kw = {k: v for k, v in solver_kw.items() if k != "m_dense"}
+        t_now = carry.step_idx * dt
+        sol = solvers.solve_mobility_problem_single_blob(
+            system, state, time=t_now, **kw)
+        iters = sol.iterations
+        if midpoint:
+            mid = kin.advance(state, sol.velocities, 0.5 * dt)
+            mid = art_mod.correct_center_of_mass(
+                system, mid, state, sol.velocities, dt,
+                midpoint_fraction=0.5, time=t_now + 0.5 * dt)
+            mid = art_mod.nonlinear_projection(
+                system, mid, time=t_now + 0.5 * dt,
+                tol=system.nonlinear_solver_tolerance)
+            sol = solvers.solve_mobility_problem_single_blob(
+                system, mid, time=t_now + 0.5 * dt, **kw)
+            iters = iters + sol.iterations
+        new = kin.advance(state, sol.velocities, dt)
+        new = art_mod.correct_center_of_mass(system, new, state,
+                                             sol.velocities, dt,
+                                             time=t_now + dt)
+        new = art_mod.nonlinear_projection(
+            system, new, time=t_now + dt,
+            tol=system.nonlinear_solver_tolerance)
+        ok = kin.valid_configuration(system, new)
+        return new, sol.velocities, iters, jnp.asarray(0), ok
+
+    return scheme
+
+
 _SCHEMES = {
     "deterministic_forward_euler": _deterministic_forward_euler,
+    "articulated_deterministic_forward_euler_rollers":
+        _articulated_single_blob_scheme(midpoint=False),
+    "articulated_deterministic_midpoint_rollers":
+        _articulated_single_blob_scheme(midpoint=True),
     "articulated_deterministic_forward_euler": _articulated_deterministic_forward_euler,
     "articulated_deterministic_midpoint": _articulated_deterministic_midpoint,
     "deterministic_forward_euler_dense_algebra": _deterministic_forward_euler_dense,

@@ -147,6 +147,109 @@ def solve_mobility_problem(
                             residual_norm=result.residual_norm, phi=phi)
 
 
+def _single_blob_articulated_pc(system: System, state: State, time=0.0):
+    """Per-instance constraint resistance G = pinv(C N0 C^T) with N0 the
+    diagonal free-space self grand mobility
+    (multi_bodies.py:1008-1108). Returns one (count, 3nc, 3nc) array per
+    articulated type."""
+    from . import articulated as art_mod
+
+    eta, a = system.eta, system.blob_radius
+    f_tt = 1.0 / (6.0 * jnp.pi * eta * a)
+    f_rr = 1.0 / (8.0 * jnp.pi * eta * a**3)
+    Gs = []
+    for art in system.articulated:
+        C = art_mod.dense_C_per_instance(system, art, state, time)
+        n0 = jnp.diag(jnp.asarray([f_tt] * 3 + [f_rr] * 3,
+                                  dtype=C.dtype))
+        n0_full = jnp.kron(jnp.eye(art.num_bodies, dtype=C.dtype), n0)
+        cnct = jnp.einsum("kij,jl,kml->kim", C, n0_full, C)
+        Gs.append(jnp.linalg.pinv(cnct))
+    return Gs
+
+
+def solve_mobility_problem_single_blob(
+    system: System,
+    state: State,
+    *,
+    tol=None,
+    restart: int = 60,
+    maxiter: int = 1000,
+    time=0.0,
+) -> MobilitySolution:
+    """Constrained mobility solve for articulated SINGLE-BLOB bodies (the
+    rollers articulated path, quaternion_integrator_rollers.py:1455-1576).
+
+    Single blobs have no torque arm, so the blob-level saddle operator
+    loses the rotational coupling; instead the solve uses the full 6N
+    grand mobility directly. Unknowns x = (phi, U):
+
+        U + M_grand C^T phi = M_grand F_ext
+        C U                 = B
+
+    preconditioned by the per-instance constraint resistance
+    G = pinv(C N0 C^T) with N0 the diagonal self mobility."""
+    from ..ops import mobility as mob_ops
+    from . import articulated as art_mod
+
+    dtype = state.pos.dtype
+    r = state.pos  # single-blob bodies: blob == body center
+    nb = system.num_bodies
+    nc3 = 3 * art_mod.num_constraints(system)
+    eta, a = system.eta, system.blob_radius
+    mob_kw = system.mobility_kwargs
+    offs = art_mod.constraint_offsets(system)
+
+    ft = force_torque_calculator(system, state, r)  # (B,6)
+    u_unc, w_unc = mob_ops.grand_mobility_matvec(
+        r, ft[:, 0:3], ft[:, 3:6], eta, a, **mob_kw)
+    U_unc = jnp.concatenate([u_unc, w_unc], axis=1)
+    B = art_mod.constraint_rhs(system, state, time)  # (nc,3)
+    rhs = jnp.concatenate([U_unc.ravel(), B.ravel()])
+
+    def operator(vec):
+        phi = vec[:nc3].reshape(-1, 3)
+        U = vec[nc3:].reshape(nb, 6)
+        Fc = art_mod.CT_mul(system, state, phi, time)  # (B,6)
+        mu, mw = mob_ops.grand_mobility_matvec(
+            r, Fc[:, 0:3], Fc[:, 3:6], eta, a, **mob_kw)
+        res_U = jnp.concatenate([mu, mw], axis=1) + U
+        res_C = art_mod.C_mul(system, state, U, time)
+        return jnp.concatenate([res_U.ravel(), res_C.ravel()])
+
+    Gs = _single_blob_articulated_pc(system, state, time)
+    f_tt = 1.0 / (6.0 * jnp.pi * eta * a)
+    f_rr = 1.0 / (8.0 * jnp.pi * eta * a**3)
+    m0 = jnp.asarray([f_tt] * 3 + [f_rr] * 3, dtype=dtype)
+
+    def pc(vec):
+        rU = vec[:6 * nb].reshape(nb, 6)
+        rB = vec[6 * nb:].reshape(-1, 3)
+        CU = art_mod.C_mul(system, state, rU, time) - rB  # (nc,3)
+        phi_parts = []
+        for ia, art in enumerate(system.articulated):
+            blk = CU[offs[ia]:offs[ia + 1]].reshape(art.count, -1)
+            phi_parts.append(
+                jnp.einsum("kij,kj->ki", Gs[ia], blk).reshape(-1, 3))
+        phi = (jnp.concatenate(phi_parts, axis=0) if phi_parts
+               else jnp.zeros((0, 3), dtype=dtype))
+        Fc = art_mod.CT_mul(system, state, phi, time)
+        U = rU - m0[None, :] * Fc
+        return jnp.concatenate([phi.ravel(), U.ravel()])
+
+    tol = system.solver_tolerance if tol is None else tol
+    rhs_norm = jnp.linalg.norm(rhs)
+    safe_norm = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
+    result = gmres(operator, rhs / safe_norm, tol=tol, restart=restart,
+                   maxiter=maxiter, M=pc)
+    sol = result.x * rhs_norm
+    phi = sol[:nc3].reshape(-1, 3)
+    U = sol[nc3:].reshape(nb, 6)
+    return MobilitySolution(lam=jnp.zeros((nb, 3), dtype=dtype),
+                            velocities=U, iterations=result.iterations,
+                            residual_norm=result.residual_norm, phi=phi)
+
+
 # ---------------------------------------------------------------------------
 # Dense-algebra solves (small systems / utilities CLI)
 # ---------------------------------------------------------------------------
