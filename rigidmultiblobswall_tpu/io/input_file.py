@@ -225,7 +225,15 @@ def build_system(cfg: InputConfig, base_dir="."):
             name=name, count=n_inst, sub_type_indices=tuple(sub_type_indices),
             pairs_local=indices, links=links, links_fn=links_fn))
 
+    # reference backend selector (read_input.py blob_blob_force_implementation):
+    # any tree/neighbor value maps to the linked-cell path; the four dense
+    # backends collapse onto the one XLA/Pallas direct sweep
+    bb_impl = cfg.options.get("blob_blob_force_implementation", "")
+    bb_method = ("neighbor_list" if "tree" in bb_impl or "neighbor" in bb_impl
+                 else "direct")
+
     system = System(
+        blob_blob_force_method=bb_method,
         articulated=tuple(articulated_types),
         nonlinear_solver_tolerance=float(
             cfg.options.get("nonlinear_solver_tolerance", 1e-8)),

@@ -38,7 +38,10 @@ def force_torque_calculator(system: System, state: State, r_blobs):
         r_blobs, g=system.g, blob_mass=1.0, blob_radius=system.blob_radius,
         repulsion_strength_wall=system.repulsion_strength_wall,
         debye_length_wall=system.debye_length_wall)
-    f_blobs = f_blobs + force_ops.blob_blob_forces(
+    pair_force = (force_ops.blob_blob_forces_neighbor_list
+                  if system.blob_blob_force_method == "neighbor_list"
+                  else force_ops.blob_blob_forces)
+    f_blobs = f_blobs + pair_force(
         r_blobs, repulsion_strength=system.repulsion_strength,
         debye_length=system.debye_length, blob_radius=system.blob_radius,
         periodic_length=system.periodic_length)

@@ -85,6 +85,10 @@ class System:
     debye_length: float = 1.0
     repulsion_strength_wall: float = 0.0
     debye_length_wall: float = 1.0
+    # blob-blob pair-force backend: 'direct' O(N^2) sweep or
+    # 'neighbor_list' linked cells (the reference's tree backend,
+    # selected by blob_blob_force_implementation in the input file)
+    blob_blob_force_method: str = "direct"
     solver_tolerance: float = 1e-8
     rf_delta: float = 1e-3
     # user-extension hooks (reference L5 layer); all optional callables

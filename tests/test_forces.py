@@ -1,0 +1,79 @@
+"""Blob-blob force kernels: direct O(N^2) sweep vs the linked-cell
+neighbor-list variant (the reference's kd-tree O(N) backend,
+forces_numba.py:142-241)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rigidmultiblobswall_tpu.ops import forces as force_ops
+
+
+def _params():
+    # debye 0.05 -> cutoff 2a + 30b = 2.1 (realistic short-ranged repulsion)
+    return dict(repulsion_strength=0.7, debye_length=0.05, blob_radius=0.3)
+
+
+def test_neighbor_list_matches_direct_open_domain():
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.uniform(0, 12, (400, 3)))
+    f_direct = force_ops.blob_blob_forces(r, **_params())
+    f_nl = force_ops.blob_blob_forces_neighbor_list(r, **_params())
+    scale = float(jnp.max(jnp.abs(f_direct)))
+    # pairs beyond the 2a + 30b cutoff contribute < exp(-30) ~ 1e-13
+    assert np.allclose(np.asarray(f_nl), np.asarray(f_direct),
+                       atol=1e-10 * max(scale, 1.0))
+
+
+def test_neighbor_list_matches_direct_clustered():
+    """Dense cluster: many blobs share cells, overlapping pairs hit the
+    linear branch of the potential."""
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.normal(0, 0.8, (300, 3)))
+    f_direct = force_ops.blob_blob_forces(r, **_params())
+    f_nl = force_ops.blob_blob_forces_neighbor_list(r, cell_capacity=512,
+                                                    **_params())
+    scale = float(jnp.max(jnp.abs(f_direct)))
+    assert np.allclose(np.asarray(f_nl), np.asarray(f_direct),
+                       atol=1e-10 * scale)
+
+
+def test_neighbor_list_matches_direct_periodic():
+    rng = np.random.default_rng(2)
+    L = 12.0
+    r = jnp.asarray(rng.uniform(0, L, (500, 3)))
+    kw = dict(_params(), periodic_length=(L, L, 0.0))
+    f_direct = force_ops.blob_blob_forces(r, **kw)
+    f_nl = force_ops.blob_blob_forces_neighbor_list(r, **kw)
+    scale = float(jnp.max(jnp.abs(f_direct)))
+    assert np.allclose(np.asarray(f_nl), np.asarray(f_direct),
+                       atol=1e-10 * scale)
+
+
+def test_neighbor_list_small_periodic_box_falls_back():
+    """A periodic box under 4 cutoffs wide cannot host the wrapped
+    27-cell stencil; the function must fall back to the direct sweep."""
+    rng = np.random.default_rng(3)
+    L = 6.0
+    r = jnp.asarray(rng.uniform(0, L, (60, 3)))
+    kw = dict(_params(), periodic_length=(L, L, L))
+    f_direct = force_ops.blob_blob_forces(r, **kw)
+    f_nl = force_ops.blob_blob_forces_neighbor_list(r, **kw)
+    assert np.allclose(np.asarray(f_nl), np.asarray(f_direct), atol=1e-12)
+
+
+def test_neighbor_list_custom_cutoff_drops_far_pairs():
+    """With an explicit small cutoff only near pairs contribute; a far
+    isolated pair must feel (almost) nothing."""
+    r = jnp.asarray([[0.0, 0.0, 0.0], [0.7, 0.0, 0.0], [30.0, 0.0, 0.0]])
+    f = force_ops.blob_blob_forces_neighbor_list(r, cutoff=2.0,
+                                             **_params())
+    assert abs(float(f[2, 0])) < 1e-12
+    assert float(f[0, 0]) < 0 < float(f[1, 0])
+
+
+def test_direct_forces_newton_third_law():
+    rng = np.random.default_rng(4)
+    r = jnp.asarray(rng.uniform(0, 5, (50, 3)))
+    f = force_ops.blob_blob_forces(r, **_params())
+    assert np.allclose(np.asarray(jnp.sum(f, axis=0)), 0.0, atol=1e-10)
