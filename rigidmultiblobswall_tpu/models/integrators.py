@@ -273,9 +273,13 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
     predictor = kin.advance(state, v1, dt)
     ok_pred = kin.valid_configuration(system, predictor)
 
+    # warm-start the corrector from the predictor solution (the operator
+    # and RHS move only O(dt) between x_n and the predictor)
+    x0 = jnp.concatenate([sol1.lam.ravel(), v1.ravel(), sol1.phi.ravel()])
     sol2 = solvers.solve_mobility_problem(system, predictor, pc=pc,
                                           noise_slip=rand_slip_cor,
-                                          noise_ft=rand_ft_cor, **solver_kw)
+                                          noise_ft=rand_ft_cor, x0=x0,
+                                          **solver_kw)
     velocities = 0.5 * (v1 + sol2.velocities)
     new_state = kin.advance(state, velocities, dt)
     ok = ok_pred & kin.valid_configuration(system, new_state)

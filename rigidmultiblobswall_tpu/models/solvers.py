@@ -134,6 +134,12 @@ def solve_mobility_problem(
     safe_norm = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
     rhs_unit = rhs / safe_norm
 
+    # x0 is in physical units (e.g. a previous solution used as a warm
+    # start, mirroring the reference's first_guess,
+    # quaternion_integrator_rollers.py:753); rescale into the normalized
+    # system actually handed to GMRES
+    if x0 is not None:
+        x0 = x0 / safe_norm
     result = gmres(operator, rhs_unit, x0=x0, tol=tol, restart=restart,
                    maxiter=maxiter,
                    M=lambda v: saddle.apply_block_diag_pc(system, pc, v))
