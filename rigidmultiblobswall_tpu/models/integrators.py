@@ -121,7 +121,10 @@ def _deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
     sol1 = solvers.solve_mobility_problem(system, state, pc=pc, **solver_kw)
     mid = kin.advance(state, sol1.velocities, 0.5 * dt)
     ok_mid = kin.valid_configuration(system, mid)
-    sol2 = solvers.solve_mobility_problem(system, mid, pc=pc, **solver_kw)
+    x0 = jnp.concatenate([sol1.lam.ravel(), sol1.velocities.ravel(),
+                          sol1.phi.ravel()])
+    sol2 = solvers.solve_mobility_problem(system, mid, pc=pc, x0=x0,
+                                          **solver_kw)
     new_state = kin.advance(state, sol2.velocities, dt)
     ok = ok_mid & kin.valid_configuration(system, new_state)
     return (new_state, sol2.velocities,
@@ -526,9 +529,11 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
 
     mid = kin.advance(state, v_mid, 0.5 * dt)
     ok_mid = kin.valid_configuration(system, mid)
+    x0 = jnp.concatenate([sol_mid.lam.ravel(), v_mid.ravel(),
+                          sol_mid.phi.ravel()])
     sol_cor = solvers.solve_mobility_problem(system, mid, pc=pc,
                                              noise_slip=rand_slip_cor,
-                                             noise_ft=rand_ft_cor,
+                                             noise_ft=rand_ft_cor, x0=x0,
                                              **solver_kw)
     new_state = kin.advance(state, sol_cor.velocities, dt)
     ok = ok_mid & kin.valid_configuration(system, new_state)
@@ -633,8 +638,10 @@ def _articulated_deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
         system, mid, time=t_now + 0.5 * dt,
         tol=system.nonlinear_solver_tolerance)
 
+    x0 = jnp.concatenate([sol1.lam.ravel(), sol1.velocities.ravel(),
+                          sol1.phi.ravel()])
     sol2 = solvers.solve_mobility_problem(system, mid, time=t_now + 0.5 * dt,
-                                          **solver_kw)
+                                          x0=x0, **solver_kw)
     new = kin.advance(state, sol2.velocities, dt)
     new = art_mod.correct_center_of_mass(system, new, state, sol2.velocities,
                                          dt, time=t_now + dt)
