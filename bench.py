@@ -32,8 +32,12 @@ import jax.numpy as jnp
 from rigidmultiblobswall_tpu.models import integrators
 from rigidmultiblobswall_tpu.models.system import BodyType, System, make_state
 
-# benchmark scale (single chip): 1024 12-blob shells = 12288 blobs
-N_BODIES = int(os.environ.get("BENCH_BODIES", 1024))
+# benchmark scale (single chip): 4096 12-blob shells = 49152 blobs.
+# At this size the (3N,3N) mobility cannot be materialized (87 GB); the
+# step runs entirely on the matrix-free direct-block Pallas engine
+# (ops/pair_kernels.py). See SCALING.md for the size sweep and the
+# path to the 100k-blob north star.
+N_BODIES = int(os.environ.get("BENCH_BODIES", 4096))
 N_BLOBS_PER = 12
 DT = 1e-3
 SCHEME = os.environ.get("BENCH_SCHEME", "stochastic_Slip_Trapz")

@@ -186,8 +186,29 @@ def pairwise_matvec(
             # at least one tile per device
             row_tile = min(row_tile, -(-n_tgt // mesh.shape[shard_axis]))
 
-    # fast path: scalar-field + MXU-matmul decomposition of the TT product
-    # (no pseudo-periodic images: the min-image shift breaks the expansion)
+    # fast path 1: direct-block fused Pallas kernel (all four couplings) on
+    # real TPUs — VPU-roofline pair sweep, no materialized RHS
+    use_direct = (method in ("auto", "pallas") and mesh is None
+                  and dtype == jnp.float32
+                  and coupling in ("tt", "tr", "rt", "rr")
+                  and domain in ("no_wall", "single_wall")
+                  and all(L <= 0 for L in periodic_length)
+                  and jax.default_backend() in ("tpu", "axon"))
+    if use_direct:
+        from . import pair_kernels
+
+        out = pair_kernels.pair_matvec_pallas(
+            q_src, q_tgt, vec, coupling=coupling,
+            wall=(domain == "single_wall"),
+            self_interaction=self_interaction)
+        out = out / (8.0 * jnp.pi * eta * a ** _PREF_POW[coupling])
+        if wall:
+            out = out * damp_t[:, None]
+        return out
+
+    # fast path 2: scalar-field + MXU-matmul decomposition of the TT product
+    # for CPU / f64 / sharded runs (no pseudo-periodic images: the min-image
+    # shift breaks the expansion)
     use_sfm = (method == "sfm" or (
         method == "auto" and coupling == "tt"
         and domain in ("no_wall", "single_wall")
@@ -195,22 +216,10 @@ def pairwise_matvec(
     if use_sfm:
         from . import mobility_sfm
 
-        # on real TPUs the fused Pallas kernel wins for f32 single-device
-        # products; the XLA SFM path covers CPU, f64 and sharded runs
-        use_pallas = (method != "sfm" and mesh is None
-                      and dtype == jnp.float32
-                      and jax.default_backend() in ("tpu", "axon"))
-        if use_pallas:
-            from . import mobility_pallas
-
-            out = mobility_pallas.tt_matvec_pallas(
-                q_src, q_tgt, vec, zs, wall=wall,
-                self_interaction=self_interaction)
-        else:
-            out = mobility_sfm.tt_matvec_sfm(
-                q_src, q_tgt, vec, zs, wall=wall,
-                self_interaction=self_interaction, row_tile=row_tile,
-                mesh=mesh, shard_axis=shard_axis)
+        out = mobility_sfm.tt_matvec_sfm(
+            q_src, q_tgt, vec, zs, wall=wall,
+            self_interaction=self_interaction, row_tile=row_tile,
+            mesh=mesh, shard_axis=shard_axis)
         out = out / (8.0 * jnp.pi * eta * a)
         if wall:
             out = out * damp_t[:, None]
@@ -307,7 +316,46 @@ def mobility_rot_times_force_torque(r_vectors, force, torque, eta, a, **kw):
 
 
 def grand_mobility_matvec(r_vectors, force, torque, eta, a, **kw):
-    """(U, W) = M_grand (F, T) for single-blob bodies (rollers path)."""
+    """(U, W) = M_grand (F, T) for single-blob bodies (rollers path).
+
+    On TPU the four coupling blocks are evaluated in ONE fused Pallas pass
+    over the pair geometry (the reference computes four separate pycuda
+    products, mobility_pycuda.py:1266); elsewhere it falls back to the
+    four tiled XLA products."""
+    domain = kw.get("domain", "single_wall")
+    periodic_length = tuple(float(x) for x in
+                            kw.get("periodic_length", (0.0, 0.0, 0.0)))
+    use_direct = (kw.get("mesh") is None
+                  and kw.get("method", "auto") in ("auto", "pallas")
+                  and jnp.result_type(r_vectors.dtype, force.dtype)
+                  == jnp.float32
+                  and domain in ("no_wall", "single_wall")
+                  and all(L <= 0 for L in periodic_length)
+                  and jax.default_backend() in ("tpu", "axon"))
+    if use_direct:
+        from . import pair_kernels
+
+        n = r_vectors.shape[0]
+        wall = domain == "single_wall"
+        F = force.reshape(n, 3).astype(jnp.float32)
+        T = torque.reshape(n, 3).astype(jnp.float32)
+        r = r_vectors.astype(jnp.float32)
+        if wall:
+            damp = damping_factors(r, a)
+            r = shift_heights(r, a)
+            F = F * damp[:, None]
+            T = T * damp[:, None]
+        q = r * (1.0 / a)
+        vin = jnp.concatenate([F, T * (1.0 / a)], axis=1)
+        out = pair_kernels.pair_matvec_pallas(
+            q, q, vin, coupling="grand", wall=wall, self_interaction=True)
+        pref = 1.0 / (8.0 * jnp.pi * eta * a)
+        u = out[:, :3] * pref
+        w = out[:, 3:] * (pref / a)
+        if wall:
+            u = u * damp[:, None]
+            w = w * damp[:, None]
+        return u, w
     u = mobility_trans_times_force_torque(r_vectors, force, torque, eta, a, **kw)
     w = mobility_rot_times_force_torque(r_vectors, force, torque, eta, a, **kw)
     return u, w

@@ -40,8 +40,8 @@ N_COLS = 47
 def _core_fields(r2, self_mask):
     zero = self_mask | (r2 == 0.0)
     r2s = jnp.where(zero, 1.0, r2)
-    invr2 = 1.0 / r2s
     invr = lax.rsqrt(r2s)
+    invr2 = invr * invr
     r = r2s * invr
     far = r > 2.0
     A = jnp.where(far, (1.0 + (2.0 / 3.0) * invr2) * invr,
@@ -54,13 +54,13 @@ def _core_fields(r2, self_mask):
 
 
 def _wall_fields(R2, Rz, zs_row):
-    invR2 = 1.0 / R2
     invR = lax.rsqrt(R2)
+    invR2 = invR * invR
     invR3 = invR * invR2
     invR5 = invR3 * invR2
     ez = Rz * invR
     ez2 = ez * ez
-    h_hat = zs_row * (invR / ez)  # zs / Rz
+    h_hat = zs_row / Rz
     hh = h_hat * (1.0 - h_hat)
 
     f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
@@ -100,7 +100,8 @@ def _tt_kernel(qx_ref, qy_ref, qz_ref, rhs_ref, qsx_ref, qsy_ref, qsz_ref,
         dx = xt[:, None] - xs[None, :]
         dy = yt[:, None] - ys[None, :]
         dz = zt[:, None] - zs[None, :]
-        r2 = dx * dx + dy * dy + dz * dz
+        xy2 = dx * dx + dy * dy
+        r2 = xy2 + dz * dz
 
         rows = i * tr + lax.broadcasted_iota(jnp.int32, (tr, col_tile), 0)
         cols = c * col_tile + lax.broadcasted_iota(jnp.int32,
@@ -112,7 +113,7 @@ def _tt_kernel(qx_ref, qy_ref, qz_ref, rhs_ref, qsx_ref, qsy_ref, qsz_ref,
         fields = [A, B]
         if wall:
             Rz = zt[:, None] + zs[None, :]
-            R2 = dx * dx + dy * dy + Rz * Rz
+            R2 = xy2 + Rz * Rz
             f1, g2, g3, g4, f5 = _wall_fields(R2, Rz, zs[None, :])
             fields = [A, B, f1, g2, g3, g4, f5]
 
@@ -171,7 +172,8 @@ def _dense_kernel(qx_ref, qy_ref, qz_ref, qsx_ref, qsy_ref, qsz_ref,
     dx = xt[:, None] - xs[None, :]
     dy = yt[:, None] - ys[None, :]
     dz = zt[:, None] - zs[None, :]
-    r2 = dx * dx + dy * dy + dz * dz
+    xy2 = dx * dx + dy * dy
+    r2 = xy2 + dz * dz
     rows = i * tr + lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
     cols = j * tc + lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
     self_mask = (rows == cols) if self_interaction else (
@@ -190,7 +192,7 @@ def _dense_kernel(qx_ref, qy_ref, qz_ref, qsx_ref, qsy_ref, qsz_ref,
 
     if wall:
         Rz = zt[:, None] + zs[None, :]
-        R2 = dx * dx + dy * dy + Rz * Rz
+        R2 = xy2 + Rz * Rz
         f1, g2, g3, g4, f5 = _wall_fields(R2, Rz, zs[None, :])
         mxx += f1 + g2 * dx * dx
         mxy += g2 * dx * dy
