@@ -9,12 +9,20 @@ Lubrication/Lubrication_Class.cc:35-700):
     with vectorized linear interpolation + the analytic near-field
     lubrication asymptotics;
   * the pairwise + wall resistance correction Delta_R = R_Sup - R_MB is
-    precomputed per step as dense-masked per-pair 6x6 blocks (the TPU
-    replacement for the reference's scipy-COO + CHOLMOD sparse path:
-    block einsums instead of CSC);
+    precomputed per step as per-pair 6x6 blocks: dense-masked for small B
+    or on a fixed-capacity neighbor list (`max_neighbors`, O(B K) memory
+    with an overflow counter) — the TPU replacement for the reference's
+    cKDTree + scipy-COO sparse assembly;
   * the lubrication-corrected mobility solve
-    U = (I + M dR)^{-1}(X + M Xm) runs by in-XLA GMRES with the grand RPY
-    wall mobility applied matrix-free;
+    U = (I + M dR)^{-1}(X + M Xm) runs by right-preconditioned in-XLA
+    GMRES with the grand RPY wall mobility applied matrix-free (one fused
+    Pallas pass over all four coupling blocks) and a batched
+    block-diagonal R_Sup preconditioner with isolated-particle bypass
+    replacing the reference's CHOLMOD factorization;
+  * `torque_from_omega` solves for the torques that constrain every
+    body's angular velocity (the Uniform_Rollers prescribed-spin mode,
+    with optional torque-norm cutoff), and `step_trapezoidal` accepts
+    omega/cut_torque like Update_Bodies_Trap;
   * Brownian noise uses Lanczos square roots of Delta_R and M, and RFD
     drift, with Euler-Maruyama and stochastic trapezoidal updates and
     wall/jump rejection.
@@ -303,6 +311,11 @@ class LubSolver:
     periodic_length: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     solver_tolerance: float = 1e-6
     lanczos_max_iter: int = 100
+    # if set, Delta_R is assembled on a fixed-capacity neighbor list
+    # (O(B K) memory, the TPU replacement for the reference's cKDTree+COO
+    # sparse path); None keeps the dense-masked O(B^2) blocks
+    max_neighbors: Optional[int] = None
+    use_pc: bool = True           # precondition (I + M dR) like Lub_Solver
     tables: Optional[LubricationTables] = None
     mesh: Optional[object] = dataclasses.field(default=None, compare=False)
 
@@ -323,12 +336,42 @@ class LubSolver:
 class DeltaRBlocks(NamedTuple):
     diag: jax.Array     # (B,6,6) summed self blocks + wall blocks
     offdiag: jax.Array  # (B,B,6,6) masked pair coupling blocks
+    diag_sup: jax.Array = None   # (B,6,6) R_Sup diagonal blocks (for PC)
+    diag_mb: jax.Array = None    # (B,6,6) R_MB diagonal blocks (for PC)
+    isolated: jax.Array = None   # (B,) no neighbors and far from wall
+
+
+class SparseDeltaR(NamedTuple):
+    """Delta_R on a fixed-capacity neighbor list: O(B K) memory, the TPU
+    equivalent of the reference's cKDTree + C++ COO assembly
+    (Lub_Solver.py:98-186, Lubrication_Class.cc:554-700)."""
+
+    idx: jax.Array       # (B,K) neighbor indices (self-padded)
+    mask: jax.Array      # (B,K) True where a real in-range neighbor
+    diag: jax.Array      # (B,6,6) Delta_R diagonal blocks incl. wall
+    off: jax.Array       # (B,K,6,6) Delta_R coupling blocks j->idx[j,k]
+    diag_sup: jax.Array  # (B,6,6)
+    diag_mb: jax.Array   # (B,6,6)
+    isolated: jax.Array  # (B,)
+    overflow: jax.Array  # () int32: true neighbors beyond capacity K
+
+
+def _wall_blocks(sol: LubSolver, pos, dtype):
+    """(W_sup, W_mb, wall_on) per body."""
+    h = pos[:, 2] / sol.a
+    W_sup = wall_resistance_sup(h, sol.mob_factor, sol.tables,
+                                sol.debye_cut, dtype)
+    W_mb = wall_resistance_mb(h, sol.mob_factor, sol.tables,
+                              sol.debye_cut, dtype)
+    wall_on = h < sol.cutoff_wall
+    on = wall_on[:, None, None]
+    return jnp.where(on, W_sup, 0.0), jnp.where(on, W_mb, 0.0), wall_on
 
 
 def compute_delta_r_blocks(sol: LubSolver, pos) -> DeltaRBlocks:
     """Delta_R = R_Sup - R_MB as per-pair blocks (Set_R_Mats,
-    Lub_Solver.py:98-275). Dense-masked over all pairs (the TPU analog of
-    the reference's cKDTree + COO assembly)."""
+    Lub_Solver.py:98-275). Dense-masked over all pairs; use
+    `compute_delta_r_sparse` (sol.max_neighbors) for large B."""
     dtype = pos.dtype
     B = sol.num_bodies
     tables = sol.tables
@@ -346,30 +389,134 @@ def compute_delta_r_blocks(sol: LubSolver, pos) -> DeltaRBlocks:
                                 sol.debye_cut)
     R_mb = pair_resistance_mb(r_norm, r_hat, sol.mob_factor, tables,
                               sol.debye_cut)
-    dR = jnp.where(in_range[..., None, None], R_sup - R_mb, 0.0)
+    keep = in_range[..., None, None]
+    R_sup = jnp.where(keep, R_sup, 0.0)
+    R_mb = jnp.where(keep, R_mb, 0.0)
+    dR = R_sup - R_mb
 
     diag = jnp.sum(dR[:, :, 0:6, 0:6], axis=1)       # sum_k jj blocks
     offdiag = dR[:, :, 0:6, 6:12]                    # jk blocks
 
-    # wall contribution on the diagonal
-    h = pos[:, 2] / sol.a
-    W_sup = wall_resistance_sup(h, sol.mob_factor, tables, sol.debye_cut,
-                                dtype)
-    W_mb = wall_resistance_mb(h, sol.mob_factor, tables, sol.debye_cut,
-                              dtype)
-    wall_on = (h < sol.cutoff_wall)[:, None, None]
-    diag = diag + jnp.where(wall_on, W_sup - W_mb, 0.0)
-    return DeltaRBlocks(diag=diag, offdiag=offdiag)
+    W_sup, W_mb, wall_on = _wall_blocks(sol, pos, dtype)
+    diag_sup = jnp.sum(R_sup[:, :, 0:6, 0:6], axis=1) + W_sup
+    diag_mb = jnp.sum(R_mb[:, :, 0:6, 0:6], axis=1) + W_mb
+    diag = diag + W_sup - W_mb
+    isolated = (~jnp.any(in_range, axis=1)) & (~wall_on)
+    return DeltaRBlocks(diag=diag, offdiag=offdiag, diag_sup=diag_sup,
+                        diag_mb=diag_mb, isolated=isolated)
 
 
-def delta_r_mult(blocks: DeltaRBlocks, X):
+def compute_delta_r_sparse(sol: LubSolver, pos) -> SparseDeltaR:
+    """Delta_R on a fixed-capacity neighbor list (K = sol.max_neighbors).
+
+    Neighbor search is an O(B^2) distance sweep (only (B,B) scalars, never
+    (B,B,6,6) blocks) keeping the K nearest in-range bodies per row; the
+    `overflow` counter reports true neighbors dropped past capacity so a
+    driver can fail loudly rather than silently truncate."""
+    K = int(sol.max_neighbors)
+    dtype = pos.dtype
+    B = sol.num_bodies
+    L = tuple(sol.periodic_length)
+
+    d_all = mob._min_image(pos[:, None, :] - pos[None, :, :], L) / sol.a
+    r2 = jnp.sum(d_all * d_all, axis=-1)
+    self_mask = jnp.eye(B, dtype=bool)
+    in_range = (~self_mask) & (r2 < sol.cutoff * sol.cutoff)
+    counts = jnp.sum(in_range, axis=1)
+    overflow = jnp.maximum(jnp.max(counts) - K, 0).astype(jnp.int32)
+
+    r2_sort = jnp.where(in_range, r2, jnp.inf)
+    order = jnp.argsort(r2_sort, axis=1)[:, :K]                 # (B,K)
+    mask = jnp.take_along_axis(in_range, order, axis=1)         # (B,K)
+    idx = jnp.where(mask, order, jnp.arange(B)[:, None])        # self-pad
+
+    pos_k = pos[idx]                                            # (B,K,3)
+    d = mob._min_image(pos[:, None, :] - pos_k, L) / sol.a
+    r_norm = jnp.sqrt(jnp.where(mask, jnp.sum(d * d, axis=-1), 16.0))
+    r_hat = -d / r_norm[..., None]
+
+    R_sup = pair_resistance_sup(r_norm, r_hat, sol.mob_factor, sol.tables,
+                                sol.debye_cut)
+    R_mb = pair_resistance_mb(r_norm, r_hat, sol.mob_factor, sol.tables,
+                              sol.debye_cut)
+    keep = mask[..., None, None]
+    R_sup = jnp.where(keep, R_sup, 0.0)
+    R_mb = jnp.where(keep, R_mb, 0.0)
+    dR = R_sup - R_mb
+
+    W_sup, W_mb, wall_on = _wall_blocks(sol, pos, dtype)
+    diag_sup = jnp.sum(R_sup[:, :, 0:6, 0:6], axis=1) + W_sup
+    diag_mb = jnp.sum(R_mb[:, :, 0:6, 0:6], axis=1) + W_mb
+    diag = jnp.sum(dR[:, :, 0:6, 0:6], axis=1) + W_sup - W_mb
+    off = dR[:, :, 0:6, 6:12]
+    isolated = (~jnp.any(mask, axis=1)) & (~wall_on)
+    return SparseDeltaR(idx=idx, mask=mask, diag=diag, off=off,
+                        diag_sup=diag_sup, diag_mb=diag_mb,
+                        isolated=isolated, overflow=overflow)
+
+
+def compute_blocks(sol: LubSolver, pos):
+    """Dense-masked or neighbor-list Delta_R per sol.max_neighbors."""
+    if sol.max_neighbors is not None:
+        return compute_delta_r_sparse(sol, pos)
+    return compute_delta_r_blocks(sol, pos)
+
+
+def delta_r_mult(blocks, X):
     """Delta_R @ X for X (6B,) in interleaved [F_1 T_1 F_2 T_2 ...]
-    layout."""
+    layout (dense-masked or neighbor-list blocks)."""
     B = blocks.diag.shape[0]
     x = X.reshape(B, 6)
     out = jnp.einsum("bij,bj->bi", blocks.diag, x)
-    out = out + jnp.einsum("bkij,kj->bi", blocks.offdiag, x)
+    if isinstance(blocks, SparseDeltaR):
+        xk = x[blocks.idx] * blocks.mask[..., None]
+        out = out + jnp.einsum("bkij,bkj->bi", blocks.off, xk)
+    else:
+        out = out + jnp.einsum("bkij,kj->bi", blocks.offdiag, x)
     return out.reshape(-1)
+
+
+def delta_r_sub_mult(blocks, v3, rows=slice(3, 6), cols=slice(0, 3)):
+    """Apply a 3x3 sub-block family of Delta_R (e.g. the rot-trans
+    coupling used by the Torque_from_Omega preconditioner,
+    Lub_Solver.py:962-975) to a (3B,) vector."""
+    B = blocks.diag.shape[0]
+    v = v3.reshape(B, 3)
+    out = jnp.einsum("bij,bj->bi", blocks.diag[:, rows, cols], v)
+    if isinstance(blocks, SparseDeltaR):
+        vk = v[blocks.idx] * blocks.mask[..., None]
+        out = out + jnp.einsum("bkij,bkj->bi", blocks.off[:, :, rows, cols],
+                               vk)
+    else:
+        out = out + jnp.einsum("bkij,kj->bi", blocks.offdiag[:, :, rows, cols],
+                               v)
+    return out.reshape(-1)
+
+
+def make_lub_pc(sol: LubSolver, blocks):
+    """Right preconditioner for (I + M dR): the TPU replacement for the
+    reference's CHOLMOD-factorized R_Sup PC with isolated-particle bypass
+    (Lubrucation_solve, Lub_Solver.py:541-588; IpMDR_PC :426-443).
+
+    Instead of a sparse Cholesky of the full R_Sup, factor its 6x6
+    block diagonal batched (one vmapped Cholesky over bodies): the wall
+    lubrication and the summed near-contact pair stiffness — the terms
+    that blow up the (I + M dR) spectrum — live on that diagonal.
+    PC(X) = R_MB,diag (R_Sup,diag + small I)^{-1} X, identity on isolated
+    bodies (where R_MB = 0 and the reference bypasses too)."""
+    small = 6.0 * np.pi * sol.eta * sol.a * sol.solver_tolerance
+    A = blocks.diag_sup + small * jnp.eye(6, dtype=blocks.diag_sup.dtype)
+    chol = jax.vmap(jnp.linalg.cholesky)(A)
+    iso = blocks.isolated[:, None]
+
+    def pc(X):
+        x = X.reshape(-1, 6)
+        y = jax.vmap(
+            lambda c, b: jax.scipy.linalg.cho_solve((c, True), b))(chol, x)
+        y = jnp.einsum("bij,bj->bi", blocks.diag_mb, y)
+        return jnp.where(iso, x, y).reshape(-1)
+
+    return pc
 
 
 def wall_mobility_mult(sol: LubSolver, pos, X):
@@ -382,10 +529,10 @@ def wall_mobility_mult(sol: LubSolver, pos, X):
     return jnp.concatenate([u, w], axis=1).reshape(-1)
 
 
-def lub_solve(sol: LubSolver, pos, blocks: DeltaRBlocks, X=None, Xm=None,
+def lub_solve(sol: LubSolver, pos, blocks, X=None, Xm=None,
               x0=None, maxiter=1000, restart=100):
-    """U = (I + M dR)^{-1} (X + M Xm) by GMRES (Lub_Solver.py:518-604).
-    Returns (U, iterations)."""
+    """U = (I + M dR)^{-1} (X + M Xm) by right-preconditioned GMRES
+    (Lubrucation_solve, Lub_Solver.py:518-604). Returns (U, iterations)."""
     n = 6 * sol.num_bodies
     dtype = pos.dtype
     rhs = jnp.zeros(n, dtype)
@@ -397,10 +544,13 @@ def lub_solve(sol: LubSolver, pos, blocks: DeltaRBlocks, X=None, Xm=None,
     def op(v):
         return v + wall_mobility_mult(sol, pos, delta_r_mult(blocks, v))
 
+    pc = make_lub_pc(sol, blocks) if sol.use_pc else None
     rhs_norm = jnp.linalg.norm(rhs)
     safe = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
+    if x0 is not None:
+        x0 = x0 / safe
     res = gmres(op, rhs / safe, x0=x0, tol=sol.solver_tolerance,
-                restart=restart, maxiter=maxiter)
+                restart=restart, maxiter=maxiter, M=pc)
     return res.x * rhs_norm, res.iterations
 
 
@@ -415,6 +565,77 @@ def lub_rfd_solve(sol: LubSolver, pos, blocks: DeltaRBlocks, X,
     res = gmres(op, X.reshape(-1) / safe, tol=sol.solver_tolerance,
                 restart=restart, maxiter=maxiter)
     return res.x * rhs_norm, res.iterations
+
+
+def torque_from_omega(sol: LubSolver, pos, blocks, omega, F,
+                      cut_torque=None, maxiter=100, restart=100):
+    """Torques that (approximately) constrain every body's angular
+    velocity to `omega` given forces F — the reference's
+    Torque_from_Omega (Lub_Solver.py:890-1025), used by the
+    Uniform_Rollers driver (BASELINE config 5).
+
+    Solves for (V, T):  -(I + M dR) [V; 0] + M [0; T] = (I + M dR)[0; w]
+    - M [F; 0], preconditioned with the batched block factorization of
+    (6 pi eta a I + dR_tt) replacing the reference's sparse CHOLMOD
+    (:962-975). omega: (3,) or (B,3). Returns (T, VO_guess)."""
+    B = sol.num_bodies
+    dtype = pos.dtype
+    omega = jnp.asarray(omega, dtype)
+    if omega.ndim == 0:
+        # reference convention: scalar spins about y_hat (:927-929)
+        omega = jnp.stack([jnp.zeros_like(omega), omega,
+                           jnp.zeros_like(omega)])
+    omega = jnp.broadcast_to(omega.reshape(-1, 3)[-1] if omega.ndim == 1
+                             else omega, (B, 3))
+    F = F.reshape(B, 3).astype(dtype)
+    c1 = 6.0 * np.pi * sol.eta * sol.a
+    c2 = 8.0 * np.pi * sol.eta * sol.a ** 3
+
+    def ipmdr(v):
+        return v + wall_mobility_mult(sol, pos, delta_r_mult(blocks, v))
+
+    def pack(V, T):
+        return jnp.concatenate([V, T], axis=1).reshape(-1)
+
+    zeros3 = jnp.zeros((B, 3), dtype)
+    rhs = ipmdr(pack(zeros3, omega)) - wall_mobility_mult(
+        sol, pos, pack(F, zeros3))
+
+    def op(vt):
+        x = vt.reshape(B, 6)
+        V, T = x[:, 0:3], x[:, 3:6]
+        out = ipmdr(pack(-V, zeros3)) + wall_mobility_mult(
+            sol, pos, pack(zeros3, T))
+        return out
+
+    # PC: V-block from batched (c1 I + dR_tt,diag) factors; T-block
+    # c2 ab_rot + dR_rt V (Lub_Solver.py:955-975)
+    Vmat = blocks.diag[:, 0:3, 0:3] + c1 * jnp.eye(3, dtype=dtype)
+    chol = jax.vmap(jnp.linalg.cholesky)(Vmat)
+
+    def pc(ab):
+        x = ab.reshape(B, 6)
+        a = -c1 * x[:, 0:3]
+        v = jax.vmap(lambda c, b: jax.scipy.linalg.cho_solve((c, True), b))(
+            chol, a)
+        t = c2 * x[:, 3:6] + delta_r_sub_mult(blocks, v.reshape(-1)).reshape(
+            B, 3)
+        return pack(v, t)
+
+    rhs_norm = jnp.linalg.norm(rhs)
+    safe = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
+    x0 = pack(zeros3, c2 * omega) / safe
+    res = gmres(op, rhs / safe, x0=x0, tol=sol.solver_tolerance,
+                restart=restart, maxiter=maxiter, M=pc)
+    vt = (res.x * rhs_norm).reshape(B, 6)
+    T = vt[:, 3:6]
+    if cut_torque is not None:
+        Tn = jnp.linalg.norm(T, axis=1)
+        scale = jnp.where(Tn > 0, jnp.minimum(Tn, cut_torque)
+                          / jnp.where(Tn > 0, Tn, 1.0), 1.0)
+        T = T * scale[:, None]
+    vo_guess = pack(vt[:, 0:3], omega)
+    return T, vo_guess, res.iterations
 
 
 def mobility_root_rhs(sol: LubSolver, pos, blocks: DeltaRBlocks, key):
@@ -449,8 +670,8 @@ def rfd_rhs(sol: LubSolver, pos, blocks: DeltaRBlocks, key):
     Qp = pos + (sol.rf_delta / 2.0) * Wrfd
     Qm = pos - (sol.rf_delta / 2.0) * Wrfd
 
-    blocks_p = compute_delta_r_blocks(sol, Qp)
-    blocks_m = compute_delta_r_blocks(sol, Qm)
+    blocks_p = compute_blocks(sol, Qp)
+    blocks_m = compute_blocks(sol, Qm)
 
     UWrfd, its = lub_rfd_solve(sol, pos, blocks, W)
     MUW = wall_mobility_mult(sol, pos, UWrfd)
@@ -488,7 +709,7 @@ def step_euler_maruyama(sol: LubSolver, pos, quats, key, ft_calc):
     Lub_Solver.py:641-663, :722-747). ft_calc(pos) -> (B,6) interleaved.
     Rejected steps keep the old state (single-shot, as the reference)."""
     dtype = pos.dtype
-    blocks = compute_delta_r_blocks(sol, pos)
+    blocks = compute_blocks(sol, pos)
     FT = ft_calc(pos).reshape(-1)
     k1, k2 = jax.random.split(key)
     stoch_its = jnp.asarray(0)
@@ -516,23 +737,36 @@ def step_euler_maruyama(sol: LubSolver, pos, quats, key, ft_calc):
     return pos_out, quat_out, aux
 
 
-def step_trapezoidal(sol: LubSolver, pos, quats, key, ft_calc):
+def step_trapezoidal(sol: LubSolver, pos, quats, key, ft_calc,
+                     omega=None, cut_torque=None):
     """Stochastic trapezoidal update (Update_Bodies_Trap,
-    Lub_Solver.py:749-888)."""
+    Lub_Solver.py:749-888). If `omega` is given, per-body torques that
+    constrain the angular velocity are solved for and injected before the
+    predictor (and reused in the corrector, the reference's
+    second_order=False path, :838-851), optionally norm-capped at
+    `cut_torque` — the Uniform_Rollers prescribed-spin mode."""
     dtype = pos.dtype
-    blocks = compute_delta_r_blocks(sol, pos)
+    blocks = compute_blocks(sol, pos)
     FT = ft_calc(pos).reshape(-1)
+    vo_guess = None
+    torque_its = jnp.asarray(0)
+    if omega is not None:
+        ftr = FT.reshape(sol.num_bodies, 6)
+        T_omega, vo_guess, torque_its = torque_from_omega(
+            sol, pos, blocks, omega, ftr[:, 0:3], cut_torque=cut_torque)
+        FT = ftr.at[:, 3:6].add(T_omega).reshape(-1)
     k1, k2 = jax.random.split(key)
 
     root_xm, root_x, it_l = mobility_root_rhs(sol, pos, blocks, k1)
     m_half = root_x + wall_mobility_mult(sol, pos, root_xm)
 
-    vel_p, its1 = lub_solve(sol, pos, blocks, X=m_half, Xm=FT)
+    vel_p, its1 = lub_solve(sol, pos, blocks, X=m_half, Xm=FT,
+                            x0=vo_guess)
     vp = vel_p.reshape(sol.num_bodies, 6)
     pos_mid = pos + sol.dt * vp[:, 0:3]
     quat_mid = quat.step(quats, vp[:, 3:6], sol.dt)
 
-    blocks_mid = compute_delta_r_blocks(sol, pos_mid)
+    blocks_mid = compute_blocks(sol, pos_mid)
 
     # RFD drift for M (Lub_Solver.py:810-822)
     W = jax.random.normal(k2, (6 * sol.num_bodies,), dtype)
@@ -543,6 +777,9 @@ def step_trapezoidal(sol: LubSolver, pos, quats, key, ft_calc):
         wall_mobility_mult(sol, Qp, W) - wall_mobility_mult(sol, Qm, W))
 
     FT_c = ft_calc(pos_mid).reshape(-1)
+    if omega is not None:
+        ftc = FT_c.reshape(sol.num_bodies, 6)
+        FT_c = ftc.at[:, 3:6].add(T_omega).reshape(-1)
     vel_c, its2 = lub_solve(sol, pos_mid, blocks_mid, X=d_m + m_half,
                             Xm=FT_c, x0=vel_p)
     v = 0.5 * (vel_p + vel_c).reshape(sol.num_bodies, 6)
@@ -553,7 +790,7 @@ def step_trapezoidal(sol: LubSolver, pos, quats, key, ft_calc):
     reject = wall_bad | jump_bad
     pos_out = jnp.where(reject, pos, pos_new)
     quat_out = jnp.where(reject, quats, quat_new)
-    aux = LubStepAux(velocities=v, det_iterations=its1 + its2,
+    aux = LubStepAux(velocities=v, det_iterations=its1 + its2 + torque_its,
                      stoch_iterations=it_l,
                      rejections_wall=wall_bad.astype(jnp.int32),
                      rejections_jump=(jump_bad & ~wall_bad).astype(jnp.int32))

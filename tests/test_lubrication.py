@@ -165,3 +165,138 @@ def test_em_and_trap_steps_finite():
     assert int(aux2.stoch_iterations) > 0
     # sedimentation downward on average
     assert np.mean(np.asarray(p2)[:, 2]) < np.mean(np.asarray(pos)[:, 2])
+
+
+# ---------------------------------------------------------------------------
+# Round 2: neighbor-list blocks, preconditioner, Torque_from_Omega
+# ---------------------------------------------------------------------------
+
+
+def _cluster_positions(n, seed=5, spacing=2.05, z0=1.05):
+    """Near-contact grid above the wall: lubrication-stiff configuration."""
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(n ** 0.5))
+    idx = np.arange(n)
+    pos = np.stack([(idx % side) * spacing, (idx // side) * spacing,
+                    np.full(n, z0)], axis=1)
+    pos += rng.uniform(-0.01, 0.01, (n, 3))
+    pos[:, 2] = np.maximum(pos[:, 2], 1.01)
+    return jnp.asarray(pos)
+
+
+def test_sparse_blocks_match_dense():
+    """Neighbor-list Delta_R must reproduce the dense-masked apply."""
+    n = 40
+    pos = _cluster_positions(n, spacing=2.2)
+    sol_d = _solver(n)
+    sol_s = _solver(n, max_neighbors=12)
+    bd = lub.compute_delta_r_blocks(sol_d, pos)
+    bs = lub.compute_delta_r_sparse(sol_s, pos)
+    assert int(bs.overflow) == 0
+    x = jnp.asarray(np.random.default_rng(3).normal(size=6 * n))
+    yd = np.asarray(lub.delta_r_mult(bd, x))
+    ys = np.asarray(lub.delta_r_mult(bs, x))
+    assert np.allclose(ys, yd, atol=1e-10 * np.abs(yd).max())
+    # sub-block product (rot rows, trans cols) matches too
+    v = jnp.asarray(np.random.default_rng(4).normal(size=3 * n))
+    sd = np.asarray(lub.delta_r_sub_mult(bd, v))
+    ss = np.asarray(lub.delta_r_sub_mult(bs, v))
+    assert np.allclose(ss, sd, atol=1e-10 * np.abs(sd).max())
+    # diagonal R_Sup/R_MB factors match
+    assert np.allclose(np.asarray(bs.diag_sup), np.asarray(bd.diag_sup),
+                       atol=1e-10)
+    assert np.allclose(np.asarray(bs.diag_mb), np.asarray(bd.diag_mb),
+                       atol=1e-10)
+
+
+def test_sparse_overflow_detected():
+    n = 20
+    pos = _cluster_positions(n, spacing=2.05)
+    sol = _solver(n, max_neighbors=1)
+    bs = lub.compute_delta_r_sparse(sol, pos)
+    assert int(bs.overflow) > 0
+
+
+def test_pc_solution_matches_and_cuts_iterations():
+    """The block-diagonal R_Sup preconditioner must not change the
+    solution and must cut GMRES iterations on a lubrication-stiff
+    near-contact cluster (reference PC: Lub_Solver.py:541-588)."""
+    n = 49
+    pos = _cluster_positions(n, spacing=2.02, z0=1.02)
+    rng = np.random.default_rng(9)
+    FT = jnp.asarray(rng.normal(size=6 * n))
+    sol_pc = _solver(n, solver_tolerance=1e-9)
+    sol_no = _solver(n, solver_tolerance=1e-9, use_pc=False)
+    blocks = lub.compute_delta_r_blocks(sol_pc, pos)
+    u_pc, it_pc = lub.lub_solve(sol_pc, pos, blocks, Xm=FT)
+    u_no, it_no = lub.lub_solve(sol_no, pos, blocks, Xm=FT)
+    scale = np.abs(np.asarray(u_no)).max()
+    assert np.allclose(np.asarray(u_pc), np.asarray(u_no),
+                       atol=1e-6 * scale)
+    assert int(it_pc) < int(it_no), (int(it_pc), int(it_no))
+
+
+def test_torque_from_omega_constrains_rotation():
+    """Injecting the solved torques must give angular velocity ~= omega
+    for every body (Lub_Solver.py:890-1025)."""
+    n = 16
+    pos = _cluster_positions(n, spacing=2.5, z0=1.2)
+    rng = np.random.default_rng(11)
+    F = jnp.asarray(rng.normal(size=(n, 3)) * 0.5)
+    sol = _solver(n, solver_tolerance=1e-10)
+    blocks = lub.compute_delta_r_blocks(sol, pos)
+    om = 0.7
+    T, vo_guess, its = lub.torque_from_omega(sol, pos, blocks, om, F)
+    FT = jnp.concatenate([F, T], axis=1).reshape(-1)
+    U, _ = lub.lub_solve(sol, pos, blocks, Xm=FT, x0=jnp.asarray(vo_guess))
+    W = np.asarray(U).reshape(n, 6)[:, 3:6]
+    assert np.allclose(W, np.array([0.0, om, 0.0]), atol=1e-5)
+
+
+def test_torque_cutoff_caps_norms():
+    n = 9
+    pos = _cluster_positions(n, spacing=2.05, z0=1.05)
+    sol = _solver(n, solver_tolerance=1e-8)
+    blocks = lub.compute_delta_r_blocks(sol, pos)
+    F = jnp.zeros((n, 3))
+    T_free, _, _ = lub.torque_from_omega(sol, pos, blocks, 1.0, F)
+    cap = 0.5 * float(jnp.linalg.norm(T_free, axis=1).max())
+    T_cut, _, _ = lub.torque_from_omega(sol, pos, blocks, 1.0, F,
+                                        cut_torque=cap)
+    assert float(jnp.linalg.norm(T_cut, axis=1).max()) <= cap * (1 + 1e-12)
+
+
+def test_lub_solve_500_bodies_sparse():
+    """>=500-body lubrication solve on the neighbor-list path with PC."""
+    n = 512
+    pos = _cluster_positions(n, spacing=2.1, z0=1.05)
+    sol = _solver(n, max_neighbors=16, solver_tolerance=1e-6)
+    blocks = lub.compute_delta_r_sparse(sol, pos)
+    assert int(blocks.overflow) == 0
+    rng = np.random.default_rng(13)
+    FT = jnp.asarray(rng.normal(size=6 * n))
+    U, its = lub.lub_solve(sol, pos, blocks, Xm=FT)
+    assert np.all(np.isfinite(np.asarray(U)))
+    assert 0 < int(its) < 200
+
+
+def test_trapezoidal_with_omega_runs():
+    """Prescribed-spin trapezoidal step (Uniform_Rollers mode)."""
+    n = 12
+    pos = _cluster_positions(n, spacing=2.4, z0=1.3)
+    quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1))
+    # kT=0: the deterministic rolling drift is tiny vs Brownian kicks
+    sol = _solver(n, kT=0.0, dt=5e-4, solver_tolerance=1e-7)
+
+    def ft_calc(p):
+        ft = jnp.zeros((n, 6), p.dtype)
+        return ft.at[:, 2].set(-0.1)
+
+    pos2, q2, aux = lub.step_trapezoidal(
+        sol, pos, quats, jax.random.PRNGKey(0), ft_calc,
+        omega=1.0, cut_torque=50.0)
+    assert np.all(np.isfinite(np.asarray(pos2)))
+    assert int(aux.rejections_wall) == 0
+    # bodies near a wall spinning about +y must roll in +x on average
+    dx = np.asarray(pos2[:, 0] - pos[:, 0]).mean()
+    assert dx > 0
