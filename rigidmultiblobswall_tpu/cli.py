@@ -99,6 +99,157 @@ def main(argv=None):
                    delimiter="  ")
         print("Time to compute body mobility =", time.time() - start_time)
 
+    elif cfg.scheme in ("body_mcmc", "MCMC"):
+        # Markov-chain Monte Carlo equilibrium sampling (the reference's
+        # many_bodyMCMC/many_body_MCMC.py driver; negative initial_step
+        # runs adaptive burn-in)
+        from .models import mcmc
+
+        key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+        mc, traj, energies = jax.jit(
+            lambda s, k: mcmc.run_mcmc(
+                system, s, k, n_steps=cfg.n_steps, save_every=cfg.n_save,
+                initial_step=min(cfg.initial_step, 0)),
+            static_argnums=())(state, key)
+        offs = system.body_offsets
+        n_saved = int(np.asarray(energies).shape[0])
+        for s_idx in range(n_saved):
+            step_idx = s_idx * cfg.n_save
+            for i, t in enumerate(system.types):
+                pos_i = np.asarray(traj.pos)[s_idx, offs[i]:offs[i + 1]]
+                quat_i = np.asarray(traj.quat)[s_idx, offs[i]:offs[i + 1]]
+                if cfg.save_clones == "one_file":
+                    name = "%s.%s.config" % (cfg.output_name, t.name)
+                    with open(name, "w" if s_idx == 0 else "a") as f:
+                        f.write("%d\n" % len(pos_i))
+                        for x, q in zip(pos_i, quat_i):
+                            f.write("%s %s %s %s %s %s %s\n" % (
+                                x[0], x[1], x[2], q[0], q[1], q[2], q[3]))
+                else:
+                    scene.write_clones_file(
+                        "%s.%s.%08d.clones" % (cfg.output_name, t.name,
+                                               step_idx), pos_i, quat_i)
+        n_total = cfg.n_steps - min(cfg.initial_step, 0)
+        with open(cfg.output_name + ".MCMC_info", "w") as f:
+            f.write("acceptance ratio = %s\n"
+                    % (int(mc.accepted) / max(n_total, 1)))
+            f.write("accepted_moves = %d\n" % int(mc.accepted))
+            f.write("final max_translation = %s\n"
+                    % float(mc.max_translation))
+            f.write("final energy = %s\n" % float(mc.energy))
+
+    elif cfg.scheme == "body_mcmc_rejection":
+        # independent-sample rejection sampler
+        # (many_bodyMCMC/many_body_rejection.py)
+        from .models import mcmc
+
+        key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+        n_estimate = int(cfg.options.get(
+            "n_estimate", max(cfg.n_steps // 100, 100000)))
+        res = jax.jit(lambda k: mcmc.run_rejection_sampler(
+            system, k, n_steps=cfg.n_steps, n_estimate=n_estimate))(key)
+        accepted = np.asarray(res.accepted)
+        offs = system.body_offsets
+        for i, t in enumerate(system.types):
+            name = "%s.%s.config" % (cfg.output_name, t.name)
+            with open(name, "w") as f:
+                for s_idx in np.nonzero(accepted)[0]:
+                    pos_i = np.asarray(res.states.pos)[
+                        s_idx, offs[i]:offs[i + 1]]
+                    quat_i = np.asarray(res.states.quat)[
+                        s_idx, offs[i]:offs[i + 1]]
+                    f.write("%d\n" % len(pos_i))
+                    for x, q in zip(pos_i, quat_i):
+                        f.write("%s %s %s %s %s %s %s\n" % (
+                            x[0], x[1], x[2], q[0], q[1], q[2], q[3]))
+        with open(cfg.output_name + ".MCMC_info", "w") as f:
+            f.write("acceptance ratio = %s\n"
+                    % (accepted.sum() / max(cfg.n_steps, 1)))
+            f.write("accepted_moves = %d\n" % accepted.sum())
+            f.write("minimum_energy = %s\n" % float(res.minimum_energy))
+
+    elif cfg.scheme.startswith("lubrication"):
+        # lubrication-corrected sphere suspension (the reference's
+        # Lubrication_Examples drivers, e.g. Uniform_Rollers
+        # main_rollers.py; BASELINE config 5). Bodies are single spheres
+        # of radius blob_radius; options: omega, cut_torque,
+        # lub_cutoff[_wall], max_neighbors, firm_delta.
+        from .models import lubrication as lub
+        from .ops import forces
+
+        opts = cfg.options
+        tables = lub.LubricationTables.load(
+            opts.get("lubrication_tables_dir", lub.DEFAULT_TABLE_DIR))
+        max_nb = opts.get("max_neighbors")
+        sol = lub.LubSolver(
+            num_bodies=system.num_bodies, eta=cfg.eta, a=cfg.blob_radius,
+            kT=cfg.kT, dt=cfg.dt,
+            cutoff=float(opts.get("lub_cutoff", 4.5)),
+            cutoff_wall=float(opts.get("lub_cutoff_wall", 4.5)),
+            debye_cut=float(opts.get("firm_delta", 1e-2)),
+            rf_delta=cfg.rf_delta,
+            periodic_length=tuple(cfg.periodic_length),
+            solver_tolerance=cfg.solver_tolerance,
+            max_neighbors=int(max_nb) if max_nb is not None else None,
+            tables=tables)
+        omega = (float(opts["omega"]) if "omega" in opts else None)
+        cut_torque = (float(opts["cut_torque"]) if "cut_torque" in opts
+                      else None)
+        weight = cfg.g
+        a = cfg.blob_radius
+
+        def ft_calc(pos):
+            # gravity + wall Yukawa + pair soft repulsion on the sphere
+            # centers (Uniform_Rollers FT_calc composition)
+            f = forces.blob_external_forces(
+                pos, g=weight, blob_radius=a,
+                repulsion_strength_wall=cfg.repulsion_strength_wall,
+                debye_length_wall=cfg.debye_length_wall)
+            f = f + forces.blob_blob_forces(
+                pos, repulsion_strength=cfg.repulsion_strength,
+                debye_length=cfg.debye_length, blob_radius=a,
+                periodic_length=tuple(cfg.periodic_length))
+            return jnp.concatenate([f, jnp.zeros_like(f)], axis=1)
+
+        stepper = (lub.step_euler_maruyama
+                   if "euler" in cfg.scheme else lub.step_trapezoidal)
+        if stepper is lub.step_trapezoidal:
+            def jit_body(pos, quats, key):
+                return stepper(sol, pos, quats, key, ft_calc,
+                               omega=omega, cut_torque=cut_torque)
+        else:
+            def jit_body(pos, quats, key):
+                return stepper(sol, pos, quats, key, ft_calc)
+        jit_step = jax.jit(jit_body)
+
+        key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+        pos, quats = state.pos, state.quat
+        name = system.types[0].name
+        det_iters = stoch_iters = rej_wall = rej_jump = 0
+        for step_idx in range(cfg.initial_step, cfg.n_steps):
+            if (step_idx % cfg.n_save) == 0 and step_idx >= 0:
+                scene.write_clones_file(
+                    "%s.%s.%08d.clones" % (cfg.output_name, name, step_idx),
+                    np.asarray(pos), np.asarray(quats))
+            key, sub = jax.random.split(key)
+            pos, quats, aux = jit_step(pos, quats, sub)
+            det_iters += int(aux.det_iterations)
+            stoch_iters += int(aux.stoch_iterations)
+            rej_wall += int(aux.rejections_wall)
+            rej_jump += int(aux.rejections_jump)
+            if args.print_residual:
+                print("lubrication step %d: gmres its %d, lanczos its %d"
+                      % (step_idx, int(aux.det_iterations),
+                         int(aux.stoch_iterations)))
+        scene.write_clones_file(
+            "%s.%s.%08d.clones" % (cfg.output_name, name, cfg.n_steps),
+            np.asarray(pos), np.asarray(quats))
+        with open(cfg.output_name + ".info", "w") as f:
+            f.write("num_rejections_wall              %d\n" % rej_wall)
+            f.write("num_rejections_jump              %d\n" % rej_jump)
+            f.write("deterministic_iterations_count   %d\n" % det_iters)
+            f.write("stochastic_iterations_count      %d\n" % stoch_iters)
+
     elif (cfg.scheme.endswith("_rollers")
           and not cfg.scheme.startswith("articulated_")):
         # minimally-resolved rollers path (reference main_rollers.py);
@@ -155,9 +306,16 @@ def main(argv=None):
     else:
         # dynamic simulation
         key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+        gmres_maxiter = 1000
         step = integrators.make_stepper(system, cfg.scheme, cfg.dt,
-                                        tolerance=cfg.solver_tolerance)
-        carry = integrators.init_carry(system, dtype=state.pos.dtype)
+                                        tolerance=cfg.solver_tolerance,
+                                        gmres_maxiter=gmres_maxiter,
+                                        update_PC=cfg.update_PC,
+                                        verbose=args.print_residual)
+        carry = (integrators.init_carry_with_pc(system, state,
+                                                dtype=state.pos.dtype)
+                 if cfg.update_PC > 1
+                 else integrators.init_carry(system, dtype=state.pos.dtype))
 
         @jax.jit
         def jit_step(state, key, carry):
@@ -166,6 +324,7 @@ def main(argv=None):
         det_iters = 0
         stoch_iters = 0
         rejections = 0
+        unconverged_steps = 0
 
         velocities_log = []
 
@@ -200,6 +359,13 @@ def main(argv=None):
             det_iters += int(aux.det_iterations)
             stoch_iters += int(aux.stoch_iterations)
             rejections += int(aux.rejections)
+            # a solve that consumed the full iteration budget did not
+            # reach tolerance: surface it instead of silently continuing
+            if int(aux.det_iterations) >= gmres_maxiter:
+                unconverged_steps += 1
+                print("WARNING: step %d GMRES hit maxiter=%d without "
+                      "converging" % (step_idx, gmres_maxiter),
+                      file=sys.stderr)
             if cfg.options.get("save_velocities", "False") == "True":
                 velocities_log.append(np.asarray(aux.velocities))
         save_clones(cfg.n_steps, state)
@@ -211,6 +377,8 @@ def main(argv=None):
             f.write("invalid_configuration_count      %d\n" % rejections)
             f.write("deterministic_iterations_count   %d\n" % det_iters)
             f.write("stochastic_iterations_count      %d\n" % stoch_iters)
+            f.write("unconverged_solve_steps          %d\n"
+                    % unconverged_steps)
         # PRNG reproducibility (the reference pickles np.random state,
         # multi_bodies.py:1160-1162; the JAX equivalent is the final key)
         np.savetxt(cfg.output_name + ".random_state",

@@ -56,6 +56,9 @@ class InputConfig:
     slip_file: Optional[str] = None
     force_file: Optional[str] = None
     plot_velocity_field: Optional[np.ndarray] = None
+    # phoretic / Laplace coupling (read_input.py:100-102)
+    background_laplace: Optional[np.ndarray] = None
+    diffusion_coefficient: float = 1.0
 
 
 def read_input(path) -> InputConfig:
@@ -120,12 +123,29 @@ def read_input(path) -> InputConfig:
     cfg.force_file = g("force_file")
     if g("plot_velocity_field"):
         cfg.plot_velocity_field = np.fromstring(g("plot_velocity_field"), sep=" ")
+    tmp_laplace = np.fromstring(g("background_Laplace") or "", sep=" ")
+    cfg.background_laplace = np.hstack(
+        [tmp_laplace, np.zeros(9 - tmp_laplace.size)])
+    cfg.diffusion_coefficient = float(g("diffusion_coefficient") or 1.0)
 
     # restart rewiring (read_input.py:139-144)
     if cfg.initial_step > 0:
         for k, struct in enumerate(cfg.structures):
             struct[1] = (f"{cfg.output_name}.{cfg.structures_ID[k]}."
                          f"{str(cfg.initial_step).zfill(8)}.clones")
+
+    # scheme/obstacle compatibility validation (read_input.py:146-157)
+    if cfg.obstacles and cfg.scheme in (
+            "deterministic_forward_euler_dense_algebra",
+            "stochastic_first_order_RFD",
+            "stochastic_adams_bashforth",
+            "stochastic_first_order_RFD_dense_algebra",
+            "stochastic_traction_EM",
+            "Fixman",
+            "stochastic_traction_AB",
+            "stochastic_Slip_Mid_DLA"):
+        raise ValueError(
+            f"Obstacles are not implemented for scheme: {cfg.scheme}")
     return cfg
 
 
@@ -175,17 +195,28 @@ def build_system(cfg: InputConfig, base_dir="."):
     def _resolve(p):
         return p if os.path.isabs(p) else os.path.join(base_dir, p)
 
+    chemistries = []
+
     def _add(files, name, is_obstacle):
         ref = scene.read_vertex_file(_resolve(files[0]))
         nbod, loc, quat = scene.read_clones_file(_resolve(files[1]))
         slip = None
-        if len(files) > 2 and files[2].endswith(".slip"):
-            slip = scene.read_slip_file(_resolve(files[2]))
+        chem = None
+        # extra per-structure files: .slip and/or .Laplace
+        # (multi_bodies_utilities.py:290-317)
+        for f in files[2:]:
+            if f.endswith(".slip"):
+                slip = scene.read_slip_file(_resolve(f))
+            elif f.endswith(".Laplace"):
+                from ..models.phoretic import Chemistry
+
+                chem = Chemistry.from_laplace_file(_resolve(f))
         blob_radii = ref[:, 3] if ref.shape[1] == 4 else None
         types.append(BodyType(
             name=name, ref_config=ref[:, :3], count=nbod,
             blob_radii=blob_radii, slip_ref=slip,
             prescribed_kinematics=is_obstacle, is_obstacle=is_obstacle))
+        chemistries.append(chem)
         locations.append(loc)
         quaternions.append(quat)
 
@@ -251,6 +282,27 @@ def build_system(cfg: InputConfig, base_dir="."):
         solver_tolerance=cfg.solver_tolerance,
         rf_delta=cfg.rf_delta,
     )
+    # phoretic coupling: any .Laplace file makes every step solve the
+    # Laplace BVP and add the resulting slip (multi_bodies.py:105-168)
+    if any(c is not None for c in chemistries):
+        import dataclasses as _dc
+
+        from ..models import phoretic
+
+        chemistries += [None] * (len(types) - len(chemistries))
+        pcfg = phoretic.PhoreticConfig(
+            chemistry=tuple(chemistries),
+            background=(cfg.background_laplace
+                        if cfg.background_laplace is not None
+                        else np.zeros(9)),
+            diffusion_coefficient=cfg.diffusion_coefficient)
+
+        def slip_fn(system, state):
+            slip, _, _ = phoretic.phoretic_slip(system, state, pcfg)
+            return slip
+
+        system = _dc.replace(system, slip_fn=slip_fn)
+
     state = make_state(np.concatenate(locations, axis=0),
                        np.concatenate(quaternions, axis=0))
     return system, state

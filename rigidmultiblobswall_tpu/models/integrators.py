@@ -727,7 +727,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                  gmres_restart: int = 60,
                  gmres_maxiter: int = 1000,
                  max_rejections: int = 50,
-                 update_PC: int = 1) -> Callable:
+                 update_PC: int = 1,
+                 verbose: bool = False) -> Callable:
     """Build step(state, key, carry) -> (state, carry, StepAux).
 
     The wall-rejection loop retries the whole step with fresh Brownian
@@ -740,6 +741,10 @@ def make_stepper(system: System, scheme: str, dt: float, *,
     body_fn = _SCHEMES[scheme]
     solver_kw = dict(tol=tolerance, restart=gmres_restart,
                      maxiter=gmres_maxiter)
+    if verbose:
+        # per-iteration GMRES residual printing from inside jit (the
+        # reference's --print-residual, multi_bodies.py:62-74)
+        solver_kw["verbose"] = True
     lanczos_kw = dict(tolerance=lanczos_tolerance, max_iter=lanczos_max_iter,
                       check_every=lanczos_check_every)
 

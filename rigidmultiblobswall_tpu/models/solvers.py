@@ -110,6 +110,7 @@ def solve_mobility_problem(
     maxiter: int = 1000,
     m_dense="auto",
     time=0.0,
+    verbose: bool = False,
 ) -> MobilitySolution:
     """Preconditioned GMRES solve of the saddle system
     (quaternion_integrator_multi_bodies.py:1441-1547).
@@ -141,7 +142,7 @@ def solve_mobility_problem(
     if x0 is not None:
         x0 = x0 / safe_norm
     result = gmres(operator, rhs_unit, x0=x0, tol=tol, restart=restart,
-                   maxiter=maxiter,
+                   maxiter=maxiter, verbose=verbose,
                    M=lambda v: saddle.apply_block_diag_pc(system, pc, v))
     sol = result.x * rhs_norm
     lam, U, phi = saddle.split_saddle_vector(system, sol)
@@ -185,6 +186,7 @@ def solve_mobility_problem_single_blob(
     restart: int = 60,
     maxiter: int = 1000,
     time=0.0,
+    verbose: bool = False,
 ) -> MobilitySolution:
     """Constrained mobility solve for articulated SINGLE-BLOB bodies (the
     rollers articulated path, quaternion_integrator_rollers.py:1455-1576).
@@ -250,6 +252,7 @@ def solve_mobility_problem_single_blob(
     rhs_norm = jnp.linalg.norm(rhs)
     safe_norm = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
     result = gmres(operator, rhs / safe_norm, tol=tol, restart=restart,
+                   verbose=verbose,
                    maxiter=maxiter, M=pc)
     sol = result.x * rhs_norm
     phi = sol[:nc3].reshape(-1, 3)

@@ -34,11 +34,14 @@ def gmres(
     restart: int = 60,
     maxiter: int = 1000,
     M: Optional[Callable] = None,
+    verbose: bool = False,
 ) -> GmresResult:
     """Solve matvec(x) = b for flat vectors b of static size.
 
     M applies the preconditioner inverse (an approximation of A^{-1});
-    right preconditioning as in the reference default.
+    right preconditioning as in the reference default. verbose=True
+    prints the per-iteration residual from inside the jitted loop (the
+    reference's --print-residual gmres_counter, multi_bodies.py:62-74).
     """
     n = b.shape[0]
     dtype = b.dtype
@@ -101,6 +104,9 @@ def gmres(
             gj = g[j]
             g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
             res = jnp.abs(g[j + 1])
+            if verbose:
+                jax.debug.print("gmres iteration {j}, residual {r}",
+                                j=j, r=res)
             R = R.at[:, j].set(h)
             return (j + 1, V, R, cs, sn, g, res)
 

@@ -113,3 +113,141 @@ structure             {vertex} {clones}
         assert np.all(np.isfinite(locs))
     info = open(out + ".info").read()
     assert "deterministic_iterations_count" in info
+
+
+def test_cli_mcmc_scheme(tmp_path, monkeypatch):
+    """body_mcmc scheme with adaptive burn-in writes .config and
+    .MCMC_info (reference driver many_bodyMCMC/many_body_MCMC.py)."""
+    vertex = os.path.join(REF_DIR, "Structures/shell_N_12_Rg_1_Rh_1_2625.vertex")
+    clones = os.path.join(REF_DIR, "Structures/shell_N_12_Rg_1.clones")
+    if not os.path.exists(vertex):
+        pytest.skip("reference structures not present")
+    inp = tmp_path / "input.dat"
+    out = str(tmp_path / "run")
+    inp.write_text(f"""
+scheme                body_mcmc
+n_steps               40
+initial_step          -20
+n_save                10
+kT                    1.0
+g                     1.0
+blob_radius           0.25
+seed                  0
+save_clones           one_file
+output_name           {out}
+structure             {vertex} {clones}
+""")
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--input-file", str(inp)])
+    info = open(out + ".MCMC_info").read()
+    assert "acceptance ratio" in info and "max_translation" in info
+    cfg_lines = open(out + ".shell_N_12_Rg_1.config").readlines()
+    assert len(cfg_lines) > 0
+
+
+def test_cli_lubrication_scheme(tmp_path, monkeypatch):
+    """Lubrication trapezoidal driver with prescribed omega + torque
+    cutoff (BASELINE config 5 composition) runs from an input file."""
+    if not os.path.isdir("/root/reference/Lubrication/Resistance_Coefs"):
+        pytest.skip("resistance tables not present")
+    inp = tmp_path / "input.dat"
+    out = str(tmp_path / "run")
+    (tmp_path / "sphere.vertex").write_text("1\n0. 0. 0.\n")
+    (tmp_path / "spheres.clones").write_text(
+        "4\n0 0 1.2 1 0 0 0\n2.5 0 1.2 1 0 0 0\n"
+        "0 2.5 1.2 1 0 0 0\n2.5 2.5 1.2 1 0 0 0\n")
+    inp.write_text(f"""
+scheme                lubrication_trapezoidal
+n_steps               3
+n_save                3
+dt                    0.001
+eta                   0.957e-3
+blob_radius           1.0
+kT                    0.004
+g                     0.0025
+repulsion_strength    0.016
+debye_length          0.1
+repulsion_strength_wall 0.016
+debye_length_wall     0.1
+solver_tolerance      1e-6
+seed                  0
+omega                 25.0
+cut_torque            0.2
+max_neighbors         3
+output_name           {out}
+structure             sphere.vertex spheres.clones
+""")
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--input-file", str(inp)])
+    info = open(out + ".info").read()
+    assert "num_rejections_wall" in info
+    pos = np.loadtxt(out + ".spheres.00000003.clones", skiprows=1)
+    assert np.all(np.isfinite(pos))
+    # prescribed spin about +y near the wall rolls the spheres in +x
+    pos0 = np.loadtxt(str(tmp_path / "spheres.clones"), skiprows=1)
+    assert np.mean(pos[:, 0] - pos0[:, 0]) > 0
+
+
+def test_cli_phoretic_laplace_file(tmp_path, monkeypatch):
+    """A .Laplace structure file triggers the boundary-integral slip
+    coupling; a Janus sphere must self-propel along its axis
+    (multi_bodies_utilities.py:290-317 wiring)."""
+    vertex = os.path.join(REF_DIR,
+                          "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    if not os.path.exists(vertex):
+        pytest.skip("reference structures not present")
+    v = np.loadtxt(vertex, skiprows=1)[:, :3]
+    normals = v / np.linalg.norm(v, axis=1, keepdims=True)
+    north = normals[:, 2] > 0
+    lap = np.column_stack([
+        normals, np.where(north, 5.0, 0.0), np.where(north, 0.0, 1.0),
+        np.full(len(v), 5.0), np.full(len(v), 4 * np.pi / len(v))])
+    np.savetxt(tmp_path / "janus.Laplace", lap)
+    (tmp_path / "shell.clones").write_text("1\n0. 0. 3. 1. 0. 0. 0.\n")
+    inp = tmp_path / "input.dat"
+    out = str(tmp_path / "run")
+    inp.write_text(f"""
+scheme                deterministic_forward_euler
+domain                no_wall
+n_steps               2
+n_save                1
+dt                    0.05
+eta                   1.0
+g                     0
+blob_radius           0.416
+repulsion_strength    0
+repulsion_strength_wall 0
+solver_tolerance      1e-6
+seed                  0
+background_Laplace    1
+save_clones           one_file
+output_name           {out}
+structure             {vertex} shell.clones janus.Laplace
+""")
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--input-file", str(inp)])
+    rows = [l.split() for l in open(out + ".shell.config")
+            if len(l.split()) == 7]
+    p = np.array(rows, float)[:, :3]
+    # self-propulsion: significant +z displacement with zero net force
+    assert p[-1, 2] - p[0, 2] > 0.5
+    assert abs(p[-1, 0] - p[0, 0]) < 1e-3
+
+
+def test_cli_obstacle_scheme_validation(tmp_path):
+    """Incompatible scheme + obstacle must fail at load
+    (read_input.py:146-157)."""
+    from rigidmultiblobswall_tpu.io import input_file as input_mod
+
+    vertex = os.path.join(REF_DIR, "Structures/boomerang_N_15.vertex")
+    clones = os.path.join(REF_DIR, "Structures/boomerang_N_15.clones")
+    if not os.path.exists(vertex):
+        pytest.skip("reference structures not present")
+    inp = tmp_path / "input.dat"
+    inp.write_text(f"""
+scheme                stochastic_traction_EM
+structure             {vertex} {clones}
+obstacle              {vertex} {clones}
+""")
+    with pytest.raises(ValueError, match="Obstacles"):
+        input_mod.read_input(str(inp))

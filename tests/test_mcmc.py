@@ -56,3 +56,29 @@ def test_mcmc_gibbs_boltzmann_height_distribution():
     w = np.exp(-U / kT)
     z_mean_exact = np.trapezoid(zg * w, zg) / np.trapezoid(w, zg)
     assert np.isclose(z.mean(), z_mean_exact, rtol=0.1)
+
+
+def test_adaptive_burn_in_changes_proposal():
+    """Burn-in with high acceptance must grow max_translation
+    (many_body_MCMC.py:192-199)."""
+    system = _single_blob_system()
+    state = make_state([[0, 0, 1.0]], [[1, 0, 0, 0]])
+    mc, _, _ = mcmc.run_mcmc(system, state, jax.random.PRNGKey(1),
+                             n_steps=10, save_every=10, initial_step=-200)
+    d0 = 0.1 * system.blob_radius
+    assert abs(float(mc.max_translation) - d0) > 1e-6
+
+
+def test_rejection_sampler_bounds():
+    """Accepted probability exp(-(E - E_min)/kT) must be <= 1 for all
+    samples: E >= minimum_energy for every accepted draw."""
+    system = _single_blob_system()
+    res = mcmc.run_rejection_sampler(system, jax.random.PRNGKey(2),
+                                     n_steps=200, n_estimate=200)
+    energies = np.asarray(res.energies)
+    accepted = np.asarray(res.accepted)
+    assert accepted.sum() > 0
+    assert np.all(energies >= float(res.minimum_energy))
+    # accepted states lie in the sampling box and above the wall
+    pos = np.asarray(res.states.pos)[accepted]
+    assert np.all(np.isfinite(pos))
