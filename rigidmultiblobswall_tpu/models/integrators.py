@@ -383,6 +383,75 @@ def _stochastic_first_order_RFD_dense(system, dt, solver_kw, lanczos_kw,
     return new_state, v, jnp.asarray(0), jnp.asarray(0), ok
 
 
+def _dense_pieces(system, state):
+    """Dense solve ingredients for the DLA schemes
+    (solve_mobility_problem_DLA,
+    quaternion_integrator_multi_bodies.py:1592-1635): velocities plus the
+    dense M, R = M^{-1}, K and N = pinv(K^T R K)."""
+    dtype = state.pos.dtype
+    r_blobs = kin.blob_positions(system, state)
+    slip = kin.active_slip(system, state, dtype)
+    if system.slip_fn is not None:
+        slip = slip + system.slip_fn(system, state).reshape(slip.shape)
+    FT = solvers.force_torque_calculator(system, state, r_blobs)
+    M = solvers.dense_blob_mobility(system, state)
+    K = solvers._dense_K(system, state)
+    R = jnp.linalg.inv(M)
+    N = jnp.linalg.pinv(K.T @ (R @ K))
+    v = N @ (FT.ravel() - K.T @ (R @ slip.ravel()))
+    return v, N, M, R, K
+
+
+def _stochastic_slip_mid_dla(system, dt, solver_kw, lanczos_kw, key, state,
+                             carry):
+    """Slip-midpoint scheme with dense linear algebra
+    (stochastic_Slip_Mid_DLA,
+    quaternion_integrator_multi_bodies.py:1346-1438): predictor noise
+    N K^T M^{-1} M^{1/2} W1 at sqrt(4kT/dt), RFD displacement
+    W_RFD = N K^T M^{-1} W_slip probing the divergence of both M and K^T,
+    corrector with the summed increment Wcor = W1 + W1'."""
+    dtype = state.pos.dtype
+    B = system.num_bodies
+    n3 = 3 * system.num_blobs
+    k1, k2, k3 = jax.random.split(key, 3)
+    delta = system.rf_delta
+
+    v_mid, N, M, R, K = _dense_pieces(system, state)
+
+    W1 = jax.random.normal(k1, (n3,), dtype=dtype)
+    W_slip = jax.random.normal(k2, (n3,), dtype=dtype)
+    Wcor = W1 + jax.random.normal(k3, (n3,), dtype=dtype)
+
+    W_RFD = N @ (K.T @ (R @ W_slip))
+    MxW_slip = M @ W_slip
+    KTxW_slip = K.T @ W_slip
+    Mhalf_W1 = _dense_sqrt_mul(M, W1, 1.0)
+    Mhalf_Wcor = _dense_sqrt_mul(M, Wcor, 1.0)
+
+    v_mid = v_mid + jnp.sqrt(4.0 * system.kT / dt) * (
+        N @ (K.T @ (R @ Mhalf_W1)))
+
+    # RFD configuration: displace by W_RFD * delta and difference M, K^T
+    rfd_state = kin.advance(state, W_RFD.reshape(B, 6), delta)
+    M_rfd = solvers.dense_blob_mobility(system, rfd_state)
+    K_rfd = solvers._dense_K(system, rfd_state)
+    DxM = M_rfd @ W_slip - MxW_slip
+    DxKT = K_rfd.T @ W_slip - KTxW_slip
+
+    mid = kin.advance(state, v_mid.reshape(B, 6), 0.5 * dt)
+    ok_mid = kin.valid_configuration(system, mid)
+
+    v_new, N2, M2, R2, K2 = _dense_pieces(system, mid)
+    rhs_cor = (-(system.kT / delta) * DxKT
+               + K2.T @ (R2 @ (jnp.sqrt(system.kT / dt) * Mhalf_Wcor
+                               + (system.kT / delta) * DxM)))
+    v_new = (v_new + N2 @ rhs_cor).reshape(B, 6)
+
+    new_state = kin.advance(state, v_new, dt)
+    ok = ok_mid & kin.valid_configuration(system, new_state)
+    return new_state, v_new, jnp.asarray(0), jnp.asarray(0), ok
+
+
 def _fixman(system, dt, solver_kw, lanczos_kw, key, state, carry):
     """Fixman midpoint with dense algebra
     (quaternion_integrator_multi_bodies.py:738-800)."""
@@ -705,6 +774,7 @@ _SCHEMES = {
     "Fixman": _fixman,
     "stochastic_GDC_RFD": _stochastic_GDC_RFD,
     "stochastic_Slip_Mid": _stochastic_slip_mid,
+    "stochastic_Slip_Mid_DLA": _stochastic_slip_mid_dla,
     "stochastic_traction_AB": _stochastic_traction_AB,
     "deterministic_adams_bashforth": _deterministic_adams_bashforth,
     "deterministic_midpoint": _deterministic_midpoint,

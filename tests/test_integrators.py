@@ -85,6 +85,7 @@ def test_dense_fe_matches_gmres_fe():
 
 
 @pytest.mark.parametrize("scheme", ["stochastic_EM", "stochastic_Slip_Trapz",
+                                    "stochastic_Slip_Mid_DLA",
                                     "stochastic_first_order_RFD",
                                     "stochastic_traction_EM",
                                     "stochastic_adams_bashforth",
@@ -105,7 +106,7 @@ def test_stochastic_schemes_step_is_finite(scheme):
     assert np.all(np.isfinite(np.asarray(new_state.quat)))
     assert np.allclose(np.linalg.norm(np.asarray(new_state.quat), axis=1),
                        1.0, atol=1e-9)
-    if "dense" not in scheme and scheme != "Fixman":
+    if "dense" not in scheme and "DLA" not in scheme and scheme != "Fixman":
         assert int(aux.stoch_iterations) > 0  # Lanczos ran
 
 
@@ -170,3 +171,24 @@ def test_scan_simulation_runs():
         dt=1e-3, n_steps=4, save_every=2)
     assert traj.pos.shape == (2, 1, 3)
     assert np.all(np.isfinite(np.asarray(final.pos)))
+
+
+def test_slip_mid_dla_matches_midpoint_at_zero_kT():
+    """With kT=0 the DLA midpoint scheme must reproduce the matrix-free
+    deterministic midpoint trajectory (stochastic_Slip_Mid_DLA,
+    quaternion_integrator_multi_bodies.py:1346-1438)."""
+    import dataclasses
+
+    from tests.test_saddle import _sphere_system
+
+    system, state = _sphere_system(count=3, seed=61)
+    system = dataclasses.replace(system, kT=0.0, solver_tolerance=1e-12)
+    key = jax.random.PRNGKey(0)
+    s_dla, _, _ = _step(system, state, "stochastic_Slip_Mid_DLA", 1e-3,
+                        key=key)
+    s_mid, _, _ = _step(system, state, "deterministic_midpoint", 1e-3,
+                        key=key)
+    assert np.allclose(np.asarray(s_dla.pos), np.asarray(s_mid.pos),
+                       atol=1e-9)
+    assert np.allclose(np.asarray(s_dla.quat), np.asarray(s_mid.quat),
+                       atol=1e-9)

@@ -1,0 +1,149 @@
+"""End-to-end trajectory parity against the REFERENCE CODE ITSELF.
+
+Runs /root/reference's python-backend driver (via the py3.12
+compatibility shim in tests/reference_shim.py) and our CLI on the SAME
+input file, then compares the produced .clones trajectories step by
+step. Deterministic schemes only (no RNG coupling)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/multi_bodies"
+SHIM = os.path.join(REPO, "tests", "reference_shim.py")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not present")
+
+
+def _input_text(scheme, structures, n_steps=5, dt=0.01, extra=""):
+    lines = [f"""
+scheme                                   {scheme}
+mobility_blobs_implementation            python
+mobility_vector_prod_implementation      python
+blob_blob_force_implementation           python
+body_body_force_torque_implementation    python
+dt                                       {dt}
+n_steps                                  {n_steps}
+n_save                                   1
+eta                                      1.0
+g                                        1.0
+blob_radius                              0.25
+kT                                       0
+repulsion_strength                       0.5
+debye_length                             0.25
+repulsion_strength_wall                  0.5
+debye_length_wall                        0.25
+solver_tolerance                         1e-10
+seed                                     0
+save_clones                              one_file_per_step
+output_name                              OUTPUT
+{extra}
+"""]
+    for s in structures:
+        lines.append("structure " + " ".join(s))
+    return "\n".join(lines) + "\n"
+
+
+def _run_reference(workdir, input_path):
+    proc = subprocess.run(
+        [sys.executable, SHIM,
+         os.path.join(REF, "multi_bodies.py"), "--input-file", input_path],
+        cwd=workdir, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+
+def _run_ours(workdir, input_path):
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    proc = subprocess.run(
+        [sys.executable, "-m", "rigidmultiblobswall_tpu.cli", "--f64",
+         "--input-file", input_path],
+        cwd=workdir, capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+
+def _load_traj(prefix, name, n_steps):
+    out = []
+    for k in range(n_steps + 1):
+        path = f"{prefix}.{name}.{k:08d}.clones"
+        out.append(np.loadtxt(path, skiprows=1).reshape(-1, 7))
+    return np.stack(out)
+
+
+def _compare_trajectories(tmp_path, scheme, structures, name, n_steps=5,
+                          dt=0.01, atol=1e-6, extra=""):
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    ref_dir.mkdir()
+    our_dir.mkdir()
+    for d in (ref_dir, our_dir):
+        (d / "input.dat").write_text(
+            _input_text(scheme, structures, n_steps=n_steps, dt=dt,
+                        extra=extra).replace("OUTPUT", "out"))
+    _run_reference(str(ref_dir), "input.dat")
+    _run_ours(str(our_dir), "input.dat")
+    t_ref = _load_traj(str(ref_dir / "out"), name, n_steps)
+    t_our = _load_traj(str(our_dir / "out"), name, n_steps)
+    # orientations: quaternion sign is a gauge choice
+    q_ref, q_our = t_ref[:, :, 3:], t_our[:, :, 3:]
+    sign = np.sign(np.sum(q_ref * q_our, axis=-1, keepdims=True))
+    err_pos = np.abs(t_ref[:, :, :3] - t_our[:, :, :3]).max()
+    err_q = np.abs(q_ref - sign * q_our).max()
+    assert err_pos < atol, f"position mismatch {err_pos:.3e}"
+    assert err_q < atol, f"orientation mismatch {err_q:.3e}"
+    return ref_dir, our_dir
+
+
+def test_boomerang_forward_euler_matches_reference(tmp_path):
+    """Single sedimenting boomerang above the wall, deterministic FE:
+    trajectories must agree to solver tolerance."""
+    vertex = os.path.join(REF, "Structures/boomerang_N_15.vertex")
+    clones = os.path.join(REF, "Structures/boomerang_N_15.clones")
+    _compare_trajectories(tmp_path, "deterministic_forward_euler",
+                          [[vertex, clones]], "boomerang_N_15")
+
+
+def test_multibody_shells_adams_bashforth_matches_reference(tmp_path):
+    """Three interacting 12-blob shells (pair forces + wall + AB2):
+    exercises the many-body GMRES + preconditioner + force path."""
+    vertex = os.path.join(REF, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    clones = str(tmp_path / "shells.clones")
+    with open(clones, "w") as f:
+        f.write("3\n")
+        f.write("0 0 1.8 1 0 0 0\n")
+        f.write("1.9 0 2.0 0.9238795 0 0.3826834 0\n")
+        f.write("0.6 1.7 2.2 0.7071068 0.7071068 0 0\n")
+    ref_dir, our_dir = _compare_trajectories(
+        tmp_path, "deterministic_adams_bashforth",
+        [[vertex, clones]], "shells", n_steps=4, dt=0.005)
+    # both sides should also report comparable GMRES effort
+    def iters(d):
+        for line in open(str(d / "out.info")):
+            if "deterministic_iterations_count" in line:
+                return int(line.split()[-1])
+        return None
+    it_ref, it_our = iters(ref_dir), iters(our_dir)
+    assert it_our is not None and it_our > 0
+    if it_ref:
+        assert it_our <= 3 * it_ref
+
+
+def test_prescribed_obstacle_matches_reference(tmp_path):
+    """A free shell next to a fixed obstacle shell (prescribed
+    kinematics path, multi_bodies.py:1266-1301)."""
+    vertex = os.path.join(REF, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    free_clones = str(tmp_path / "free.clones")
+    obst_clones = str(tmp_path / "obst.clones")
+    with open(free_clones, "w") as f:
+        f.write("1\n2.2 0 2.0 1 0 0 0\n")
+    with open(obst_clones, "w") as f:
+        f.write("1\n0 0 2.0 1 0 0 0\n")
+    extra = f"obstacle {vertex} {obst_clones}"
+    _compare_trajectories(tmp_path, "deterministic_forward_euler",
+                          [[vertex, free_clones]], "free",
+                          n_steps=3, dt=0.01, extra=extra)
