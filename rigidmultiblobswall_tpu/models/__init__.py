@@ -1,5 +1,6 @@
 from . import (  # noqa: F401
     articulated,
+    fibers,
     fields,
     integrators,
     kinematics,
