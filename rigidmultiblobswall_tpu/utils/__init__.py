@@ -1,1 +1,1 @@
-from . import analysis, timer  # noqa: F401
+from . import analysis, gr, timer, tools  # noqa: F401
