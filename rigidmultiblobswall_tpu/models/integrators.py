@@ -200,8 +200,11 @@ def _stochastic_traction_EM(system, dt, solver_kw, lanczos_kw,
 
     W_slip = jax.random.normal(k_rfd, (system.num_blobs, 3), dtype=dtype)
     r_blobs = kin.blob_positions(system, state)
-    MxW = mob.mobility_trans_times_force(r_blobs, W_slip, system.eta,
-                                         system.blob_radius, **mob_kw)
+    # both sides of the RFD difference must use the SAME mobility engine
+    # (for periodic_spectral, _mobility_apply routes to the spectral
+    # plan at each configuration; mixing engines would be amplified by
+    # the 1/rf_delta in the drift term)
+    MxW = saddle._mobility_apply(system, r_blobs, None, W_slip)
     KTxW = kin.KT_mul(system, state, W_slip)
 
     # RFD displacement of the whole suspension by delta * W at blob level:
@@ -214,8 +217,7 @@ def _stochastic_traction_EM(system, dt, solver_kw, lanczos_kw,
     rfd_state = kin.advance(state, sol_rfd.velocities, system.rf_delta)
 
     r_rfd = kin.blob_positions(system, rfd_state)
-    M_rfd_xW = mob.mobility_trans_times_force(r_rfd, W_slip, system.eta,
-                                              system.blob_radius, **mob_kw)
+    M_rfd_xW = saddle._mobility_apply(system, r_rfd, None, W_slip)
     KT_rfd_xW = kin.KT_mul(system, rfd_state, W_slip)
 
     noise, it_l = _noise_slip(system, state, pc, k_noise, factor, **lanczos_kw)
@@ -266,8 +268,10 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
 
     rfd_state = kin.advance(state, W_RFD, system.rf_delta)
     r_rfd = kin.blob_positions(system, rfd_state)
-    M_rfd_xW = mob.mobility_trans_times_force(r_rfd, W_slip, system.eta,
-                                              system.blob_radius, **mob_kw)
+    # same-engine RFD difference: for periodic_spectral this builds a
+    # spectral plan at the displaced configuration (one extra plan per
+    # step) instead of silently switching to the pairwise sweep
+    M_rfd_xW = saddle._mobility_apply(system, r_rfd, None, W_slip)
     KT_rfd_xW = kin.KT_mul(system, rfd_state, W_slip)
 
     rand_slip_cor = noise1 + kT_over_delta * (M_rfd_xW - MxW).ravel()
@@ -478,11 +482,14 @@ def _unpc_noise(system, state, key, factor, tolerance, max_iter,
                 check_every=1, **_ignored):
     """Plain M^{1/2} W (no preconditioner), used by the GDC scheme."""
     r_blobs = kin.blob_positions(system, state)
+    # for periodic_spectral, build the plan here (outside the Lanczos
+    # while_loop); None falls through to the pairwise engine
+    m_eng = (saddle.maybe_dense_mobility(system, r_blobs)
+             if system.domain == "periodic_spectral" else None)
 
     def mtt(v):
-        return mob.mobility_trans_times_force(
-            r_blobs, v.reshape(-1, 3), system.eta, system.blob_radius,
-            **system.mobility_kwargs).ravel()
+        return saddle._mobility_apply(
+            system, r_blobs, m_eng, v.reshape(-1, 3)).ravel()
 
     z = jax.random.normal(key, (3 * system.num_blobs,), dtype=state.pos.dtype)
     res = stochastic_forcing_lanczos(mtt, z, factor=factor,
@@ -514,11 +521,12 @@ def _stochastic_GDC_RFD(system, dt, solver_kw, lanczos_kw, key, state, carry):
         quat=kin.quat.step(state.quat, W[:, 3:], system.rf_delta))
     # reuse the same z at the displaced configuration (:1126-1132)
     r_rfd = kin.blob_positions(system, rfd_state)
+    m_eng_rfd = (saddle.maybe_dense_mobility(system, r_rfd)
+                 if system.domain == "periodic_spectral" else None)
 
     def mtt_rfd(v):
-        return mob.mobility_trans_times_force(
-            r_rfd, v.reshape(-1, 3), system.eta, system.blob_radius,
-            **system.mobility_kwargs).ravel()
+        return saddle._mobility_apply(
+            system, r_rfd, m_eng_rfd, v.reshape(-1, 3)).ravel()
 
     res_rfd = stochastic_forcing_lanczos(
         mtt_rfd, z, factor=factor,
@@ -559,8 +567,7 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
 
     W_slip = jax.random.normal(k2, (system.num_blobs, 3), dtype=dtype)
     r_blobs = kin.blob_positions(system, state)
-    MxW = mob.mobility_trans_times_force(r_blobs, W_slip, system.eta,
-                                         system.blob_radius, **mob_kw)
+    MxW = saddle._mobility_apply(system, r_blobs, None, W_slip)
     KTxW = kin.KT_mul(system, state, W_slip)
 
     mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc)
@@ -588,8 +595,7 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
 
     rfd_state = kin.advance(state, W_RFD, system.rf_delta)
     r_rfd = kin.blob_positions(system, rfd_state)
-    M_rfd_xW = mob.mobility_trans_times_force(r_rfd, W_slip, system.eta,
-                                              system.blob_radius, **mob_kw)
+    M_rfd_xW = saddle._mobility_apply(system, r_rfd, None, W_slip)
     KT_rfd_xW = kin.KT_mul(system, rfd_state, W_slip)
 
     kT_over_delta = system.kT / system.rf_delta
@@ -631,8 +637,7 @@ def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
     U_RFD, Lam_RFD = sol_rfd.velocities, sol_rfd.lam
 
     r_blobs = kin.blob_positions(system, state)
-    MxLam = mob.mobility_trans_times_force(r_blobs, Lam_RFD, system.eta,
-                                           system.blob_radius, **mob_kw)
+    MxLam = saddle._mobility_apply(system, r_blobs, None, Lam_RFD)
     KTxLam = kin.KT_mul(system, state, Lam_RFD)
     KxU = kin.K_mul(system, state, U_RFD)
 
@@ -640,8 +645,7 @@ def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
         pos=state.pos + system.rf_delta * lengths[:, None] * rfd_noise[:, :3],
         quat=kin.quat.step(state.quat, rfd_noise[:, 3:], system.rf_delta))
     r_rfd = kin.blob_positions(system, rfd_state)
-    DxM = mob.mobility_trans_times_force(r_rfd, Lam_RFD, system.eta,
-                                         system.blob_radius, **mob_kw) - MxLam
+    DxM = saddle._mobility_apply(system, r_rfd, None, Lam_RFD) - MxLam
     DxKT = kin.KT_mul(system, rfd_state, Lam_RFD) - KTxLam
     DxK = kin.K_mul(system, rfd_state, U_RFD) - KxU
 

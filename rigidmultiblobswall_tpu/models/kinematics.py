@@ -117,7 +117,7 @@ def min_blob_height(system: System, state: State):
 
 
 def valid_configuration(system: System, state: State, distance=0.0):
-    if system.domain == "no_wall":
+    if system.domain in ("no_wall", "periodic_spectral"):
         return jnp.asarray(True)
     return min_blob_height(system, state) > distance
 

@@ -55,10 +55,21 @@ MATERIALIZE_BUDGET_BYTES = int(
 
 
 def maybe_dense_mobility(system: System, r_blobs):
-    """Materialize the (3N,3N) blob mobility when it fits the budget: at
-    fixed positions, GMRES/Lanczos iterations then cost one MXU matmul
-    each instead of recomputing the O(N^2) pair fields. Returns None when
-    too large (the matrix-free pairwise engine is used instead)."""
+    """Materialize the per-configuration mobility engine: the (3N,3N)
+    dense planes when they fit the budget (at fixed positions every
+    GMRES/Lanczos iteration is then one MXU matmul), an ops/ewald
+    SpectralPlan for domain='periodic_spectral' (O(N log N) per product),
+    or None -> the matrix-free pairwise engine."""
+    if system.domain == "periodic_spectral":
+        from ..ops import ewald
+
+        if not all(L > 0 for L in system.periodic_length):
+            raise ValueError("periodic_spectral needs periodic_length > 0 "
+                             "on all three axes")
+        params = ewald.default_params(
+            system.blob_radius, system.eta, system.periodic_length,
+            tol=system.spectral_tol, grid_max=system.spectral_grid_max)
+        return ewald.make_plan(params, r_blobs)
     n = r_blobs.shape[0]
     nbytes = 9 * n * n * jnp.dtype(r_blobs.dtype).itemsize
     if nbytes > MATERIALIZE_BUDGET_BYTES:
@@ -87,6 +98,12 @@ def maybe_dense_mobility(system: System, r_blobs):
 
 
 def _mobility_apply(system, r_blobs, m_dense, lam):
+    if system.domain == "periodic_spectral":
+        from ..ops import ewald
+
+        if not isinstance(m_dense, ewald.SpectralPlan):
+            m_dense = maybe_dense_mobility(system, r_blobs)
+        return ewald.matvec(m_dense, lam.reshape(-1, 3))
     if m_dense is not None:
         # m_dense: (3,3,N,N) component planes (see dense_mobility_tiled)
         lam = lam.reshape(-1, 3)
@@ -112,6 +129,11 @@ def make_linear_operator(system: System, state: State, r_blobs=None,
     rewrites (multi_bodies.py:424-471)."""
     if r_blobs is None:
         r_blobs = kin.blob_positions(system, state)
+    if m_dense is None and system.domain == "periodic_spectral":
+        # build the spectral plan ONCE here: XLA does not hoist
+        # loop-invariant work out of while_loop bodies, so leaving it to
+        # _mobility_apply would rebuild the plan every Krylov iteration
+        m_dense = maybe_dense_mobility(system, r_blobs)
     prescribed = jnp.asarray(system.prescribed_body_mask)
     any_prescribed = bool(system.prescribed_body_mask.any())
     has_constraints = num_constraints(system) > 0
@@ -203,8 +225,12 @@ def build_block_diag_pc(system: System, state: State, time=0.0) -> BlockDiagPC:
     system's domain without periodic images, like the reference."""
     per_type = []
     # the in_plane mobility is singular in z; like the reference (which has
-    # no dense in_plane builder) the PC factors the single-wall mobility
-    pc_domain = "single_wall" if system.domain == "in_plane" else system.domain
+    # no dense in_plane builder) the PC factors the single-wall mobility.
+    # periodic_spectral bodies precondition with the open-boundary RPY
+    # blocks (the PC is near-field-dominated; images only perturb it)
+    pc_domain = {"in_plane": "single_wall",
+                 "periodic_spectral": "no_wall"}.get(system.domain,
+                                                     system.domain)
     for i, t in enumerate(system.types):
         rel = kin.blob_rel_positions(system, state, i)  # (c,nb,3)
         pos, _ = kin.type_arrays(system, state, i)
@@ -331,6 +357,10 @@ def make_noise_pc(system: System, state: State, pc: BlockDiagPC,
     so that L sqrt(P^T M P) z has covariance M."""
     if r_blobs is None:
         r_blobs = kin.blob_positions(system, state)
+    if m_dense is None and system.domain == "periodic_spectral":
+        # hoist the spectral plan out of the Lanczos while_loop (see
+        # make_linear_operator)
+        m_dense = maybe_dense_mobility(system, r_blobs)
     kwargs = system.mobility_kwargs
 
     def _apply_per_body(vec, which):

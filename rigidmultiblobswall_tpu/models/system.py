@@ -79,8 +79,19 @@ class System:
     blob_radius: float = 1.0
     kT: float = 0.0
     g: float = 0.0
-    domain: str = "single_wall"  # 'no_wall' | 'single_wall' | 'in_plane'
+    # 'no_wall' | 'single_wall' | 'in_plane' | 'periodic_spectral'
+    # (periodic_spectral: true triply-periodic RPY via the O(N log N)
+    # spectral Ewald engine, ops/ewald.py; requires periodic_length > 0
+    # on all three axes. The others treat periodic_length as the
+    # reference's pseudo-periodic +-1 image-box sweep.)
+    domain: str = "single_wall"
     periodic_length: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # accuracy target for the periodic_spectral engine (sets the Ewald
+    # split, window support, and grid via ops/ewald.default_params)
+    spectral_tol: float = 1e-4
+    # per-axis FFT grid cap for the spectral engine; when it binds,
+    # r_cut inflates so dilute boxes don't demand enormous grids
+    spectral_grid_max: int = 256
     repulsion_strength: float = 0.0
     debye_length: float = 1.0
     repulsion_strength_wall: float = 0.0
