@@ -21,4 +21,27 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite triggers hundreds of XLA:CPU
+# compiles in one process; caching them on disk makes reruns fast and
+# avoids compiler-memory pressure in long single-process runs.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound in-process compiler state: the full suite triggers hundreds
+    of XLA:CPU compiles and the accumulated JIT state has produced
+    compiler segfaults deep into single-process runs. Dropping the
+    in-memory executable cache after each module keeps the process lean;
+    the persistent disk cache makes any re-compiles cheap."""
+    yield
+    jax.clear_caches()
