@@ -41,6 +41,14 @@ N_BODIES = int(os.environ.get("BENCH_BODIES", 4096))
 N_BLOBS_PER = 12
 DT = 1e-3
 SCHEME = os.environ.get("BENCH_SCHEME", "stochastic_Slip_Trapz")
+# BENCH_PATH=rollers benchmarks the minimally-resolved microroller path
+# (grand-mobility constrained-omega dynamics) instead of the multibody one
+BENCH_PATH = os.environ.get("BENCH_PATH", "multibody")
+N_ROLLERS = int(os.environ.get("BENCH_ROLLERS", 32768))
+# f32-appropriate defaults; override toward the reference's 1e-8 with
+# BENCH_TOL / BENCH_LANCZOS_TOL (see ACCURACY.md for the f32-vs-f64 story)
+SOLVER_TOL = float(os.environ.get("BENCH_TOL", 2e-4))
+LANCZOS_TOL = float(os.environ.get("BENCH_LANCZOS_TOL", 5e-4))
 
 
 def shell_vertices(n=12, radius=0.5):
@@ -60,7 +68,7 @@ def build():
         domain="single_wall", repulsion_strength_wall=0.2,
         debye_length_wall=0.2, repulsion_strength=0.2, debye_length=0.2,
         # f32-appropriate tolerances (f64 parity is verified in tests/)
-        solver_tolerance=2e-4,
+        solver_tolerance=SOLVER_TOL,
     )
     # non-overlapping grid above the wall
     side = int(np.ceil(N_BODIES ** (1 / 3)))
@@ -77,12 +85,79 @@ def build():
     return system, make_state(pos, quat)
 
 
+def bench_rollers():
+    """Microroller path: N single-blob bodies rolling above the wall with
+    prescribed angular velocity (the reference's recommended
+    stochastic_adams_bashforth_rollers, quaternion_integrator_rollers.py:251,
+    with the constrained-omega torque solve :905-982)."""
+    from rigidmultiblobswall_tpu.models import rollers
+
+    scheme = os.environ.get("BENCH_ROLLER_SCHEME",
+                            "stochastic_adams_bashforth_rollers")
+    sus = rollers.RollerSuspension(
+        num_rollers=N_ROLLERS, eta=1.0, blob_radius=0.5, kT=0.05, g=0.2,
+        domain="single_wall", repulsion_strength=0.2, debye_length=0.2,
+        repulsion_strength_wall=0.2, debye_length_wall=0.2,
+        solver_tolerance=SOLVER_TOL, free_kinematics=False,
+        omega_one_roller=(0.0, 10.0, 0.0), lanczos_max_iter=24)
+    side = int(np.ceil(N_ROLLERS ** 0.5))
+    idx = np.arange(N_ROLLERS)
+    rng = np.random.default_rng(0)
+    r0 = np.stack([(idx % side) * 1.6, (idx // side) * 1.6,
+                   np.full(N_ROLLERS, 1.2)], axis=1).astype(np.float32)
+    r0[:, :2] += rng.uniform(-0.1, 0.1, size=(N_ROLLERS, 2))
+    r0 = jnp.asarray(r0)
+
+    step = rollers.make_stepper(sus, scheme, DT, max_rejections=3)
+    carry = rollers.init_carry(sus, dtype=jnp.float32)
+    jit_step = jax.jit(step)
+    r1, carry1, aux = jit_step(r0, jax.random.PRNGKey(0), carry)
+    jax.block_until_ready(r1)
+    diag = dict(finite=bool(np.all(np.isfinite(np.asarray(r1)))),
+                det_iters=int(aux.det_iterations),
+                stoch_iters=int(aux.stoch_iterations),
+                rejections=int(aux.rejections))
+    print("diagnostics:", diag, file=sys.stderr)
+    if not diag["finite"]:
+        print(json.dumps({"metric": "roller_step_ms_INVALID", "value": -1,
+                          "unit": "ms/step", "vs_baseline": 0.0}))
+        return
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    r, c = r0, carry
+    for i in range(n_iters):
+        r, c, aux = jit_step(r, jax.random.PRNGKey(i + 1), c)
+    jax.block_until_ready(r)
+    elapsed_ms = (time.perf_counter() - t0) / n_iters * 1e3
+
+    # reference comparator (estimate): the same step on the reference's
+    # python backend costs (det GMRES iters + Lanczos iters * 4 + 8 RFD/
+    # velocity products) O(N^2) pairwise sweeps; per-sweep cost measured
+    # at 3072 blobs on this host = 95.8 ms, scaled by (N/3072)^2.
+    n_sweeps = (diag["det_iters"] + 4 * diag["stoch_iters"] + 8)
+    ref_ms = float(os.environ.get(
+        "BENCH_REF_STEP_MS",
+        n_sweeps * 95.8 * (N_ROLLERS / 3072.0) ** 2))
+    n_dev = jax.device_count()
+    print(json.dumps({
+        "metric": f"roller_step_ms_{scheme}_{N_ROLLERS}rollers_{n_dev}chip",
+        "value": round(elapsed_ms, 3),
+        "unit": "ms/step",
+        "vs_baseline": round(ref_ms / elapsed_ms, 1),
+    }))
+
+
 def main():
+    if BENCH_PATH == "rollers":
+        bench_rollers()
+        return
     system, state = build()
     n_blobs = system.num_blobs
     step = integrators.make_stepper(
         system, SCHEME, DT,
-        lanczos_tolerance=5e-4, lanczos_max_iter=32, lanczos_check_every=4,
+        lanczos_tolerance=LANCZOS_TOL, lanczos_max_iter=32,
+        lanczos_check_every=4,
         gmres_restart=60, gmres_maxiter=300, max_rejections=3)
     carry = integrators.init_carry(system, dtype=jnp.float32)
 
