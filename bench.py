@@ -60,26 +60,52 @@ def shell_vertices(n=12, radius=0.5):
                               np.cos(phi)], axis=1)
 
 
-def build():
+def build(periodic=False):
     t = BodyType(name="shell12", ref_config=shell_vertices(N_BLOBS_PER, 0.5),
                  count=N_BODIES)
-    system = System(
-        types=(t,), eta=1.0, blob_radius=0.131, kT=0.05, g=0.1,
-        domain="single_wall", repulsion_strength_wall=0.2,
-        debye_length_wall=0.2, repulsion_strength=0.2, debye_length=0.2,
-        # f32-appropriate tolerances (f64 parity is verified in tests/)
-        solver_tolerance=SOLVER_TOL,
-    )
-    # non-overlapping grid above the wall
     side = int(np.ceil(N_BODIES ** (1 / 3)))
-    idx = np.arange(N_BODIES)
     spacing = 1.6
+    if periodic:
+        # triply-periodic suspension on the O(N log N) spectral engine
+        L = side * spacing
+        system = System(
+            types=(t,), eta=1.0, blob_radius=0.131, kT=0.05, g=0.0,
+            domain="periodic_spectral", periodic_length=(L, L, L),
+            spectral_tol=float(os.environ.get("BENCH_SPECTRAL_TOL", 1e-4)),
+            # measured-optimal gridding bucket (mean occupancy x4/3 at
+            # this density); drops are checked eagerly in main()
+            spectral_bucket_capacity=int(
+                os.environ.get("BENCH_BUCKET_CAP", 512)),
+            repulsion_strength=0.2, debye_length=0.2,
+            # O(N) linked-cell pair forces: the direct sweep would cost
+            # 27 image boxes x O(N^2) per force evaluation. Cutoff
+            # 2a + 12*debye keeps the dropped tail below exp(-12).
+            blob_blob_force_method="neighbor_list",
+            blob_blob_cutoff=2 * 0.131 + 12 * 0.2,
+            blob_blob_grid_dim=32, blob_blob_cell_capacity=96,
+            solver_tolerance=SOLVER_TOL,
+        )
+    else:
+        system = System(
+            types=(t,), eta=1.0, blob_radius=0.131, kT=0.05, g=0.1,
+            domain="single_wall", repulsion_strength_wall=0.2,
+            debye_length_wall=0.2, repulsion_strength=0.2, debye_length=0.2,
+            # f32-appropriate tolerances (f64 parity is verified in tests/)
+            solver_tolerance=SOLVER_TOL,
+        )
+    # non-overlapping grid (above the wall, or filling the periodic box)
+    idx = np.arange(N_BODIES)
+    z0 = 0.8 if periodic else 2.0
     pos = np.stack([
         (idx % side) * spacing,
         ((idx // side) % side) * spacing,
-        2.0 + (idx // (side * side)) * spacing,
+        z0 + (idx // (side * side)) * spacing,
     ], axis=1).astype(np.float32)
     rng = np.random.default_rng(0)
+    if periodic:
+        # de-align the lattice (a perfect lattice funnels whole body
+        # columns into single gridding buckets; real suspensions don't)
+        pos += rng.uniform(-0.25, 0.25, size=pos.shape).astype(np.float32)
     quat = rng.normal(size=(N_BODIES, 4)).astype(np.float32)
     quat /= np.linalg.norm(quat, axis=1, keepdims=True)
     return system, make_state(pos, quat)
@@ -152,8 +178,26 @@ def main():
     if BENCH_PATH == "rollers":
         bench_rollers()
         return
-    system, state = build()
+    system, state = build(periodic=(BENCH_PATH == "spectral"))
     n_blobs = system.num_blobs
+    if BENCH_PATH == "spectral":
+        # bucket-dropped particles would silently lose their far-field
+        # contribution: grow the gridding capacity until none drop
+        import dataclasses
+
+        from rigidmultiblobswall_tpu.models import kinematics, saddle
+
+        r_blobs = kinematics.blob_positions(system, state)
+        for cap in (system.spectral_bucket_capacity, 768, 1024, 1536, 2048):
+            system = dataclasses.replace(system, spectral_bucket_capacity=cap)
+            plan = saddle.maybe_dense_mobility(system, r_blobs)
+            drops = (int(plan.n_dropped), int(plan.n_dropped_cells))
+            print(f"spectral plan: grid={plan.params.grid} "
+                  f"r_cut={plan.params.r_cut:.2f} cap_x={plan.cap_x} "
+                  f"dropped={drops}", file=sys.stderr)
+            if drops == (0, 0):
+                break
+        assert drops == (0, 0), f"capacity drops {drops} at cap {cap}"
     step = integrators.make_stepper(
         system, SCHEME, DT,
         lanczos_tolerance=LANCZOS_TOL, lanczos_max_iter=32,
@@ -198,7 +242,9 @@ def main():
     ref_ms = float(os.environ.get(
         "BENCH_REF_STEP_MS", ref_3072_ms * (n_blobs / 3072.0) ** 2))
     print(json.dumps({
-        "metric": f"brownian_step_ms_{SCHEME}_{n_blobs}blobs_{n_dev}chip",
+        "metric": (f"brownian_step_ms_{SCHEME}"
+                   + ("_spectral" if BENCH_PATH == "spectral" else "")
+                   + f"_{n_blobs}blobs_{n_dev}chip"),
         "value": round(elapsed_ms, 3),
         "unit": "ms/step",
         "vs_baseline": round(ref_ms / elapsed_ms, 1),

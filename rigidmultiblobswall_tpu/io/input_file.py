@@ -275,6 +275,9 @@ def build_system(cfg: InputConfig, base_dir="."):
         g=cfg.g,
         domain=cfg.domain,
         periodic_length=tuple(cfg.periodic_length),
+        # O(N log N) spectral engine knobs (domain periodic_spectral)
+        spectral_tol=float(cfg.options.get("spectral_tolerance", 1e-4)),
+        spectral_grid_max=int(cfg.options.get("spectral_grid_max", 256)),
         repulsion_strength=cfg.repulsion_strength,
         debye_length=cfg.debye_length,
         repulsion_strength_wall=cfg.repulsion_strength_wall,

@@ -38,13 +38,21 @@ def force_torque_calculator(system: System, state: State, r_blobs):
         r_blobs, g=system.g, blob_mass=1.0, blob_radius=system.blob_radius,
         repulsion_strength_wall=system.repulsion_strength_wall,
         debye_length_wall=system.debye_length_wall)
-    pair_force = (force_ops.blob_blob_forces_neighbor_list
-                  if system.blob_blob_force_method == "neighbor_list"
-                  else force_ops.blob_blob_forces)
-    f_blobs = f_blobs + pair_force(
-        r_blobs, repulsion_strength=system.repulsion_strength,
-        debye_length=system.debye_length, blob_radius=system.blob_radius,
-        periodic_length=system.periodic_length)
+    if system.blob_blob_force_method == "neighbor_list":
+        f_blobs = f_blobs + force_ops.blob_blob_forces_neighbor_list(
+            r_blobs, repulsion_strength=system.repulsion_strength,
+            debye_length=system.debye_length,
+            blob_radius=system.blob_radius,
+            periodic_length=system.periodic_length,
+            cutoff=(system.blob_blob_cutoff or None),
+            grid_dim=system.blob_blob_grid_dim,
+            cell_capacity=system.blob_blob_cell_capacity)
+    else:
+        f_blobs = f_blobs + force_ops.blob_blob_forces(
+            r_blobs, repulsion_strength=system.repulsion_strength,
+            debye_length=system.debye_length,
+            blob_radius=system.blob_radius,
+            periodic_length=system.periodic_length)
     if system.blob_force_fn is not None:
         f_blobs = f_blobs + system.blob_force_fn(system, state, r_blobs)
     ft = kin.KT_mul(system, state, f_blobs)

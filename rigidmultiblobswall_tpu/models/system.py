@@ -92,6 +92,12 @@ class System:
     # per-axis FFT grid cap for the spectral engine; when it binds,
     # r_cut inflates so dilute boxes don't demand enormous grids
     spectral_grid_max: int = 256
+    # plane-matmul gridding knobs (see ops/ewald.EwaldParams): particles
+    # per x-bucket (0 = auto 4x mean), yz-planes per lax.map step, and
+    # MXU precision for the gridding matmuls
+    spectral_bucket_capacity: int = 0
+    spectral_plane_batch: int = 4
+    spectral_precision: str = "high"
     repulsion_strength: float = 0.0
     debye_length: float = 1.0
     repulsion_strength_wall: float = 0.0
@@ -100,6 +106,11 @@ class System:
     # 'neighbor_list' linked cells (the reference's tree backend,
     # selected by blob_blob_force_implementation in the input file)
     blob_blob_force_method: str = "direct"
+    # neighbor-list knobs: pair cutoff (0 = the reference's conservative
+    # 2a + 30*debye), cells per dim cap, and blobs per cell
+    blob_blob_cutoff: float = 0.0
+    blob_blob_grid_dim: int = 16
+    blob_blob_cell_capacity: int = 32
     solver_tolerance: float = 1e-8
     rf_delta: float = 1e-3
     # user-extension hooks (reference L5 layer); all optional callables

@@ -188,8 +188,10 @@ class EwaldParams:
     # unless tol is loose
     precision: str = "highest"
     # real-space sweep: cells per lax.map tile, Chebyshev terms per piece
+    # (0 = grow the degree until the fit error is well under tol)
     cell_tile: int = 16
-    n_cheb: int = 12
+    n_cheb: int = 0
+    tol: float = 1e-4          # accuracy target the params were built for
 
     @property
     def spacing(self):
@@ -240,7 +242,7 @@ def default_params(a, eta, box, *, tol=1e-4, r_cut_factor=None,
     xi = s / r_cut
     return EwaldParams(a=float(a), eta=float(eta), box=box, xi=xi,
                        r_cut=r_cut, grid=grid, support=int(support),
-                       oversample=float(oversample), **kw)
+                       oversample=float(oversample), tol=float(tol), **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -271,43 +273,66 @@ def _host_cheb(params: EwaldParams):
     from numpy.polynomial import chebyshev as npcheb
 
     r, a_tab, b_tab, self_c = _host_tables(params)
-    K = params.n_cheb
     edges = [(0.0, 2.0 * params.a), (2.0 * params.a, params.r_cut)]
-    out = np.zeros((2, 2, K))
-    for i, (lo, hi) in enumerate(edges):
-        m = (r >= lo) & (r <= hi)
-        t = (2.0 * r[m] - (hi + lo)) / (hi - lo)
-        out[i, 0] = npcheb.chebfit(t, a_tab[m], K - 1)
-        out[i, 1] = npcheb.chebfit(t, b_tab[m], K - 1)
+    scale = 1.0 / (6 * np.pi * params.eta * params.a)
+    target = 0.05 * params.tol
+    for K in ([params.n_cheb] if params.n_cheb
+              else (8, 10, 12, 14, 16, 20, 24, 28, 32)):
+        out = np.zeros((2, 2, K))
+        err = 0.0
+        for i, (lo, hi) in enumerate(edges):
+            m = (r >= lo) & (r <= hi)
+            t = (2.0 * r[m] - (hi + lo)) / (hi - lo)
+            for j, tab in enumerate((a_tab, b_tab)):
+                out[i, j] = npcheb.chebfit(t, tab[m], K - 1)
+                err = max(err, np.abs(
+                    npcheb.chebval(t, out[i, j]) - tab[m]).max() / scale)
+        if params.n_cheb or err < target:
+            break
     return out, self_c
 
 
 @functools.lru_cache(maxsize=16)
-def _host_kernel(params: EwaldParams):
-    """Cached k-space multiplier and unit wave vectors."""
+def _host_whats(params: EwaldParams):
+    """Per-axis window transforms w^(k) (host quadrature; tiny (g,)
+    arrays — the only host-side k-space data)."""
     P = params.support
     beta = params.es_beta
     ks = [2.0 * np.pi * np.fft.fftfreq(g, d=L / g)
           for g, L in zip(params.grid, params.box)]
-    spac = params.spacing
-    whats = [_es_window_hat(kd, 0.5 * P * hd, beta)
-             for kd, hd in zip(ks, spac)]
-    kx, ky, kz = np.meshgrid(*ks, indexing="ij")
+    return tuple(_es_window_hat(kd, 0.5 * P * hd, beta)
+                 for kd, hd in zip(ks, params.spacing))
+
+
+def _device_kernel(params: EwaldParams, dtype):
+    """k-space multiplier and unit wave vectors, assembled ON DEVICE from
+    1-D inputs. The (g^3) tables must never be host constants: baked into
+    a jitted step they blow the HLO up by hundreds of MB (the remote
+    compile service rejects it), and they would be re-shipped per
+    compile. Device assembly is ~20 flops/mode, sub-ms per plan."""
+    whats = _host_whats(params)
+    ks = [jnp.asarray(2.0 * np.pi * np.fft.fftfreq(g, d=L / g), dtype)
+          for g, L in zip(params.grid, params.box)]
+    kx = ks[0][:, None, None]
+    ky = ks[1][None, :, None]
+    kz = ks[2][None, None, :]
     k2 = kx * kx + ky * ky + kz * kz
-    k = np.sqrt(np.maximum(k2, 1e-300))
-    sinc = np.sin(k * params.a) / (k * params.a)
-    phi = (1.0 + k2 / (4 * params.xi**2)) * np.exp(
+    k2_safe = jnp.where(k2 > 0, k2, 1.0)
+    k = jnp.sqrt(k2_safe)
+    sinc = jnp.sin(k * params.a) / (k * params.a)
+    phi = (1.0 + k2 / (4 * params.xi**2)) * jnp.exp(
         -k2 / (4 * params.xi**2))
-    h3 = float(np.prod(spac))
-    what2 = (whats[0][:, None, None] * whats[1][None, :, None]
-             * whats[2][None, None, :]) ** 2
+    h3 = float(np.prod(params.spacing))
+    w2 = [jnp.asarray(w, dtype) ** 2 for w in whats]
+    what2 = w2[0][:, None, None] * w2[1][None, :, None] * w2[2][None, None, :]
     # normalization: spread-side quadrature h^3/w^ twice, (1/V) sum_k,
     # and ifftn's 1/n^3 combine to exactly h^3 / w^^2 (V = n^3 h^3)
-    k2_safe = np.where(k2 > 0, k2, 1.0)
     kern = (sinc**2 * phi / (params.eta * k2_safe)) * h3 / what2
-    kern[0, 0, 0] = 0.0
-    khat = np.stack([kx, ky, kz], axis=-1) / k[..., None]
-    khat[0, 0, 0] = 0.0
+    kern = kern.at[0, 0, 0].set(0.0)
+    khat = jnp.stack([jnp.broadcast_to(kx / k, k2.shape),
+                      jnp.broadcast_to(ky / k, k2.shape),
+                      jnp.broadcast_to(kz / k, k2.shape)], axis=0)
+    khat = khat.at[:, 0, 0, 0].set(0.0)
     return kern, khat
 
 
@@ -447,8 +472,8 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
     # capacity-dropped particles must not read someone else's row
     inv_idx = jnp.where(slot[:, None] < cap_x, inv_idx, gx * rows_per_plane)
 
-    # ---- k-space kernel (host, cached per params)
-    kern, khat = _host_kernel(params)
+    # ---- k-space kernel (assembled on device; only 1-D host inputs)
+    kern, khat = _device_kernel(params, dtype)
 
     return SpectralPlan(
         positions=pos,
@@ -458,8 +483,7 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         nbr_cells=nbr_cells, n_dropped_cells=n_dropped_cells,
         cell_dims=dims,
         bucket_tbl=bucket_tbl, inv_idx=inv_idx, n_dropped=n_dropped,
-        kernel=jnp.asarray(kern, dtype),
-        khat=jnp.asarray(np.moveaxis(khat, -1, 0), dtype),
+        kernel=kern, khat=khat,
         params=params)
 
 
@@ -554,10 +578,13 @@ def interpolate(plan: SpectralPlan, ug):
     gather, _ = _plane_candidates(plan, None)
 
     prec = getattr(lax.Precision, p.precision.upper())
+    # one contiguous transpose up front: per-plane strided slices of the
+    # component-leading layout are slow on TPU
+    ugq = jnp.moveaxis(ug, 0, -1)                        # (gx, gy, gz, 3)
 
     def one_plane(a):
         cand, wx, Y, Z = gather(a)
-        ga = jnp.moveaxis(ug[:, a], 0, -1)               # (gy, gz, 3)
+        ga = lax.dynamic_index_in_dim(ugq, a, 0, keepdims=False)
         M1 = jnp.matmul(Y, ga.reshape(gy, gz * 3),
                         precision=prec)                  # (R, gz*3)
         u = jnp.einsum("rc,rcq->rq", Z, M1.reshape(-1, gz, 3),

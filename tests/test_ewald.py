@@ -56,6 +56,25 @@ def test_table_quadrature_converged():
         np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
 
 
+def test_chebyshev_fit_matches_quadrature_tables():
+    """The device-side Clenshaw evaluation must agree with the host
+    quadrature tables well below the engine tolerance (auto-degree)."""
+    from numpy.polynomial import chebyshev as npcheb
+
+    for tol in (1e-4, 1e-6):
+        p = ewald.default_params(A, ETA, BOX, tol=tol)
+        co, _ = ewald._host_cheb(p)
+        r, a_tab, b_tab, _ = ewald.realspace_tables(
+            p.a, p.eta, p.xi, p.r_cut, n_points=p.n_table)
+        scale = 1.0 / (6 * np.pi * ETA * A)
+        for i, (lo, hi) in enumerate([(0, 2 * A), (2 * A, p.r_cut)]):
+            m = (r >= lo) & (r <= hi)
+            t = (2 * r[m] - (hi + lo)) / (hi - lo)
+            for j, tab in enumerate((a_tab, b_tab)):
+                err = np.abs(npcheb.chebval(t, co[i, j]) - tab[m]).max()
+                assert err / scale < 0.05 * tol, (tol, i, j, err / scale)
+
+
 def test_remainder_decays_at_cutoff():
     """The real-space remainder must be ~erfc-small at r_cut, or the
     cell-list truncation would bite."""
@@ -109,7 +128,10 @@ def test_hasimoto_lattice_drag():
     coefficient from two dilute box sizes and compare to 1.7601."""
     coef = []
     for L in (20.0, 40.0):
-        p = ewald.default_params(A, ETA, (L, L, L), tol=1e-6)
+        # grid_max=128 inflates r_cut for the bigger box; by split
+        # invariance (test_split_is_xi_independent) the physics is
+        # unchanged and the CPU FFTs are 8x cheaper
+        p = ewald.default_params(A, ETA, (L, L, L), tol=1e-6, grid_max=128)
         plan = ewald.make_plan(p, jnp.asarray(np.zeros((1, 3))))
         f = jnp.asarray([[1.0, 0.0, 0.0]])
         u = float(np.asarray(ewald.matvec(plan, f))[0, 0])
