@@ -84,6 +84,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +193,11 @@ class EwaldParams:
     # (0 = grow the degree until the fit error is well under tol)
     cell_tile: int = 16
     n_cheb: int = 0
+    # near-field engine: "pallas" = fused VPU kernel over a plan-time
+    # pre-gathered (cell, 27*cap) source layout (TPU), "xla" = the
+    # lax.map cell sweep, "auto" = pallas on TPU else xla
+    near_impl: str = "auto"
+    near_tile: int = 8         # cells per Pallas grid step
     tol: float = 1e-4          # accuracy target the params were built for
 
     @property
@@ -298,10 +305,20 @@ def _host_whats(params: EwaldParams):
     arrays — the only host-side k-space data)."""
     P = params.support
     beta = params.es_beta
-    ks = [2.0 * np.pi * np.fft.fftfreq(g, d=L / g)
-          for g, L in zip(params.grid, params.box)]
+    ks = _axis_freqs(params)
     return tuple(_es_window_hat(kd, 0.5 * P * hd, beta)
                  for kd, hd in zip(ks, params.spacing))
+
+
+def _axis_freqs(params: EwaldParams):
+    """Per-axis angular frequencies; the z axis is the rfft half-spectrum
+    (the spread grid is real, so the wave product runs on rfftn output —
+    half the FFT flops and k-table memory)."""
+    (gx, gy, gz) = params.grid
+    (Lx, Ly, Lz) = params.box
+    return [2.0 * np.pi * np.fft.fftfreq(gx, d=Lx / gx),
+            2.0 * np.pi * np.fft.fftfreq(gy, d=Ly / gy),
+            2.0 * np.pi * np.fft.rfftfreq(gz, d=Lz / gz)]
 
 
 def _device_kernel(params: EwaldParams, dtype):
@@ -311,8 +328,7 @@ def _device_kernel(params: EwaldParams, dtype):
     compile service rejects it), and they would be re-shipped per
     compile. Device assembly is ~20 flops/mode, sub-ms per plan."""
     whats = _host_whats(params)
-    ks = [jnp.asarray(2.0 * np.pi * np.fft.fftfreq(g, d=L / g), dtype)
-          for g, L in zip(params.grid, params.box)]
+    ks = [jnp.asarray(kd, dtype) for kd in _axis_freqs(params)]
     kx = ks[0][:, None, None]
     ky = ks[1][None, :, None]
     kz = ks[2][None, None, :]
@@ -358,8 +374,16 @@ class SpectralPlan:
     inv_idx: jax.Array        # (N, P) int32 rows of each particle in the
     #                           per-plane candidate lists
     n_dropped: jax.Array      # scalar int32: bucket-capacity overflows
-    kernel: jax.Array         # (nx, ny, nz) scalar k-space multiplier
-    khat: jax.Array           # (3, nx, ny, nz) unit wave vectors
+    # Pallas near-field: plan-time pre-gathered source layout. Sources of
+    # cell c = the slots of its 27 neighbor cells, wrap shifts resolved
+    # into the stored positions (no min-image math in the kernel). All
+    # None when the XLA near-field path is selected.
+    src_pos: jax.Array | None  # (3, C_pad, S) f32, S = pad128(27 * cap)
+    src_ids: jax.Array | None  # (C_pad, S) int32 particle ids (pad N)
+    tgt_xyz: jax.Array | None  # (C_pad * cap, 3) target slot positions
+    kernel: jax.Array         # (nx, ny, nz//2+1) scalar k-space multiplier
+    khat: jax.Array           # (3, nx, ny, nz//2+1) unit wave vectors (rfft
+    #                           half-spectrum along z)
     params: EwaldParams
 
     @property
@@ -371,8 +395,16 @@ jax.tree_util.register_dataclass(
     SpectralPlan,
     data_fields=["positions", "cheb", "self_coeff",
                  "cell_table", "cell_slot", "nbr_cells", "n_dropped_cells",
-                 "bucket_tbl", "inv_idx", "n_dropped", "kernel", "khat"],
+                 "bucket_tbl", "inv_idx", "n_dropped",
+                 "src_pos", "src_ids", "tgt_xyz",
+                 "kernel", "khat"],
     meta_fields=["cell_dims", "params"])
+
+
+def _resolve_near_impl(params: EwaldParams) -> str:
+    if params.near_impl != "auto":
+        return params.near_impl
+    return ("pallas" if jax.default_backend() in ("tpu", "axon") else "xla")
 
 
 def _es_window_np(x, R, beta):
@@ -443,6 +475,39 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         (nb3[:, :, 0] * ny + nb3[:, :, 1]) * nz + nb3[:, :, 2],
         jnp.int32)
 
+    # ---- Pallas near-field: pre-gathered (cell, 27*cap) source layout
+    src_pos = src_ids = tgt_xyz = None
+    if _resolve_near_impl(params) == "pallas":
+        TC = params.near_tile
+        S = -(-27 * cap // 128) * 128
+        n_cells_pad = -(-n_cells // TC) * TC
+        # cell-level wrap shifts, built on device (tiny 1-D inputs only)
+        idx = jnp.arange(n_cells, dtype=jnp.int32)
+        c3_cells = jnp.stack([idx // (ny * nz), (idx // nz) % ny, idx % nz],
+                             axis=-1)                      # (C, 3)
+        o27_d = jnp.asarray(o27, jnp.int32)
+        raw = c3_cells[:, None, :] + o27_d[None, :, :]     # (C, 27, 3)
+        wrap = jnp.floor_divide(raw, jnp.asarray(dims, jnp.int32))
+        shift = wrap.astype(dtype) * box                   # (C, 27, 3)
+        ids2 = cell_table.reshape(n_cells, cap)
+        sids = ids2[nbr_cells]                             # (C, 27, cap)
+        pos_nan = jnp.concatenate(
+            [pos, jnp.full((1, 3), jnp.nan, dtype)], axis=0)
+        spos = pos_nan[sids] + shift[:, :, None, :]        # (C, 27, cap, 3)
+        spos = spos.reshape(n_cells, 27 * cap, 3)
+        sids = sids.reshape(n_cells, 27 * cap)
+        pad_s = S - 27 * cap
+        pad_cells = n_cells_pad - n_cells
+        spos = jnp.pad(spos, ((0, pad_cells), (0, pad_s), (0, 0)),
+                       constant_values=jnp.nan)
+        src_ids = jnp.pad(sids, ((0, pad_cells), (0, pad_s)),
+                          constant_values=n)
+        src_pos = jnp.moveaxis(spos, -1, 0)                # (3, C_pad, S)
+        tpos = pos_nan[cell_table].reshape(n_cells, cap, 3)
+        tgt_xyz = jnp.pad(tpos, ((0, pad_cells), (0, 0), (0, 0)),
+                          constant_values=jnp.nan
+                          ).reshape(n_cells_pad * cap, 3)
+
     # ---- x-bucket lists for the plane-matmul gridding
     P = params.support
     gx, gy, gz = params.grid
@@ -483,6 +548,7 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         nbr_cells=nbr_cells, n_dropped_cells=n_dropped_cells,
         cell_dims=dims,
         bucket_tbl=bucket_tbl, inv_idx=inv_idx, n_dropped=n_dropped,
+        src_pos=src_pos, src_ids=src_ids, tgt_xyz=tgt_xyz,
         kernel=kern, khat=khat,
         params=params)
 
@@ -598,14 +664,20 @@ def interpolate(plan: SpectralPlan, ug):
     return jnp.sum(out[plan.inv_idx], axis=1)            # (N, 3)
 
 
-def wave_matvec(plan: SpectralPlan, forces):
-    """u^w = S^T F^{-1} B F S f (spread, FFT, scale, iFFT, interpolate)."""
-    grid = spread(plan, forces)                          # (3, gx, gy, gz)
-    gk = jnp.fft.fftn(grid, axes=(1, 2, 3))
-    # project out khat and scale
+def k_scale(plan: SpectralPlan, gk):
+    """Project out khat and apply the scalar kernel on the rfft
+    half-spectrum (the projector I - khat khat^T and the kernel are even
+    in k, so they act identically on the half spectrum)."""
     kdotg = jnp.sum(plan.khat * gk, axis=0, keepdims=True)
-    uk = plan.kernel[None] * (gk - plan.khat * kdotg)
-    ug = jnp.real(jnp.fft.ifftn(uk, axes=(1, 2, 3)))
+    return plan.kernel[None] * (gk - plan.khat * kdotg)
+
+
+def wave_matvec(plan: SpectralPlan, forces):
+    """u^w = S^T F^{-1} B F S f (spread, rFFT, scale, irFFT, interpolate)."""
+    grid = spread(plan, forces)                          # (3, gx, gy, gz)
+    gk = jnp.fft.rfftn(grid, axes=(1, 2, 3))
+    uk = k_scale(plan, gk)
+    ug = jnp.fft.irfftn(uk, s=plan.params.grid, axes=(1, 2, 3))
     return interpolate(plan, ug)
 
 
@@ -623,7 +695,7 @@ def _clenshaw(coeffs, t):
     return t * b1 - b2 + coeffs[0]
 
 
-def real_matvec(plan: SpectralPlan, forces):
+def real_matvec_xla(plan: SpectralPlan, forces):
     """Near-field remainder sum + self term, as a cell-blocked DENSE
     sweep: particles live in a padded (n_cells, cap) layout, every cell
     tile processes its 27 neighbor cells with pure tensor ops (per-pair
@@ -700,6 +772,120 @@ def real_matvec(plan: SpectralPlan, forces):
     out_c = out_c.reshape(n_pad_c * cap, 3)[:n_cells * cap]
     out_c = jnp.concatenate([out_c, jnp.zeros((1, 3), dtype)], axis=0)
     return out_c[plan.cell_slot] + plan.self_coeff * f
+
+
+def _near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc, cheb,
+                 mids, halfs, two_a, rc2):
+    """Fused near-field sweep: block = `tc` cells; for each cell, the
+    (cap targets) x (S sources) pair tile is evaluated on the VPU with
+    targets on sublanes and sources on lanes. Radial scalars come from
+    ONE Clenshaw recurrence per function with per-pair piece-selected
+    coefficients (both pieces' t is in [-1,1] after selection, so there
+    is no out-of-range polynomial blowup). All coefficients are
+    compile-time python-float constants (weak-typed)."""
+    K = len(cheb[0][0])
+    inv_h0, inv_h1 = 1.0 / halfs[0], 1.0 / halfs[1]
+    for t in range(tc):
+        r0 = t * cap
+        tx = tgt_ref[r0:r0 + cap, 0:1]
+        ty = tgt_ref[r0:r0 + cap, 1:2]
+        tz = tgt_ref[r0:r0 + cap, 2:3]
+        sx = spos_ref[0, t, :][None, :]
+        sy = spos_ref[1, t, :][None, :]
+        sz = spos_ref[2, t, :][None, :]
+        fx = sf_ref[0, t, :][None, :]
+        fy = sf_ref[1, t, :][None, :]
+        fz = sf_ref[2, t, :][None, :]
+        dx = tx - sx
+        dy = ty - sy
+        dz = tz - sz
+        r2 = dx * dx + dy * dy + dz * dz
+        inside = (r2 < rc2) & (r2 > 0.0)
+        r2s = jnp.where(inside, r2, 1.0)   # also scrubs NaN pad rows
+        invr = lax.rsqrt(r2s)
+        r = r2s * invr
+        near = r < two_a
+        ts = jnp.where(near, (r - mids[0]) * inv_h0, (r - mids[1]) * inv_h1)
+        t2 = ts + ts
+        a1 = jnp.zeros_like(r)
+        a2 = jnp.zeros_like(r)
+        b1 = jnp.zeros_like(r)
+        b2 = jnp.zeros_like(r)
+        for k in range(K - 1, 0, -1):
+            ca = jnp.where(near, cheb[0][0][k], cheb[1][0][k])
+            cb = jnp.where(near, cheb[0][1][k], cheb[1][1][k])
+            a1, a2 = t2 * a1 - a2 + ca, a1
+            b1, b2 = t2 * b1 - b2 + cb, b1
+        al = ts * a1 - a2 + jnp.where(near, cheb[0][0][0], cheb[1][0][0])
+        be = ts * b1 - b2 + jnp.where(near, cheb[0][1][0], cheb[1][1][0])
+        al = jnp.where(inside, al, 0.0)
+        bfac = jnp.where(inside, be * invr * invr, 0.0)
+        dx = jnp.where(inside, dx, 0.0)
+        dy = jnp.where(inside, dy, 0.0)
+        dz = jnp.where(inside, dz, 0.0)
+        g = bfac * (dx * fx + dy * fy + dz * fz)
+        out_ref[r0:r0 + cap, 0:1] = jnp.sum(al * fx + g * dx, axis=1,
+                                            keepdims=True)
+        out_ref[r0:r0 + cap, 1:2] = jnp.sum(al * fy + g * dy, axis=1,
+                                            keepdims=True)
+        out_ref[r0:r0 + cap, 2:3] = jnp.sum(al * fz + g * dz, axis=1,
+                                            keepdims=True)
+
+
+def real_matvec_pallas(plan: SpectralPlan, forces):
+    """Near-field sweep on the plan-time pre-gathered source layout (see
+    make_plan): no per-pair gathers, no min-image math (cell-level wrap
+    shifts are folded into the stored source positions), full 128-lane
+    utilization with S = pad128(27 * cap) sources per cell."""
+    p = plan.params
+    cap = p.cell_capacity
+    TC = p.near_tile
+    C_pad, S = plan.src_ids.shape
+    n = plan.positions.shape[0]
+    f = forces.reshape(n, 3).astype(jnp.float32)
+    f_pad = jnp.concatenate([f, jnp.zeros((1, 3), jnp.float32)], axis=0)
+    sf = f_pad.T[:, plan.src_ids]                        # (3, C_pad, S)
+
+    cheb_np, _ = _host_cheb(p)
+    # python-float coefficients: weak-typed in-kernel constants (numpy
+    # f64 scalars would promote the whole pair block to f64 under x64)
+    cheb = tuple(tuple(tuple(float(v) for v in fn) for fn in piece)
+                 for piece in cheb_np)
+    two_a = 2.0 * p.a
+    mids = (0.5 * two_a, 0.5 * (two_a + p.r_cut))
+    halfs = (0.5 * two_a, 0.5 * (p.r_cut - two_a))
+    kernel = functools.partial(
+        _near_kernel, cap=cap, tc=TC, cheb=cheb, mids=mids, halfs=halfs,
+        two_a=two_a, rc2=p.r_cut * p.r_cut)
+    out = pl.pallas_call(
+        kernel,
+        grid=(C_pad // TC,),
+        in_specs=[
+            pl.BlockSpec((TC * cap, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TC, S), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TC, S), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TC * cap, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C_pad * cap, 3), jnp.float32),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(plan.tgt_xyz.astype(jnp.float32), plan.src_pos.astype(jnp.float32),
+      sf)
+    out = jnp.concatenate([out, jnp.zeros((1, 3), out.dtype)], axis=0)
+    dtype = forces.dtype
+    return (out[plan.cell_slot].astype(dtype)
+            + plan.self_coeff * forces.reshape(n, 3).astype(dtype))
+
+
+def real_matvec(plan: SpectralPlan, forces):
+    """Near-field remainder + self term; dispatches to the Pallas kernel
+    on TPU (params.near_impl) or the XLA cell sweep elsewhere."""
+    if plan.src_pos is not None:
+        return real_matvec_pallas(plan, forces)
+    return real_matvec_xla(plan, forces)
 
 
 def matvec(plan: SpectralPlan, forces):

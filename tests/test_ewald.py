@@ -228,3 +228,25 @@ def test_spectral_deterministic_matches_dilute_open_boundary():
     # the periodic image correction is ~2.84 a_eff/L ~ 2% here
     assert abs(v_per[2] - v_open[2]) / abs(v_open[2]) < 0.05
     assert abs(v_per[2]) < abs(v_open[2])  # images hinder sedimentation
+
+
+def test_pallas_near_field_matches_xla():
+    """The fused Pallas near-field sweep (plan-time pre-gathered source
+    layout, piece-selected Clenshaw scalars) reproduces the XLA cell
+    sweep on a dense random system (interpret mode off-TPU)."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    n = 300
+    pos = rng.uniform(0.0, BOX[0], size=(n, 3)).astype(np.float32)
+    f = rng.normal(size=(n, 3)).astype(np.float32)
+    p = ewald.default_params(A, ETA, BOX, tol=1e-4, grid_max=64)
+    plan_x = ewald.make_plan(
+        dataclasses.replace(p, near_impl="xla"), jnp.asarray(pos))
+    plan_p = ewald.make_plan(
+        dataclasses.replace(p, near_impl="pallas"), jnp.asarray(pos))
+    assert plan_p.src_pos is not None and plan_x.src_pos is None
+    ux = np.asarray(ewald.real_matvec(plan_x, jnp.asarray(f)))
+    up = np.asarray(ewald.real_matvec(plan_p, jnp.asarray(f)))
+    scale = np.abs(ux).max()
+    np.testing.assert_allclose(up / scale, ux / scale, atol=5e-6)

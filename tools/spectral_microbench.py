@@ -69,7 +69,7 @@ def main():
 
     import dataclasses as dc
 
-    variants = [("base", p)]
+    variants = [] if os.environ.get("BENCH_SKIP_BASE") else [("base", p)]
     for spec in os.environ.get("BENCH_VARIANTS", "").split(";"):
         if not spec:
             continue
@@ -85,12 +85,24 @@ def main():
         plan = ewald.make_plan(pv, pos_j)
         print(f"[{name}] cap_x={plan.cap_x} dropped={int(plan.n_dropped)} "
               f"prec={pv.precision} support={pv.support}", flush=True)
-        t_spread = timeit(jax.jit(ewald.spread), plan, f_j, n=3, warmup=1)
+        # reduce large outputs to scalars: timing a fn whose output is a
+        # 200 MB grid measures the axon tunnel transfer, not compute
+        t_spread = timeit(
+            jax.jit(lambda pl_, ff: jnp.sum(ewald.spread(pl_, ff))),
+            plan, f_j, n=3, warmup=1)
         print(f"[{name}] spread    {t_spread:8.2f} ms", flush=True)
         grid = ewald.spread(plan, f_j)
         t_interp = timeit(jax.jit(ewald.interpolate), plan, grid,
                           n=3, warmup=1)
         print(f"[{name}] interp    {t_interp:8.2f} ms", flush=True)
+        def fft_part(pl_, g):
+            gk = jnp.fft.rfftn(g, axes=(1, 2, 3))
+            uk = ewald.k_scale(pl_, gk)
+            return jnp.sum(jnp.fft.irfftn(uk, s=pl_.params.grid,
+                                          axes=(1, 2, 3)))
+
+        t_fft = timeit(jax.jit(fft_part), plan, grid, n=3, warmup=1)
+        print(f"[{name}] fft+scale {t_fft:8.2f} ms", flush=True)
         t_wave = timeit(jax.jit(ewald.wave_matvec), plan, f_j, n=3, warmup=1)
         print(f"[{name}] wave      {t_wave:8.2f} ms "
               f"(fft+scale ~ {t_wave - t_spread - t_interp:.2f})", flush=True)
