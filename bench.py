@@ -75,7 +75,7 @@ def build(periodic=False):
             # measured-optimal gridding bucket (mean occupancy x4/3 at
             # this density); drops are checked eagerly in main()
             spectral_bucket_capacity=int(
-                os.environ.get("BENCH_BUCKET_CAP", 512)),
+                os.environ.get("BENCH_BUCKET_CAP", 0)),
             repulsion_strength=0.2, debye_length=0.2,
             # O(N) linked-cell pair forces: the direct sweep would cost
             # 27 image boxes x O(N^2) per force evaluation. Cutoff
@@ -188,15 +188,17 @@ def main():
         from rigidmultiblobswall_tpu.models import kinematics, saddle
 
         r_blobs = kinematics.blob_positions(system, state)
-        for cap in (system.spectral_bucket_capacity, 768, 1024, 1536, 2048):
+        cap = system.spectral_bucket_capacity
+        for _ in range(5):
             system = dataclasses.replace(system, spectral_bucket_capacity=cap)
             plan = saddle.maybe_dense_mobility(system, r_blobs)
             drops = (int(plan.n_dropped), int(plan.n_dropped_cells))
             print(f"spectral plan: grid={plan.params.grid} "
-                  f"r_cut={plan.params.r_cut:.2f} cap_x={plan.cap_x} "
+                  f"r_cut={plan.params.r_cut:.2f} cap_seg={plan.cap_seg} "
                   f"dropped={drops}", file=sys.stderr)
             if drops == (0, 0):
                 break
+            cap = plan.cap_seg * 3 // 2
         assert drops == (0, 0), f"capacity drops {drops} at cap {cap}"
     step = integrators.make_stepper(
         system, SCHEME, DT,

@@ -106,7 +106,7 @@ def _mobility_apply(system, r_blobs, m_dense, lam):
 
         if not isinstance(m_dense, ewald.SpectralPlan):
             m_dense = maybe_dense_mobility(system, r_blobs)
-        return ewald.matvec(m_dense, lam.reshape(-1, 3))
+        return ewald.matvec(m_dense, lam.reshape(-1, 3), mesh=system.mesh)
     if m_dense is not None:
         # m_dense: (3,3,N,N) component planes (see dense_mobility_tiled)
         lam = lam.reshape(-1, 3)

@@ -55,19 +55,26 @@ numerical validations):
 
 * TPU-native gridding with NO scatter. XLA:TPU lowers scatter-add with
   colliding indices to a serialized update loop — at N x P^3 stamp
-  points it is unusably slow (measured: minutes at 98k blobs). Instead
-  particles are bucketed by their base x-grid index at plan time, and
-  each yz-plane `a` of the grid is assembled as ONE dense matmul over
-  that plane's candidate particles:
+  points it is unusably slow (measured: minutes at 98k blobs). Instead,
+  z-slab gridding: every particle registers one entry per x-plane it
+  stamps (P entries), keyed by (plane, z-block of height ZB >= P-1);
+  entries are sorted into fixed-capacity segments at plan time. Each
+  yz-plane is then assembled as one BATCHED (over z-blocks) matmul
 
-      plane_a[b, (c,q)] = sum_p (wx_p Y[p,b])^T (Z[p,c] f[p,q]),
+      slab_t[b, (c,q)] = sum_{p in seg(a,t)} (wx_p Y[p,b])^T
+                                              (Z16[p,c] f[p,q]),
 
-  with Y/Z the dense (masked) window rows along y/z. The per-axis
-  window is only P points wide, so the dense b/c dimensions waste
-  ~(g/P)x flops — but they run on the MXU at matmul speed, which beats
-  any scatter by orders of magnitude, and interpolation is the exact
-  transpose (a second matmul) followed by a tiny (N, P) gather via a
-  plan-time inverse index — fully collision-free.
+  where Y is the dense window row along y (gy cols, MXU-contracted)
+  but Z16 is COMPACT — evaluated only on the 2*ZB-wide slab of the
+  particle's own z-block — and the overlapping slabs are reduced onto
+  the plane by two reshapes + two periodic rolls (even/odd block
+  families tile the axis exactly). Versus a dense-z formulation this
+  cuts the window-evaluation count by gz/(2 ZB) and the matmul flops
+  by the same factor; keying segments by (plane, z-block) directly
+  (rather than per-bucket capacities) absorbs bucket-occupancy
+  variance into the sort, so the segment capacity tracks the MEAN
+  population. Interpolation is the exact transpose followed by a tiny
+  (N, P) gather via a plan-time inverse index — fully collision-free.
 
 Both split parts are symmetric positive definite (phi and 1-phi are
 positive multipliers of an SPD kernel), so Lanczos noise and the whole
@@ -181,8 +188,8 @@ class EwaldParams:
     n_table: int = 2048
     cell_capacity: int = 48
     row_tile: int = 2048
-    # particles per x-bucket for the plane-matmul gridding (0 = auto:
-    # 4x the mean occupancy, rounded up to a lane multiple)
+    # entries per (plane, z-block) segment for the z-slab gridding
+    # (0 = auto: 1.35x the mean + 5 sigma, rounded up to 8)
     bucket_capacity: int = 0
     plane_batch: int = 4       # yz-planes assembled per lax.map step
     # MXU precision for the gridding matmuls: f32 inputs on TPU default
@@ -208,6 +215,20 @@ class EwaldParams:
     def es_beta(self):
         return (self.es_beta_factor * math.pi * self.support
                 * (1.0 - 0.5 / self.oversample))
+
+    @property
+    def zslab(self) -> int:
+        """z-block height ZB for the slab gridding: slabs are 2*ZB wide
+        and tile the z axis in two non-overlapping (even/odd) families,
+        so the assembled plane is two reshapes + two rolls. Requires
+        ZB >= support - 1 (a particle's window stays inside its own
+        slab) and gz % (2 ZB) == 0 (an even number of blocks)."""
+        gz = self.grid[2]
+        pm = max(self.support - 1, 8)
+        for m in range(max(gz // (2 * pm), 1), 0, -1):
+            if gz % (2 * m) == 0:
+                return gz // (2 * m)
+        return gz // 2
 
 
 def _round_up_even(n):
@@ -369,11 +390,12 @@ class SpectralPlan:
     nbr_cells: jax.Array      # (n_cells, 27) neighbor cell ids
     n_dropped_cells: jax.Array  # scalar int32: cell-capacity overflows
     cell_dims: Tuple[int, int, int]
-    # wave-space: x-bucketed plane-matmul gridding
-    bucket_tbl: jax.Array     # (gx * cap_x,) int32 particle ids (pad N)
-    inv_idx: jax.Array        # (N, P) int32 rows of each particle in the
-    #                           per-plane candidate lists
-    n_dropped: jax.Array      # scalar int32: bucket-capacity overflows
+    # wave-space: (plane, z-block) segment layout for the z-slab gridding
+    grid_tbl: jax.Array       # (gx * nzb * cap_seg,) int32 particle ids
+    #                           (pad N), segment-major
+    inv_idx: jax.Array        # (N, P) int32 segment rows of each
+    #                           particle's P plane entries
+    n_dropped: jax.Array      # scalar int32: segment-capacity overflows
     # Pallas near-field: plan-time pre-gathered source layout. Sources of
     # cell c = the slots of its 27 neighbor cells, wrap shifts resolved
     # into the stored positions (no min-image math in the kernel). All
@@ -387,15 +409,17 @@ class SpectralPlan:
     params: EwaldParams
 
     @property
-    def cap_x(self) -> int:
-        return self.bucket_tbl.shape[0] // self.params.grid[0]
+    def cap_seg(self) -> int:
+        gx, _, gz = self.params.grid
+        nzb = gz // self.params.zslab
+        return self.grid_tbl.shape[0] // (gx * nzb)
 
 
 jax.tree_util.register_dataclass(
     SpectralPlan,
     data_fields=["positions", "cheb", "self_coeff",
                  "cell_table", "cell_slot", "nbr_cells", "n_dropped_cells",
-                 "bucket_tbl", "inv_idx", "n_dropped",
+                 "grid_tbl", "inv_idx", "n_dropped",
                  "src_pos", "src_ids", "tgt_xyz",
                  "kernel", "khat"],
     meta_fields=["cell_dims", "params"])
@@ -508,34 +532,46 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
                           constant_values=jnp.nan
                           ).reshape(n_cells_pad * cap, 3)
 
-    # ---- x-bucket lists for the plane-matmul gridding
+    # ---- (plane, z-block) segment layout for the z-slab gridding.
+    # Each particle registers one entry per x-plane it stamps (P entries),
+    # keyed by (plane, z-block). Sorting entries into fixed-capacity
+    # segments absorbs the x-bucket occupancy variance that a per-bucket
+    # capacity would pay for: segment capacity tracks the MEAN plane
+    # population N P / (gx nzb), not a per-bucket tail.
     P = params.support
     gx, gy, gz = params.grid
     hx = params.box[0] / gx
-    cap_x = params.bucket_capacity
-    if cap_x <= 0:
-        cap_x = max(-(-4 * n // gx // 128) * 128, 128)
-    base_x = jnp.mod(jnp.round(pos[:, 0] / hx).astype(jnp.int32), gx)
-    order_x = jnp.argsort(base_x)
-    sb = base_x[order_x]
-    slot_sorted = jnp.arange(n) - jnp.searchsorted(sb, sb, side="left")
-    in_cap = slot_sorted < cap_x
-    addr_x = jnp.where(in_cap, sb * cap_x + slot_sorted, gx * cap_x)
-    bucket_tbl = jnp.full((gx * cap_x + 1,), n, dtype=jnp.int32)
-    bucket_tbl = bucket_tbl.at[addr_x].set(order_x.astype(jnp.int32))
-    bucket_tbl = bucket_tbl[:-1]
-    n_dropped = jnp.sum(~in_cap).astype(jnp.int32)
-    # inverse map: particle p (bucket b, slot s) appears in plane
-    # a_i = (b + offs[i]) mod gx at candidate row i*cap_x + s
+    hz = params.box[2] / gz
+    ZB = params.zslab
+    nzb = gz // ZB
+    G = gx * nzb
+    cap_seg = params.bucket_capacity
+    if cap_seg <= 0:
+        mean_seg = n * P / G
+        cap_seg = int(-(-(1.35 * mean_seg + 5.0 * math.sqrt(mean_seg)
+                          + 8.0) // 8) * 8)
     offs = jnp.arange(P, dtype=jnp.int32) - P // 2
-    slot = jnp.zeros((n,), jnp.int32).at[order_x].set(
-        slot_sorted.astype(jnp.int32))
+    base_x = jnp.mod(jnp.round(pos[:, 0] / hx).astype(jnp.int32), gx)
+    base_z = jnp.mod(jnp.round(pos[:, 2] / hz).astype(jnp.int32), gz)
+    tblk = base_z // ZB                                       # (N,)
     planes_of = jnp.mod(base_x[:, None] + offs[None, :], gx)  # (N, P)
-    rows_per_plane = P * cap_x
-    inv_idx = planes_of * rows_per_plane + (
-        jnp.arange(P, dtype=jnp.int32)[None, :] * cap_x + slot[:, None])
-    # capacity-dropped particles must not read someone else's row
-    inv_idx = jnp.where(slot[:, None] < cap_x, inv_idx, gx * rows_per_plane)
+    bucket = (planes_of * nzb + tblk[:, None]).reshape(-1)    # (N*P,)
+    order = jnp.argsort(bucket)
+    sb = bucket[order]
+    slot_sorted = jnp.arange(n * P) - jnp.searchsorted(sb, sb, side="left")
+    in_cap = slot_sorted < cap_seg
+    addr = jnp.where(in_cap, sb * cap_seg + slot_sorted, G * cap_seg)
+    grid_tbl = jnp.full((G * cap_seg + 1,), n, dtype=jnp.int32)
+    grid_tbl = grid_tbl.at[addr].set((order // P).astype(jnp.int32))
+    grid_tbl = grid_tbl[:-1]
+    n_dropped = jnp.sum(~in_cap).astype(jnp.int32)
+    # inverse map: entry (p, i) -> its segment row (sentinel when dropped)
+    slot_of = jnp.full((n * P,), cap_seg, jnp.int32).at[order].set(
+        jnp.where(in_cap, slot_sorted, cap_seg).astype(jnp.int32)
+    ).reshape(n, P)
+    inv_idx = jnp.where(slot_of < cap_seg,
+                        bucket.reshape(n, P) * cap_seg + slot_of,
+                        G * cap_seg)
 
     # ---- k-space kernel (assembled on device; only 1-D host inputs)
     kern, khat = _device_kernel(params, dtype)
@@ -547,7 +583,7 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         cell_table=cell_table, cell_slot=cell_slot,
         nbr_cells=nbr_cells, n_dropped_cells=n_dropped_cells,
         cell_dims=dims,
-        bucket_tbl=bucket_tbl, inv_idx=inv_idx, n_dropped=n_dropped,
+        grid_tbl=grid_tbl, inv_idx=inv_idx, n_dropped=n_dropped,
         src_pos=src_pos, src_ids=src_ids, tgt_xyz=tgt_xyz,
         kernel=kern, khat=khat,
         params=params)
@@ -566,16 +602,21 @@ def _es_window_jnp(d, r_win, beta):
     return jnp.where(jnp.abs(d) <= r_win, w, 0.0)
 
 
-def _plane_candidates(plan: SpectralPlan, f):
-    """Per-plane candidate gather machinery shared by spread/interp.
+def _slab_candidates(plan: SpectralPlan, f):
+    """Per-plane segment machinery shared by spread/interp.
 
-    Returns (cand_of_plane, wx_of_plane, Y_of_plane, Z_of_plane) closures
-    evaluated per plane index; positions padded with NaN so out-of-window
-    and padded rows get weight 0."""
+    Candidates of yz-plane `a` are its nzb (z-block) segments, each of
+    cap_seg rows. Windows: wx scalar, Y dense over gy, Z COMPACT over the
+    2*ZB-wide slab of the row's own z-block (the z-slab trick: z-dense
+    window evaluation was the dominant gridding cost). NaN-padded
+    positions map to weight 0."""
     p = plan.params
     gx, gy, gz = p.grid
     P = p.support
-    cap_x = plan.cap_x
+    ZB = p.zslab
+    SW = 2 * ZB
+    nzb = gz // ZB
+    cap = plan.cap_seg
     hx, hy, hz = p.spacing
     beta = p.es_beta
     dtype = plan.positions.dtype
@@ -585,80 +626,125 @@ def _plane_candidates(plan: SpectralPlan, f):
     if f is not None:
         f_pad = jnp.concatenate(
             [f, jnp.zeros((1, 3), f.dtype)], axis=0)
-    offs = jnp.arange(P, dtype=jnp.int32) - P // 2
     yg = jnp.arange(gy, dtype=dtype) * hy
-    zg = jnp.arange(gz, dtype=dtype) * hz
+    # slab col c of block t sits at z = (t ZB + c - ZB/2) h
+    zoff = ((jnp.arange(nzb, dtype=dtype)[:, None] * ZB
+             + jnp.arange(SW, dtype=dtype)[None, :] - ZB // 2) * hz)
     Ly, Lz = p.box[1], p.box[2]
+    tbl2 = plan.grid_tbl.reshape(gx, nzb * cap)
 
     def gather(a):
-        """Candidate rows (P*cap_x,) for yz-plane a and their windows."""
-        # row block i holds bucket a - offs[i], so particle p (bucket b,
-        # slot s) sits in plane a = b + offs[i] at row i*cap_x + s —
-        # exactly plan.inv_idx's convention (valid for even and odd P)
-        buckets = jnp.mod(a - offs, gx)
-        cand = plan.bucket_tbl[
-            (buckets * cap_x)[:, None] + jnp.arange(cap_x)].reshape(-1)
-        pp = pos_pad[cand]                               # (R, 3)
-        dx = a.astype(dtype) * hx - pp[:, 0]
+        """Segments (nzb, cap) of plane a and their windows."""
+        cand = lax.dynamic_index_in_dim(tbl2, a, 0, keepdims=False
+                                        ).reshape(nzb, cap)
+        pp = pos_pad[cand]                               # (nzb, cap, 3)
+        dx = a.astype(dtype) * hx - pp[..., 0]
         dx = dx - p.box[0] * jnp.round(dx / p.box[0])
-        wx = _es_window_jnp(dx, 0.5 * P * hx, beta)      # (R,)
-        dy = yg[None, :] - pp[:, 1][:, None]
+        wx = _es_window_jnp(dx, 0.5 * P * hx, beta)      # (nzb, cap)
+        dy = yg[None, None, :] - pp[..., 1][..., None]
         dy = dy - Ly * jnp.round(dy / Ly)
-        Y = _es_window_jnp(dy, 0.5 * P * hy, beta)       # (R, gy)
-        dz = zg[None, :] - pp[:, 2][:, None]
+        Y = _es_window_jnp(dy, 0.5 * P * hy, beta)       # (nzb, cap, gy)
+        dz = zoff[:, None, :] - pp[..., 2][..., None]    # (nzb, cap, SW)
         dz = dz - Lz * jnp.round(dz / Lz)
-        Z = _es_window_jnp(dz, 0.5 * P * hz, beta)       # (R, gz)
+        Z = _es_window_jnp(dz, 0.5 * P * hz, beta)       # (nzb, cap, SW)
         return cand, wx, Y, Z
 
     return gather, f_pad
 
 
+def _slabs_to_plane(S, ZB):
+    """(nzb, gy, SW, 3) per-block slabs -> (gy, gz, 3) plane. Even/odd
+    blocks each tile the axis exactly (SW = 2 ZB), so assembly is two
+    reshapes + two rolls; consecutive slabs overlap by ZB and the rolls
+    realize the overlapping periodic adds."""
+    nzb, gy, SW, _ = S.shape
+    Se = jnp.moveaxis(S[0::2], 0, 1).reshape(gy, (nzb // 2) * SW, 3)
+    So = jnp.moveaxis(S[1::2], 0, 1).reshape(gy, (nzb // 2) * SW, 3)
+    return (jnp.roll(Se, -(ZB // 2), axis=1)
+            + jnp.roll(So, ZB - ZB // 2, axis=1))
+
+
+def _plane_to_slabs(ga, ZB, nzb):
+    """Adjoint of _slabs_to_plane: (gy, gz, 3) -> (nzb, gy, SW, 3)."""
+    gy = ga.shape[0]
+    SW = 2 * ZB
+    E = jnp.roll(ga, ZB // 2, axis=1).reshape(gy, nzb // 2, SW, 3)
+    O = jnp.roll(ga, -(ZB - ZB // 2), axis=1).reshape(gy, nzb // 2, SW, 3)
+    S = jnp.stack([E, O], axis=2).reshape(gy, nzb, SW, 3)
+    return jnp.moveaxis(S, 0, 1)                         # (nzb, gy, SW, 3)
+
+
 def spread(plan: SpectralPlan, forces):
-    """S f: (N, 3) forces -> (3, gx, gy, gz) grid, one dense matmul per
-    yz-plane over that plane's x-bucketed candidates (no scatter)."""
+    """S f: (N, 3) forces -> (3, gx, gy, gz) grid. Per yz-plane: one
+    batched (over z-blocks) matmul of the dense-y window rows against the
+    COMPACT z-slab window-force blocks, then slab assembly by two rolls
+    (no scatter anywhere)."""
+    gx = plan.params.grid[0]
+    planes = _spread_planes(plan, forces,
+                            jnp.arange(gx, dtype=jnp.int32))
+    return jnp.moveaxis(planes, -1, 0)                   # (3, gx, gy, gz)
+
+
+def _spread_planes(plan: SpectralPlan, forces, plane_ids):
+    """Local spread: (len(plane_ids), gy, gz, 3) planes (sharded wave)."""
     p = plan.params
     gx, gy, gz = p.grid
+    ZB = p.zslab
+    SW = 2 * ZB
+    nzb = gz // ZB
     f = forces.reshape(-1, 3)
-    gather, f_pad = _plane_candidates(plan, f)
-
+    gather, f_pad = _slab_candidates(plan, f)
     prec = getattr(lax.Precision, p.precision.upper())
 
     def one_plane(a):
         cand, wx, Y, Z = gather(a)
-        W = (wx[:, None] * Y)                            # (R, gy)
-        Zf = Z[:, :, None] * f_pad[cand][:, None, :]     # (R, gz, 3)
-        plane = jnp.matmul(W.T, Zf.reshape(-1, gz * 3),
-                           precision=prec)               # (gy, gz*3)
-        return plane.reshape(gy, gz, 3)
+        W = wx[..., None] * Y
+        Zf = Z[..., None] * f_pad[cand][:, :, None, :]
+        S = jnp.einsum("nrb,nrc->nbc", W, Zf.reshape(nzb, -1, SW * 3),
+                       precision=prec)
+        return _slabs_to_plane(S.reshape(nzb, gy, SW, 3), ZB)
 
-    planes = lax.map(one_plane, jnp.arange(gx, dtype=jnp.int32),
-                     batch_size=min(p.plane_batch, gx))
-    return jnp.moveaxis(planes, -1, 0)                   # (3, gx, gy, gz)
+    return lax.map(one_plane, plane_ids,
+                   batch_size=min(p.plane_batch, plane_ids.shape[0]))
+
+
+def _interp_rows(plan: SpectralPlan, ug_planes, plane_ids):
+    """Local interpolation rows (len(plane_ids), nzb, cap, 3) from local
+    (len, gy, gz, 3) planes (sharded wave; the inverse-index gather over
+    the all-gathered rows happens in the caller)."""
+    p = plan.params
+    gx, gy, gz = p.grid
+    ZB = p.zslab
+    SW = 2 * ZB
+    nzb = gz // ZB
+    cap = plan.cap_seg
+    gather, _ = _slab_candidates(plan, None)
+    prec = getattr(lax.Precision, p.precision.upper())
+
+    def one_plane(args):
+        a, ga = args
+        cand, wx, Y, Z = gather(a)
+        S = _plane_to_slabs(ga, ZB, nzb)
+        W = wx[..., None] * Y
+        T = jnp.einsum("nrb,nbc->nrc", W, S.reshape(nzb, gy, SW * 3),
+                       precision=prec)
+        u = jnp.einsum("nrc,nrcq->nrq", Z, T.reshape(nzb, cap, SW, 3),
+                       precision=prec)
+        return u
+
+    return lax.map(one_plane, (plane_ids, ug_planes),
+                   batch_size=min(p.plane_batch, plane_ids.shape[0]))
 
 
 def interpolate(plan: SpectralPlan, ug):
     """S^T u: (3, gx, gy, gz) grid -> (N, 3), the exact transpose of
-    `spread` (per-plane matmul + collision-free inverse-index gather)."""
-    p = plan.params
-    gx, gy, gz = p.grid
-    gather, _ = _plane_candidates(plan, None)
-
-    prec = getattr(lax.Precision, p.precision.upper())
+    `spread` (slab extraction, batched matmul, compact-z contraction,
+    collision-free inverse-index gather)."""
+    gx = plan.params.grid[0]
     # one contiguous transpose up front: per-plane strided slices of the
     # component-leading layout are slow on TPU
     ugq = jnp.moveaxis(ug, 0, -1)                        # (gx, gy, gz, 3)
-
-    def one_plane(a):
-        cand, wx, Y, Z = gather(a)
-        ga = lax.dynamic_index_in_dim(ugq, a, 0, keepdims=False)
-        M1 = jnp.matmul(Y, ga.reshape(gy, gz * 3),
-                        precision=prec)                  # (R, gz*3)
-        u = jnp.einsum("rc,rcq->rq", Z, M1.reshape(-1, gz, 3),
-                       precision=prec)
-        return wx[:, None] * u                           # (R, 3)
-
-    out = lax.map(one_plane, jnp.arange(gx, dtype=jnp.int32),
-                  batch_size=min(p.plane_batch, gx))     # (gx, R, 3)
+    out = _interp_rows(plan, ugq, jnp.arange(gx, dtype=jnp.int32))
     out = out.reshape(-1, 3)
     out = jnp.concatenate([out, jnp.zeros((1, 3), out.dtype)], axis=0)
     return jnp.sum(out[plan.inv_idx], axis=1)            # (N, 3)
@@ -695,13 +781,11 @@ def _clenshaw(coeffs, t):
     return t * b1 - b2 + coeffs[0]
 
 
-def real_matvec_xla(plan: SpectralPlan, forces):
-    """Near-field remainder sum + self term, as a cell-blocked DENSE
-    sweep: particles live in a padded (n_cells, cap) layout, every cell
-    tile processes its 27 neighbor cells with pure tensor ops (per-pair
-    gathers are the TPU killer — measured 5.5 s at 98k blobs for the
-    gather-based variant vs ~10 ms dense), and the radial scalars come
-    from a Clenshaw recurrence instead of table gathers."""
+def _xla_near_tile_fn(plan: SpectralPlan, forces):
+    """Cell-tile sweep closure for the XLA near field; returns
+    (tile_fn, n_pad_c, TC). tile_fn(c0) -> (TC, cap, 3) slot rows for
+    cells [c0, c0+TC) (dynamic_slice clamps out-of-range starts, which
+    sharded callers place beyond the read range)."""
     p = plan.params
     pos = plan.positions
     n = pos.shape[0]
@@ -768,10 +852,31 @@ def real_matvec_xla(plan: SpectralPlan, forces):
                    + (bfac * ddotf)[..., None] * d)
         return jnp.sum(contrib, axis=(2, 3))               # (TC, cap, 3)
 
+    return tile_fn, n_pad_c, TC
+
+
+def _near_assemble(plan: SpectralPlan, rows, forces):
+    """Slot rows (>= n_cells*cap, 3) -> per-particle output + self term."""
+    n = plan.positions.shape[0]
+    dtype = forces.dtype
+    rows = jnp.concatenate([rows, jnp.zeros((1, 3), rows.dtype)], axis=0)
+    return (rows[plan.cell_slot].astype(dtype)
+            + plan.self_coeff * forces.reshape(n, 3).astype(dtype))
+
+
+def real_matvec_xla(plan: SpectralPlan, forces):
+    """Near-field remainder sum + self term, as a cell-blocked DENSE
+    sweep: particles live in a padded (n_cells, cap) layout, every cell
+    tile processes its 27 neighbor cells with pure tensor ops (per-pair
+    gathers are the TPU killer — measured 5.5 s at 98k blobs for the
+    gather-based variant vs ~10 ms dense), and the radial scalars come
+    from a Clenshaw recurrence instead of table gathers."""
+    cap = plan.params.cell_capacity
+    n_cells = plan.nbr_cells.shape[0]
+    tile_fn, n_pad_c, TC = _xla_near_tile_fn(plan, forces)
     out_c = lax.map(tile_fn, jnp.arange(0, n_pad_c, TC))
-    out_c = out_c.reshape(n_pad_c * cap, 3)[:n_cells * cap]
-    out_c = jnp.concatenate([out_c, jnp.zeros((1, 3), dtype)], axis=0)
-    return out_c[plan.cell_slot] + plan.self_coeff * f
+    rows = out_c.reshape(n_pad_c * cap, 3)[:n_cells * cap]
+    return _near_assemble(plan, rows, forces)
 
 
 def _near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc, cheb,
@@ -782,14 +887,19 @@ def _near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc, cheb,
     ONE Clenshaw recurrence per function with per-pair piece-selected
     coefficients (both pieces' t is in [-1,1] after selection, so there
     is no out-of-range polynomial blowup). All coefficients are
-    compile-time python-float constants (weak-typed)."""
+    compile-time python-float constants (weak-typed). The cell loop is a
+    fori_loop (not a python unroll): the kernel body is traced once, which
+    keeps Mosaic compile time independent of the tile size."""
     K = len(cheb[0][0])
     inv_h0, inv_h1 = 1.0 / halfs[0], 1.0 / halfs[1]
-    for t in range(tc):
-        r0 = t * cap
-        tx = tgt_ref[r0:r0 + cap, 0:1]
-        ty = tgt_ref[r0:r0 + cap, 1:2]
-        tz = tgt_ref[r0:r0 + cap, 2:3]
+
+    def body(t, carry):
+        # explicit i32: under jax_enable_x64 the loop index and the python
+        # constant otherwise lower as mixed i32/i64 (Mosaic verify error)
+        r0 = t.astype(jnp.int32) * jnp.int32(cap)
+        tx = tgt_ref[pl.ds(r0, cap), 0:1]
+        ty = tgt_ref[pl.ds(r0, cap), 1:2]
+        tz = tgt_ref[pl.ds(r0, cap), 2:3]
         sx = spos_ref[0, t, :][None, :]
         sy = spos_ref[1, t, :][None, :]
         sz = spos_ref[2, t, :][None, :]
@@ -824,27 +934,29 @@ def _near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc, cheb,
         dy = jnp.where(inside, dy, 0.0)
         dz = jnp.where(inside, dz, 0.0)
         g = bfac * (dx * fx + dy * fy + dz * fz)
-        out_ref[r0:r0 + cap, 0:1] = jnp.sum(al * fx + g * dx, axis=1,
-                                            keepdims=True)
-        out_ref[r0:r0 + cap, 1:2] = jnp.sum(al * fy + g * dy, axis=1,
-                                            keepdims=True)
-        out_ref[r0:r0 + cap, 2:3] = jnp.sum(al * fz + g * dz, axis=1,
-                                            keepdims=True)
+        out_ref[pl.ds(r0, cap), 0:1] = jnp.sum(al * fx + g * dx, axis=1,
+                                               keepdims=True)
+        out_ref[pl.ds(r0, cap), 1:2] = jnp.sum(al * fy + g * dy, axis=1,
+                                               keepdims=True)
+        out_ref[pl.ds(r0, cap), 2:3] = jnp.sum(al * fz + g * dz, axis=1,
+                                               keepdims=True)
+        return carry
+
+    lax.fori_loop(0, tc, body, 0)
 
 
-def real_matvec_pallas(plan: SpectralPlan, forces):
-    """Near-field sweep on the plan-time pre-gathered source layout (see
-    make_plan): no per-pair gathers, no min-image math (cell-level wrap
-    shifts are folded into the stored source positions), full 128-lane
-    utilization with S = pad128(27 * cap) sources per cell."""
+def _near_rows_pallas(plan: SpectralPlan, forces, tgt_xyz, src_pos,
+                      src_ids):
+    """Pallas near-field slot rows for the given (possibly device-local
+    slices of the) plan layouts; (C_local * cap, 3) f32."""
     p = plan.params
     cap = p.cell_capacity
     TC = p.near_tile
-    C_pad, S = plan.src_ids.shape
+    C_local, S = src_ids.shape
     n = plan.positions.shape[0]
     f = forces.reshape(n, 3).astype(jnp.float32)
     f_pad = jnp.concatenate([f, jnp.zeros((1, 3), jnp.float32)], axis=0)
-    sf = f_pad.T[:, plan.src_ids]                        # (3, C_pad, S)
+    sf = f_pad.T[:, src_ids]                             # (3, C_local, S)
 
     cheb_np, _ = _host_cheb(p)
     # python-float coefficients: weak-typed in-kernel constants (numpy
@@ -857,9 +969,9 @@ def real_matvec_pallas(plan: SpectralPlan, forces):
     kernel = functools.partial(
         _near_kernel, cap=cap, tc=TC, cheb=cheb, mids=mids, halfs=halfs,
         two_a=two_a, rc2=p.r_cut * p.r_cut)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(C_pad // TC,),
+        grid=(C_local // TC,),
         in_specs=[
             pl.BlockSpec((TC * cap, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -870,14 +982,19 @@ def real_matvec_pallas(plan: SpectralPlan, forces):
         ],
         out_specs=pl.BlockSpec((TC * cap, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C_pad * cap, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C_local * cap, 3), jnp.float32),
         interpret=jax.default_backend() not in ("tpu", "axon"),
-    )(plan.tgt_xyz.astype(jnp.float32), plan.src_pos.astype(jnp.float32),
-      sf)
-    out = jnp.concatenate([out, jnp.zeros((1, 3), out.dtype)], axis=0)
-    dtype = forces.dtype
-    return (out[plan.cell_slot].astype(dtype)
-            + plan.self_coeff * forces.reshape(n, 3).astype(dtype))
+    )(tgt_xyz.astype(jnp.float32), src_pos.astype(jnp.float32), sf)
+
+
+def real_matvec_pallas(plan: SpectralPlan, forces):
+    """Near-field sweep on the plan-time pre-gathered source layout (see
+    make_plan): no per-pair gathers, no min-image math (cell-level wrap
+    shifts are folded into the stored source positions), full 128-lane
+    utilization with S = pad128(27 * cap) sources per cell."""
+    rows = _near_rows_pallas(plan, forces, plan.tgt_xyz, plan.src_pos,
+                             plan.src_ids)
+    return _near_assemble(plan, rows, forces)
 
 
 def real_matvec(plan: SpectralPlan, forces):
@@ -888,9 +1005,120 @@ def real_matvec(plan: SpectralPlan, forces):
     return real_matvec_xla(plan, forces)
 
 
-def matvec(plan: SpectralPlan, forces):
-    """Full periodic RPY product M f, (N,3) -> (N,3)."""
+def matvec(plan: SpectralPlan, forces, mesh=None, axis_name="blobs"):
+    """Full periodic RPY product M f, (N,3) -> (N,3). With a `mesh`, the
+    near-field cell blocks and the gridding planes are divided across
+    devices and the 3D FFT is distributed (see matvec_sharded)."""
+    if mesh is not None and mesh.shape[axis_name] > 1:
+        return matvec_sharded(mesh, plan, forces, axis_name=axis_name)
     return real_matvec(plan, forces) + wave_matvec(plan, forces)
+
+
+def matvec_sharded(mesh, plan: SpectralPlan, forces, axis_name="blobs"):
+    """Multi-chip periodic RPY product over an ICI mesh.
+
+    Decomposition (inputs and outputs replicated, O(N) each):
+      - near field: cell blocks divided across devices; each device runs
+        the local Pallas/XLA sweep over its cells, slot rows are
+        all-gathered (O(C cap), ~MB) and assembled locally.
+      - wave field: yz-planes divided across devices; spread and
+        interpolation are local per-plane work, and the 3D FFT is
+        distributed: local fft_y + rfft_z on the plane shard, all_to_all
+        transpose x<->y, local fft_x, k-scaling on the (replicated)
+        device k-tables sliced to the local gy shard, inverse transforms
+        mirrored. Falls back to a replicated (still correct) wave part
+        when gx or gy is not divisible by the mesh size.
+
+    The reference has no distributed backend at all (SURVEY.md section
+    2.4); this is the TPU-native scale-out of its O(N log N) analog."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    D = mesh.shape[axis_name]
+    p = plan.params
+    gx, gy, gz = p.grid
+    ZB = p.zslab
+    nzb = gz // ZB
+    cap_seg = plan.cap_seg
+    cap = p.cell_capacity
+    TC = p.near_tile
+    n_cells = plan.nbr_cells.shape[0]
+    wave_sharded = (gx % D == 0) and (gy % D == 0)
+    gxd = gx // D if wave_sharded else gx
+    gyd = gy // D if wave_sharded else gy
+
+    use_pallas = plan.src_pos is not None
+    if use_pallas:
+        # pad the pre-gathered layouts so every device gets an equal,
+        # aligned block of cells (dynamic_slice clamping would misalign
+        # the boundary shard)
+        C_pad = plan.src_ids.shape[0]
+        Cd = -(-C_pad // (TC * D)) * TC
+        extra = Cd * D - C_pad
+        tgt2 = jnp.pad(plan.tgt_xyz, ((0, extra * cap), (0, 0)),
+                       constant_values=jnp.nan)
+        src_pos2 = jnp.pad(plan.src_pos, ((0, 0), (0, extra), (0, 0)),
+                           constant_values=jnp.nan)
+        src_ids2 = jnp.pad(plan.src_ids, ((0, extra), (0, 0)),
+                           constant_values=plan.positions.shape[0])
+    else:
+        # the XLA sweep tiles by cell_tile (not near_tile, which is the
+        # Pallas grid step) — _xla_near_tile_fn's own convention
+        TCX = min(p.cell_tile, n_cells)
+        n_pad_c0 = -(-n_cells // TCX) * TCX
+        tiles_per = -(-n_pad_c0 // (TCX * D))
+
+    def shard_fn(pl_, f, tgt2_, src_pos2_, src_ids2_):
+        d = lax.axis_index(axis_name)
+        # ---- near field, local cell block
+        if use_pallas:
+            t_loc = lax.dynamic_slice_in_dim(tgt2_, d * Cd * cap,
+                                             Cd * cap, 0)
+            sp_loc = lax.dynamic_slice_in_dim(src_pos2_, d * Cd, Cd, 1)
+            si_loc = lax.dynamic_slice_in_dim(src_ids2_, d * Cd, Cd, 0)
+            rows_local = _near_rows_pallas(pl_, f, t_loc, sp_loc, si_loc)
+        else:
+            tile_fn, _, _ = _xla_near_tile_fn(pl_, f)
+            starts = (d * tiles_per + jnp.arange(tiles_per)) * TCX
+            rows_local = lax.map(tile_fn, starts).reshape(-1, 3)
+        rows = lax.all_gather(rows_local, axis_name, axis=0, tiled=True)
+        un = _near_assemble(pl_, rows[:n_cells * cap], f)
+
+        # ---- wave field
+        if not wave_sharded:
+            return un + wave_matvec(pl_, f)
+        plane_ids = d * gxd + jnp.arange(gxd, dtype=jnp.int32)
+        slab = _spread_planes(pl_, f, plane_ids)     # (gxd, gy, gz, 3)
+        g = jnp.moveaxis(slab, -1, 0)                # (3, gxd, gy, gz)
+        gk = jnp.fft.rfft(g, axis=3)
+        gk = jnp.fft.fft(gk, axis=2)                 # (3, gxd, gy, nz2)
+        gk = lax.all_to_all(gk, axis_name, split_axis=2, concat_axis=1,
+                            tiled=True)              # (3, gx, gyd, nz2)
+        gk = jnp.fft.fft(gk, axis=1)
+        kern = lax.dynamic_slice_in_dim(pl_.kernel, d * gyd, gyd, 1)
+        khat = lax.dynamic_slice_in_dim(pl_.khat, d * gyd, gyd, 2)
+        kdotg = jnp.sum(khat * gk, axis=0, keepdims=True)
+        uk = kern[None] * (gk - khat * kdotg)
+        uk = jnp.fft.ifft(uk, axis=1)
+        uk = lax.all_to_all(uk, axis_name, split_axis=1, concat_axis=2,
+                            tiled=True)              # (3, gxd, gy, nz2)
+        uk = jnp.fft.ifft(uk, axis=2)
+        ug = jnp.fft.irfft(uk, n=gz, axis=3)         # (3, gxd, gy, gz)
+        ug_planes = jnp.moveaxis(ug, 0, -1)          # (gxd, gy, gz, 3)
+        wrows_local = _interp_rows(pl_, ug_planes, plane_ids)
+        wrows = lax.all_gather(wrows_local.reshape(-1, 3), axis_name,
+                               axis=0, tiled=True)   # (gx*nzb*cap_seg, 3)
+        wrows = jnp.concatenate(
+            [wrows, jnp.zeros((1, 3), wrows.dtype)], axis=0)
+        uw = jnp.sum(wrows[pl_.inv_idx], axis=1)
+        return un + uw.astype(un.dtype)
+
+    if not use_pallas:
+        tgt2 = src_pos2 = src_ids2 = jnp.zeros((), jnp.float32)
+    args = (plan, forces.reshape(-1, 3), tgt2, src_pos2, src_ids2)
+    specs = jax.tree_util.tree_map(lambda _: PartitionSpec(), args)
+    return shard_map(shard_fn, mesh=mesh, in_specs=specs,
+                     out_specs=PartitionSpec(), check_vma=False)(*args)
 
 
 # ---------------------------------------------------------------------------

@@ -60,7 +60,7 @@ def main():
     # jit-able projections (the plan itself holds static fields)
     def _plan_arrays(x):
         pl = ewald.make_plan(p, x)
-        return pl.cell_table, pl.cell_slot, pl.bucket_tbl, pl.inv_idx
+        return pl.cell_table, pl.cell_slot, pl.grid_tbl, pl.inv_idx
 
     make_arrays = jax.jit(_plan_arrays)
     jax.block_until_ready(make_arrays(pos_j))
@@ -83,7 +83,7 @@ def main():
 
     for name, pv in variants:
         plan = ewald.make_plan(pv, pos_j)
-        print(f"[{name}] cap_x={plan.cap_x} dropped={int(plan.n_dropped)} "
+        print(f"[{name}] cap_seg={plan.cap_seg} dropped={int(plan.n_dropped)} "
               f"prec={pv.precision} support={pv.support}", flush=True)
         # reduce large outputs to scalars: timing a fn whose output is a
         # 200 MB grid measures the axon tunnel transfer, not compute
