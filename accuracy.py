@@ -46,6 +46,26 @@ def _config(n):
     return r, v
 
 
+N_SPECTRAL = int(os.environ.get("ACCURACY_SPECTRAL_BLOBS", 2048))
+SPECTRAL_TOL = float(os.environ.get("ACCURACY_SPECTRAL_TOL", 1e-4))
+
+
+def _spectral_setup(n):
+    """Periodic-box configuration + params shared by oracle and fast
+    path (bench-like density: ~1 blob per 0.4^3)."""
+    import numpy as np
+
+    from rigidmultiblobswall_tpu.ops import ewald
+
+    rng = np.random.default_rng(1)
+    L = 0.4 * int(np.ceil(n ** (1 / 3)))
+    r = rng.uniform(0.0, L, size=(n, 3))
+    v = rng.normal(size=(n, 3))
+    p = ewald.default_params(A, ETA, (L, L, L), tol=SPECTRAL_TOL,
+                             grid_max=128)
+    return r, v, p
+
+
 def _oracle(out_path):
     """Subprocess entry: CPU f64 reference products -> npz."""
     import jax
@@ -56,6 +76,7 @@ def _oracle(out_path):
     import jax.numpy as jnp
     import numpy as np
 
+    from rigidmultiblobswall_tpu.ops import ewald
     from rigidmultiblobswall_tpu.ops.mobility import pairwise_matvec
 
     r, v = _config(N_BLOBS)
@@ -65,6 +86,10 @@ def _oracle(out_path):
             jnp.asarray(r, jnp.float64), jnp.asarray(r, jnp.float64),
             jnp.asarray(v, jnp.float64), ETA, A, coupling=coupling,
             domain="single_wall"))
+    rs, vs, p = _spectral_setup(N_SPECTRAL)
+    plan = ewald.make_plan(p, jnp.asarray(rs, jnp.float64))
+    out["spectral"] = np.asarray(ewald.matvec(plan, jnp.asarray(
+        vs, jnp.float64)))
     np.savez(out_path, **out)
 
 
@@ -93,8 +118,21 @@ def main():
                 np.linalg.norm(fast - ref[coupling])
                 / np.linalg.norm(ref[coupling]))
 
+        # spectral Ewald engine: f32 accelerator matvec vs the f64 CPU
+        # engine (itself oracle-verified in tests/test_ewald.py)
+        from rigidmultiblobswall_tpu.ops import ewald
+
+        rs, vs, p = _spectral_setup(N_SPECTRAL)
+        plan = ewald.make_plan(p, jnp.asarray(rs, jnp.float32))
+        fast = np.asarray(ewald.matvec(plan, jnp.asarray(vs, jnp.float32)))
+        rel["spectral"] = float(np.linalg.norm(fast - ref["spectral"])
+                                / np.linalg.norm(ref["spectral"]))
+
         print(json.dumps({"backend": jax.default_backend(),
-                          "n_blobs": N_BLOBS, "rel_err": rel}))
+                          "n_blobs": N_BLOBS,
+                          "n_blobs_spectral": N_SPECTRAL,
+                          "spectral_tol": SPECTRAL_TOL,
+                          "rel_err": rel}))
 
 
 if __name__ == "__main__":

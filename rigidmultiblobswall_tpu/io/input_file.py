@@ -278,6 +278,10 @@ def build_system(cfg: InputConfig, base_dir="."):
         # O(N log N) spectral engine knobs (domain periodic_spectral)
         spectral_tol=float(cfg.options.get("spectral_tolerance", 1e-4)),
         spectral_grid_max=int(cfg.options.get("spectral_grid_max", 256)),
+        spectral_bucket_capacity=int(
+            cfg.options.get("spectral_bucket_capacity", 0)),
+        spectral_cell_capacity=int(
+            cfg.options.get("spectral_cell_capacity", 0)),
         repulsion_strength=cfg.repulsion_strength,
         debye_length=cfg.debye_length,
         repulsion_strength_wall=cfg.repulsion_strength_wall,

@@ -71,7 +71,8 @@ def maybe_dense_mobility(system: System, r_blobs):
             tol=system.spectral_tol, grid_max=system.spectral_grid_max,
             bucket_capacity=system.spectral_bucket_capacity,
             plane_batch=system.spectral_plane_batch,
-            precision=system.spectral_precision)
+            precision=system.spectral_precision,
+            cell_capacity=system.spectral_cell_capacity)
         return ewald.make_plan(params, r_blobs)
     n = r_blobs.shape[0]
     nbytes = 9 * n * n * jnp.dtype(r_blobs.dtype).itemsize

@@ -98,6 +98,9 @@ class System:
     spectral_bucket_capacity: int = 0
     spectral_plane_batch: int = 4
     spectral_precision: str = "high"
+    # near-field cell-list slots per cell (0 = auto: mean occupancy +
+    # 4 sigma; overflow is counted in the plan's n_dropped_cells)
+    spectral_cell_capacity: int = 0
     repulsion_strength: float = 0.0
     debye_length: float = 1.0
     repulsion_strength_wall: float = 0.0

@@ -186,6 +186,8 @@ class EwaldParams:
     es_beta_factor: float = 0.98  # beta = f * pi * P * (1 - 1/(2*gamma))
     oversample: float = 1.5
     n_table: int = 2048
+    # near-field cell-list slots per cell (0 = auto: mean occupancy +
+    # 4 sigma, lane-rounded; make_plan stores the resolved value)
     cell_capacity: int = 48
     row_tile: int = 2048
     # entries per (plane, z-block) segment for the z-slab gridding
@@ -469,6 +471,21 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
             "engine at this size)")
     nx, ny, nz = dims
     cap = params.cell_capacity
+    if cap <= 0:
+        # auto: mean occupancy + 4 sigma (Poisson), lane-rounded. n and
+        # the cell dims are static, so this stays jit-compatible. At
+        # bench density (mean 20, max observed 38) this picks 40, a
+        # measured 1.4x near-field speedup over the old fixed 48.
+        # Clumped configurations (whole bodies per cell) can exceed it:
+        # overflow is counted in n_dropped_cells — callers that care
+        # (bench.py) grow the capacity until the count is zero.
+        mean_occ = pos.shape[0] / (nx * ny * nz)
+        cap = int(min(max(
+            -(-(mean_occ + 4.0 * math.sqrt(mean_occ)) // 8) * 8, 16), 128))
+    cap = int(cap)
+    # store the resolved capacity: downstream consumers (real_matvec_*,
+    # matvec_sharded) read plan.params.cell_capacity
+    params = dataclasses.replace(params, cell_capacity=cap)
     csize = box / jnp.asarray(dims, dtype)
     c3 = jnp.clip((pos / csize).astype(jnp.int32), 0,
                   jnp.asarray(dims, jnp.int32) - 1)

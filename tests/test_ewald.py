@@ -272,3 +272,24 @@ def test_matvec_sharded_matches_single_device():
     u8 = np.asarray(ewald.matvec(plan, jnp.asarray(f), mesh=mesh))
     scale = np.abs(u1).max()
     np.testing.assert_allclose(u8 / scale, u1 / scale, atol=5e-6)
+
+
+def test_auto_cell_capacity_matches_fixed():
+    """cell_capacity=0 resolves a drop-free capacity at uniform density
+    and reproduces the fixed-capacity near-field product."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    n = 400
+    pos = rng.uniform(0.0, BOX[0], size=(n, 3))
+    f = rng.normal(size=(n, 3))
+    p48 = ewald.default_params(A, ETA, BOX, tol=1e-4)
+    p_auto = dataclasses.replace(p48, cell_capacity=0)
+    plan48 = ewald.make_plan(p48, jnp.asarray(pos))
+    plan_a = ewald.make_plan(p_auto, jnp.asarray(pos))
+    assert plan_a.params.cell_capacity > 0  # resolved into the plan
+    assert int(plan_a.n_dropped_cells) == 0
+    u48 = np.asarray(ewald.real_matvec(plan48, jnp.asarray(f)))
+    ua = np.asarray(ewald.real_matvec(plan_a, jnp.asarray(f)))
+    scale = np.abs(u48).max()
+    np.testing.assert_allclose(ua / scale, u48 / scale, atol=1e-12)

@@ -31,6 +31,7 @@ def test_accelerator_f32_matches_f64_oracle():
         pytest.skip("no accelerator attached")
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     env["ACCURACY_BLOBS"] = "1536"
+    env["ACCURACY_SPECTRAL_BLOBS"] = "1024"
     out = subprocess.run(
         [sys.executable, os.path.join(_ROOT, "accuracy.py")],
         capture_output=True, text=True, timeout=900, env=env, cwd=_ROOT)
@@ -38,5 +39,10 @@ def test_accelerator_f32_matches_f64_oracle():
     result = json.loads(out.stdout.strip().splitlines()[-1])
     assert result["backend"] != "cpu"
     for coupling, err in result["rel_err"].items():
-        # f32 eps is 1.2e-7; the pair sweep should stay within ~100 eps
-        assert err < 2e-5, (coupling, err)
+        if coupling == "spectral":
+            # f32 noise must stay below the engine's own Ewald
+            # truncation tolerance (1e-4); measured ~8e-6
+            assert err < 5e-5, (coupling, err)
+        else:
+            # f32 eps is 1.2e-7; the pair sweep stays within ~100 eps
+            assert err < 2e-5, (coupling, err)
