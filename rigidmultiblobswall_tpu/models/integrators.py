@@ -65,7 +65,31 @@ def body_lengths(system: System, dtype=jnp.float64):
 
 def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
                 check_every=1, m_dense=None, **_ignored):
-    """sqrt(2 kT/dt) M^{1/2} W via preconditioned Lanczos."""
+    """sqrt(2 kT/dt) M^{1/2} W via preconditioned Lanczos.
+
+    periodic_spectral: positively-split sampling instead — the wave part
+    of the Hasimoto split has a CLOSED-FORM square root in k-space
+    (ewald.wave_sqrt_noise), so Lanczos runs only on the local,
+    well-conditioned near-field operator (a ~30x cheaper product that
+    converges in a handful of iterations, vs ~25+ full matvecs for the
+    whole M). Independent Gaussians for the two parts add in covariance:
+    Cov = M_wave + M_near = M."""
+    if system.domain == "periodic_spectral":
+        from ..ops import ewald
+
+        if not isinstance(m_dense, ewald.SpectralPlan):
+            m_dense = saddle.maybe_dense_mobility(
+                system, kin.blob_positions(system, state))
+        plan = m_dense
+        kw, kr = jax.random.split(key)
+        uw = ewald.wave_sqrt_noise(plan, kw).reshape(-1)
+        z = jax.random.normal(kr, (3 * system.num_blobs,),
+                              dtype=state.pos.dtype)
+        res = stochastic_forcing_lanczos(
+            lambda f: ewald.real_matvec(plan, f.reshape(-1, 3)).reshape(-1),
+            z, factor=factor, tolerance=tolerance, max_iter=max_iter,
+            check_every=check_every)
+        return res.noise + factor * uw, res.iterations
     mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc,
                                                m_dense=m_dense)
     z = jax.random.normal(key, (3 * system.num_blobs,), dtype=state.pos.dtype)

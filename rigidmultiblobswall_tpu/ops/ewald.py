@@ -784,6 +784,32 @@ def wave_matvec(plan: SpectralPlan, forces):
     return interpolate(plan, ug)
 
 
+def wave_sqrt_noise(plan: SpectralPlan, key):
+    """Sample u with Cov(u) = M_wave EXACTLY, in closed form (no Lanczos).
+
+    The wave part is M_w = S^T C S with C = F^{-1} K F a real-symmetric
+    PSD convolution (K = kern * (I - khat khat^T), kern >= 0, both even
+    in k). C^{1/2} = F^{-1} K^{1/2} F is available pointwise in k-space
+    (sqrt of the scalar kernel; the projector is idempotent), so
+
+        u = S^T F^{-1} K^{1/2} F w,   w ~ N(0, I) real grid white noise,
+
+    has covariance S^T C^{1/2} C^{1/2,T} S = S^T C S = M_w. This is the
+    positively-split Ewald (PSE) idea of Fiore/Balboa/Donev/Swan (2017),
+    the reason the Hasimoto split here keeps BOTH parts SPD: iterative
+    sqrt machinery is only ever needed for the cheap, well-conditioned
+    near field (see integrators._noise_slip). Cost: one grid-noise fill,
+    one rFFT pair, one interpolation — about half a wave_matvec."""
+    p = plan.params
+    dtype = plan.positions.dtype
+    w = jax.random.normal(key, (3,) + tuple(p.grid), dtype=dtype)
+    gk = jnp.fft.rfftn(w, axes=(1, 2, 3))
+    kdotg = jnp.sum(plan.khat * gk, axis=0, keepdims=True)
+    uk = jnp.sqrt(plan.kernel)[None] * (gk - plan.khat * kdotg)
+    ug = jnp.fft.irfftn(uk, s=p.grid, axes=(1, 2, 3))
+    return interpolate(plan, ug)
+
+
 # ---------------------------------------------------------------------------
 # Real-space product
 # ---------------------------------------------------------------------------

@@ -293,3 +293,44 @@ def test_auto_cell_capacity_matches_fixed():
     ua = np.asarray(ewald.real_matvec(plan_a, jnp.asarray(f)))
     scale = np.abs(u48).max()
     np.testing.assert_allclose(ua / scale, u48 / scale, atol=1e-12)
+
+
+def test_split_parts_are_psd():
+    """Both Hasimoto split parts must be SPD — the property that makes
+    closed-form wave sampling + near-only Lanczos (PSE-style) valid."""
+    rng = np.random.default_rng(11)
+    n = 14
+    pos = rng.uniform(0.0, BOX[0], size=(n, 3))
+    p = ewald.default_params(A, ETA, BOX, tol=1e-4)
+    plan = ewald.make_plan(p, jnp.asarray(pos))
+    eye = np.eye(3 * n)
+    mw = np.stack([np.asarray(ewald.wave_matvec(
+        plan, jnp.asarray(e.reshape(n, 3)))).ravel() for e in eye], axis=1)
+    mr = np.stack([np.asarray(ewald.real_matvec(
+        plan, jnp.asarray(e.reshape(n, 3)))).ravel() for e in eye], axis=1)
+    scale = np.linalg.norm(mw + mr, 2)
+    assert np.linalg.eigvalsh(0.5 * (mw + mw.T)).min() > -1e-9 * scale
+    assert np.linalg.eigvalsh(0.5 * (mr + mr.T)).min() > -1e-9 * scale
+
+
+def test_wave_sqrt_noise_covariance():
+    """Empirical covariance of the closed-form wave sampler converges to
+    the dense wave operator (exact identity, statistical check)."""
+    rng = np.random.default_rng(12)
+    n = 8
+    pos = rng.uniform(0.0, BOX[0], size=(n, 3))
+    p = ewald.default_params(A, ETA, BOX, tol=1e-3)
+    plan = ewald.make_plan(p, jnp.asarray(pos))
+    eye = np.eye(3 * n)
+    mw = np.stack([np.asarray(ewald.wave_matvec(
+        plan, jnp.asarray(e.reshape(n, 3)))).ravel() for e in eye], axis=1)
+    mw = 0.5 * (mw + mw.T)
+
+    n_samp = 3000
+    sampler = jax.jit(lambda k: ewald.wave_sqrt_noise(plan, k).ravel())
+    keys = jax.random.split(jax.random.PRNGKey(3), n_samp)
+    samples = np.asarray(jax.lax.map(sampler, keys, batch_size=50))
+    emp = samples.T @ samples / n_samp
+    err = np.linalg.norm(emp - mw) / np.linalg.norm(mw)
+    # Frobenius error of a (24,24) Wishart estimate at K=3000: ~5%
+    assert err < 0.12, err
