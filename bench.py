@@ -80,6 +80,7 @@ def build(periodic=False):
             # O(N) linked-cell pair forces: the direct sweep would cost
             # 27 image boxes x O(N^2) per force evaluation. Cutoff
             # 2a + 12*debye keeps the dropped tail below exp(-12).
+            # Capacity is sized from the actual occupancy in main().
             blob_blob_force_method="neighbor_list",
             blob_blob_cutoff=2 * 0.131 + 12 * 0.2,
             blob_blob_grid_dim=32, blob_blob_cell_capacity=96,
@@ -207,6 +208,25 @@ def main():
                     plan.params.cell_capacity + 8)
             system = dataclasses.replace(system, **updates)
         assert drops == (0, 0), f"capacity drops {drops}"
+
+        # force-cell capacity from the ACTUAL occupancy (silent source
+        # drops would weaken the repulsion): max count per force cell,
+        # +25% drift margin over the few benchmarked steps, lane-rounded
+        rb = np.asarray(r_blobs)
+        rc_f = system.blob_blob_cutoff
+        L3 = np.asarray(system.periodic_length)
+        dims_f = np.minimum((L3 // rc_f).astype(int),
+                            system.blob_blob_grid_dim)
+        cell_f = (np.floor((rb % L3) / (L3 / dims_f)).astype(int)
+                  % dims_f)
+        cid_f = (cell_f[:, 0] * dims_f[1] + cell_f[:, 1]) * dims_f[2] \
+            + cell_f[:, 2]
+        occ = np.bincount(cid_f).max()
+        cap_f = int(-(-int(occ * 1.25) // 8) * 8)
+        print(f"force cells: dims={tuple(dims_f)} max_occ={occ} "
+              f"capacity={cap_f}", file=sys.stderr)
+        system = dataclasses.replace(system,
+                                     blob_blob_cell_capacity=cap_f)
     step = integrators.make_stepper(
         system, SCHEME, DT,
         lanczos_tolerance=LANCZOS_TOL, lanczos_max_iter=32,

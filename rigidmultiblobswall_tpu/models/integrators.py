@@ -278,17 +278,24 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
     noise1, it_l = _noise_slip(system, state, pc, k1, factor,
                                m_dense=m_dense, **lanczos_kw)
 
-    sol1 = solvers.solve_mobility_problem(system, state, pc=pc,
-                                          noise_slip=noise1,
-                                          m_dense=m_dense, **solver_kw)
+    # the rigid solve and the RFD solve share the configuration (and so
+    # the operator and PC): solve both RHS in ONE lockstep Krylov loop,
+    # sharing every pair sweep / gridding pass across the two columns
+    # (the reference solves them back to back,
+    # quaternion_integrator_multi_bodies.py:966-1007)
+    rhs1 = solvers.build_rhs(system, state, r_blobs, noise_slip=noise1)
+    rhs_rfd = jnp.zeros_like(rhs1).at[:3 * system.num_blobs].set(
+        -W_slip.ravel())
+    lock_kw = {k: v for k, v in solver_kw.items() if k != "verbose"}
+    sol_pair = solvers.solve_mobility_problem_lockstep(
+        system, state, rhs=jnp.stack([rhs1, rhs_rfd]), pc=pc,
+        m_dense=m_dense, **lock_kw)
+    sol1 = solvers.MobilitySolution(
+        lam=sol_pair.lam[0], velocities=sol_pair.velocities[0],
+        iterations=sol_pair.iterations,
+        residual_norm=sol_pair.residual_norm[0], phi=sol_pair.phi[0])
     v1 = sol1.velocities
-
-    sol_rfd = solvers.solve_mobility_problem(
-        system, state,
-        rhs=jnp.concatenate([-W_slip.ravel(),
-                             jnp.zeros(6 * system.num_bodies, dtype)]),
-        pc=pc, m_dense=m_dense, **solver_kw)
-    W_RFD = sol_rfd.velocities * _free_mask(system, dtype)
+    W_RFD = sol_pair.velocities[1] * _free_mask(system, dtype)
 
     rfd_state = kin.advance(state, W_RFD, system.rf_delta)
     r_rfd = kin.blob_positions(system, rfd_state)
@@ -314,7 +321,8 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
     velocities = 0.5 * (v1 + sol2.velocities)
     new_state = kin.advance(state, velocities, dt)
     ok = ok_pred & kin.valid_configuration(system, new_state)
-    iters = sol1.iterations + sol_rfd.iterations + sol2.iterations
+    # lockstep pair counts batched sweeps once (one sweep serves both RHS)
+    iters = sol_pair.iterations + sol2.iterations
     return new_state, velocities, iters, it_l, ok
 
 
@@ -338,13 +346,17 @@ def _stochastic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
     n3 = 3 * system.num_blobs
 
     noise, it_l = _noise_slip(system, state, pc, k_noise, factor, **lanczos_kw)
-    sol_stoch = solvers.solve_mobility_problem(
-        system, state, rhs=jnp.zeros(n3 + 6 * system.num_bodies, dtype),
-        noise_slip=noise, pc=pc, **solver_kw)
-    v_stoch = sol_stoch.velocities
-
-    sol_det = solvers.solve_mobility_problem(system, state, pc=pc, **solver_kw)
-    v_det = sol_det.velocities
+    # stochastic + deterministic solves share the configuration: one
+    # lockstep Krylov loop with two RHS columns
+    r_blobs_ab = kin.blob_positions(system, state)
+    rhs_det = solvers.build_rhs(system, state, r_blobs_ab)
+    rhs_stoch = jnp.zeros_like(rhs_det).at[:n3].set(-noise.ravel())
+    lock_kw = {k: v for k, v in solver_kw.items() if k != "verbose"}
+    sol_pair = solvers.solve_mobility_problem_lockstep(
+        system, state, rhs=jnp.stack([rhs_stoch, rhs_det]), pc=pc,
+        **lock_kw)
+    v_stoch = sol_pair.velocities[0]
+    v_det = sol_pair.velocities[1]
 
     W = jax.random.normal(k_rfd, (system.num_bodies, 6), dtype=dtype)
     lengths = body_lengths(system, dtype)
@@ -371,7 +383,7 @@ def _stochastic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
                      1.5 * v_det - 0.5 * carry.velocities_prev)
     new_state = kin.advance(state, v_ab + v_stoch, dt)
     ok = kin.valid_configuration(system, new_state)
-    iters = (sol_stoch.iterations + sol_det.iterations
+    iters = (sol_pair.iterations
              + sol_minus.iterations + sol_drift.iterations)
     # carry keeps only the deterministic velocity (reference :546)
     return new_state, v_det, iters, it_l, ok
@@ -605,17 +617,22 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
         mobility_pc, Wcor, factor=jnp.sqrt(system.kT / dt),
         L_mult=L_mult, **lkw)
 
-    sol_mid = solvers.solve_mobility_problem(system, state, pc=pc,
-                                             noise_slip=noise_W1.noise,
-                                             **solver_kw)
+    # midpoint solve + RFD solve share the configuration: one lockstep
+    # Krylov loop, one pair sweep per iteration for both RHS
+    r_blobs_mid = kin.blob_positions(system, state)
+    rhs_mid = solvers.build_rhs(system, state, r_blobs_mid,
+                                noise_slip=noise_W1.noise)
+    rhs_rfd = jnp.zeros_like(rhs_mid).at[:3 * system.num_blobs].set(
+        -W_slip.ravel())
+    lock_kw = {k: v for k, v in solver_kw.items() if k != "verbose"}
+    sol_pair = solvers.solve_mobility_problem_lockstep(
+        system, state, rhs=jnp.stack([rhs_mid, rhs_rfd]), pc=pc, **lock_kw)
+    sol_mid = solvers.MobilitySolution(
+        lam=sol_pair.lam[0], velocities=sol_pair.velocities[0],
+        iterations=sol_pair.iterations,
+        residual_norm=sol_pair.residual_norm[0], phi=sol_pair.phi[0])
     v_mid = sol_mid.velocities
-
-    sol_rfd = solvers.solve_mobility_problem(
-        system, state,
-        rhs=jnp.concatenate([-W_slip.ravel(),
-                             jnp.zeros(6 * system.num_bodies, dtype)]),
-        pc=pc, **solver_kw)
-    W_RFD = sol_rfd.velocities * _free_mask(system, dtype)
+    W_RFD = sol_pair.velocities[1] * _free_mask(system, dtype)
 
     rfd_state = kin.advance(state, W_RFD, system.rf_delta)
     r_rfd = kin.blob_positions(system, rfd_state)
@@ -636,7 +653,7 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
                                              **solver_kw)
     new_state = kin.advance(state, sol_cor.velocities, dt)
     ok = ok_mid & kin.valid_configuration(system, new_state)
-    iters = sol_mid.iterations + sol_rfd.iterations + sol_cor.iterations
+    iters = sol_pair.iterations + sol_cor.iterations
     st = noise_W1.iterations + noise_Wcor.iterations
     return new_state, sol_cor.velocities, iters, st, ok
 
@@ -678,21 +695,22 @@ def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
     rand_slip = (DxM - DxK).ravel() / system.rf_delta
     rand_ft = -DxKT / system.rf_delta
 
-    sol_new = solvers.solve_mobility_problem(system, state, pc=pc,
-                                             noise_slip=rand_slip,
-                                             noise_ft=rand_ft, **solver_kw)
-    sol_rand = solvers.solve_mobility_problem(
-        system, state, rhs=jnp.concatenate([-noise,
-                                            jnp.zeros(6 * system.num_bodies,
-                                                      dtype)]),
-        pc=pc, **solver_kw)
-    v_det = sol_new.velocities
-    v_noise = sol_rand.velocities
+    # drift-corrected solve + noise solve share the configuration: one
+    # lockstep Krylov loop with two RHS columns
+    rhs_new = solvers.build_rhs(system, state, r_blobs,
+                                noise_slip=rand_slip, noise_ft=rand_ft)
+    rhs_rand = jnp.zeros_like(rhs_new).at[:n3].set(-noise)
+    lock_kw = {k: v for k, v in solver_kw.items() if k != "verbose"}
+    sol_pair = solvers.solve_mobility_problem_lockstep(
+        system, state, rhs=jnp.stack([rhs_new, rhs_rand]), pc=pc,
+        **lock_kw)
+    v_det = sol_pair.velocities[0]
+    v_noise = sol_pair.velocities[1]
     v_ab = jnp.where(carry.first_step, v_det + v_noise,
                      1.5 * v_det + v_noise - 0.5 * carry.velocities_prev)
     new_state = kin.advance(state, v_ab, dt)
     ok = kin.valid_configuration(system, new_state)
-    iters = sol_rfd.iterations + sol_new.iterations + sol_rand.iterations
+    iters = sol_rfd.iterations + sol_pair.iterations
     return new_state, v_det, iters, it_l, ok
 
 

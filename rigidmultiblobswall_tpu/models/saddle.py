@@ -17,6 +17,7 @@ with M ~= U_chol^T U_chol reuses the same factorization.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -25,6 +26,22 @@ import jax.numpy as jnp
 from ..ops import mobility as mob
 from . import kinematics as kin
 from .system import State, System
+
+
+def _full_precision(fn):
+    """Trace fn with full-f32 matmul precision. The preconditioner MUST
+    act as an exactly-linear map: under vmap (the lockstep multi-RHS
+    solve) its per-type einsums batch into MXU contractions that default
+    to bf16 inputs, and the ~1e-3 rounding breaks superposition — the
+    Arnoldi relation then fails at that level and GMRES's Givens
+    residual estimate floors near 2e-3 while the true residual stalls
+    (measured: 6 -> 54 sweeps at 24k blobs). The single-RHS lowering
+    never hit the MXU, which is why only the lockstep path stalled."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
 
 
 def num_constraints(system: System) -> int:
@@ -126,6 +143,25 @@ def _mobility_apply(system, r_blobs, m_dense, lam):
         **system.mobility_kwargs)
 
 
+def _mobility_apply_multi(system, r_blobs, m_dense, lam):
+    """Stacked mobility products, lam (b, N, 3) -> (b, N, 3), sharing one
+    engine sweep across the stack where the engine supports it (spectral
+    plan, materialized planes); otherwise per-RHS."""
+    if system.domain == "periodic_spectral":
+        from ..ops import ewald
+
+        if not isinstance(m_dense, ewald.SpectralPlan):
+            m_dense = maybe_dense_mobility(system, r_blobs)
+        return ewald.matvec_multi(m_dense, lam, mesh=system.mesh)
+    if m_dense is not None and not isinstance(m_dense, (str,)):
+        # one streaming pass over the planes serves the whole stack
+        return jnp.einsum("abij,qjb->qia", m_dense, lam,
+                          precision=jax.lax.Precision.HIGHEST)
+    return mob.pairwise_matvec_multi(
+        r_blobs, r_blobs, lam, system.eta, system.blob_radius,
+        coupling="tt", self_interaction=True, **system.mobility_kwargs)
+
+
 def make_linear_operator(system: System, state: State, r_blobs=None,
                          time=0.0, m_dense=None):
     """Return vec -> saddle operator action (flat in, flat out):
@@ -143,9 +179,8 @@ def make_linear_operator(system: System, state: State, r_blobs=None,
     has_constraints = num_constraints(system) > 0
     kwargs = system.mobility_kwargs
 
-    def operator(vec):
+    def finish(vec, m_lam):
         lam, U, phi = split_saddle_vector(system, vec)
-        m_lam = _mobility_apply(system, r_blobs, m_dense, lam)
         KU = kin.K_mul(system, state, U)
         res_blobs = m_lam - KU
         res_bodies = -kin.KT_mul(system, state, lam)
@@ -162,6 +197,32 @@ def make_linear_operator(system: System, state: State, r_blobs=None,
             parts[0] = parts[0] + blob_mask * KU
             parts[1] = parts[1] + prescribed[:, None] * U
         return jnp.concatenate([p.ravel() for p in parts])
+
+    def operator(vec):
+        lam = split_saddle_vector(system, vec)[0]
+        return finish(vec, _mobility_apply(system, r_blobs, m_dense, lam))
+
+    operator._finish = finish
+    return operator
+
+
+def make_lockstep_operator(system: System, state: State, r_blobs=None,
+                           time=0.0, m_dense=None):
+    """Saddle operator over a (nrhs, n) RHS stack: ONE shared mobility
+    sweep (ops/ewald.matvec_multi / batched plane product) feeds the
+    per-RHS K/C algebra. Pairs with ops/gmres.gmres_lockstep."""
+    if r_blobs is None:
+        r_blobs = kin.blob_positions(system, state)
+    if m_dense is None and system.domain == "periodic_spectral":
+        m_dense = maybe_dense_mobility(system, r_blobs)
+    single = make_linear_operator(system, state, r_blobs, time=time,
+                                  m_dense=m_dense)
+    n3 = 3 * system.num_blobs
+
+    def operator(Y):
+        lam = Y[:, :n3].reshape(Y.shape[0], system.num_blobs, 3)
+        m_lam = _mobility_apply_multi(system, r_blobs, m_dense, lam)
+        return jax.vmap(single._finish)(Y, m_lam)
 
     return operator
 
@@ -268,6 +329,7 @@ def build_block_diag_pc(system: System, state: State, time=0.0) -> BlockDiagPC:
     return BlockDiagPC(per_type=tuple(per_type), per_articulated=per_art)
 
 
+@_full_precision
 def apply_block_diag_pc(system: System, pc: BlockDiagPC, vec):
     """Apply the saddle preconditioner: per body solve the isolated
     mobility problem exactly (multi_bodies.py:552-582), then correct the
@@ -330,6 +392,7 @@ def apply_block_diag_pc(system: System, pc: BlockDiagPC, vec):
                             phi_full.ravel()])
 
 
+@_full_precision
 def apply_identity_saddle_solver(system: System, state: State, vec):
     """Exact solve of the M=I saddle system [I -K; -K^T 0] per body: the
     'identity' unconstrained mobility solver used by the GDC scheme
@@ -367,6 +430,7 @@ def make_noise_pc(system: System, state: State, pc: BlockDiagPC,
         m_dense = maybe_dense_mobility(system, r_blobs)
     kwargs = system.mobility_kwargs
 
+    @_full_precision
     def _apply_per_body(vec, which):
         out = []
         for i, t in enumerate(system.types):

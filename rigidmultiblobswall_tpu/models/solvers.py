@@ -165,6 +165,63 @@ def solve_mobility_problem(
                             residual_norm=result.residual_norm, phi=phi)
 
 
+def solve_mobility_problem_lockstep(
+    system: System,
+    state: State,
+    *,
+    rhs,
+    pc: Optional[saddle.BlockDiagPC] = None,
+    x0=None,
+    tol: Optional[float] = None,
+    restart: int = 60,
+    maxiter: int = 1000,
+    m_dense="auto",
+    time=0.0,
+) -> MobilitySolution:
+    """Solve the saddle system for a STACK of right-hand sides (nrhs, n)
+    at ONE configuration, sharing every pair sweep / gridding pass across
+    the stack (ops/gmres.gmres_lockstep + saddle.make_lockstep_operator).
+    Replaces back-to-back reference solves at the same positions — e.g.
+    Slip-Trapz's rigid solve and its RFD solve
+    (quaternion_integrator_multi_bodies.py:966-1007). Returns a
+    MobilitySolution whose fields carry a leading nrhs axis; `iterations`
+    counts BATCHED sweeps (one sweep serves every RHS)."""
+    from ..ops.gmres import gmres_lockstep
+
+    r_blobs = kin.blob_positions(system, state)
+    if isinstance(m_dense, str) and m_dense == "auto":
+        m_dense = saddle.maybe_dense_mobility(system, r_blobs)
+    if pc is None:
+        pc = saddle.build_block_diag_pc(system, state, time=time)
+    operator = saddle.make_lockstep_operator(system, state, r_blobs,
+                                             m_dense=m_dense, time=time)
+    tol = system.solver_tolerance if tol is None else tol
+
+    rhs = jnp.asarray(rhs)
+    rhs_norm = jnp.linalg.norm(rhs, axis=1)
+    safe_norm = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
+    rhs_unit = rhs / safe_norm[:, None]
+    if x0 is not None:
+        x0 = x0 / safe_norm[:, None]
+
+    pc_apply = jax.vmap(lambda v: saddle.apply_block_diag_pc(system, pc, v))
+    result = gmres_lockstep(operator, rhs_unit, x0=x0, tol=tol,
+                            restart=restart, maxiter=maxiter, M=pc_apply)
+    sol = result.x * rhs_norm[:, None]
+    lam, U, phi = jax.vmap(
+        lambda v: saddle.split_saddle_vector(system, v))(sol)
+
+    if system.prescribed_body_mask.any():
+        mask = jnp.asarray(system.prescribed_body_mask)[None, :, None]
+        U = jnp.where(mask,
+                      jnp.asarray(system.prescribed_velocities,
+                                  dtype=U.dtype)[None],
+                      U)
+    return MobilitySolution(lam=lam, velocities=U,
+                            iterations=result.iterations,
+                            residual_norm=result.residual_norm, phi=phi)
+
+
 def _single_blob_articulated_pc(system: System, state: State, time=0.0):
     """Per-instance constraint resistance G = pinv(C N0 C^T) with N0 the
     diagonal free-space self grand mobility

@@ -642,7 +642,7 @@ def _slab_candidates(plan: SpectralPlan, f):
     f_pad = None
     if f is not None:
         f_pad = jnp.concatenate(
-            [f, jnp.zeros((1, 3), f.dtype)], axis=0)
+            [f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0)
     yg = jnp.arange(gy, dtype=dtype) * hy
     # slab col c of block t sits at z = (t ZB + c - ZB/2) h
     zoff = ((jnp.arange(nzb, dtype=dtype)[:, None] * ZB
@@ -674,42 +674,45 @@ def _slabs_to_plane(S, ZB):
     blocks each tile the axis exactly (SW = 2 ZB), so assembly is two
     reshapes + two rolls; consecutive slabs overlap by ZB and the rolls
     realize the overlapping periodic adds."""
-    nzb, gy, SW, _ = S.shape
-    Se = jnp.moveaxis(S[0::2], 0, 1).reshape(gy, (nzb // 2) * SW, 3)
-    So = jnp.moveaxis(S[1::2], 0, 1).reshape(gy, (nzb // 2) * SW, 3)
+    nzb, gy, SW, C = S.shape
+    Se = jnp.moveaxis(S[0::2], 0, 1).reshape(gy, (nzb // 2) * SW, C)
+    So = jnp.moveaxis(S[1::2], 0, 1).reshape(gy, (nzb // 2) * SW, C)
     return (jnp.roll(Se, -(ZB // 2), axis=1)
             + jnp.roll(So, ZB - ZB // 2, axis=1))
 
 
 def _plane_to_slabs(ga, ZB, nzb):
-    """Adjoint of _slabs_to_plane: (gy, gz, 3) -> (nzb, gy, SW, 3)."""
-    gy = ga.shape[0]
+    """Adjoint of _slabs_to_plane: (gy, gz, C) -> (nzb, gy, SW, C)."""
+    gy, _, C = ga.shape
     SW = 2 * ZB
-    E = jnp.roll(ga, ZB // 2, axis=1).reshape(gy, nzb // 2, SW, 3)
-    O = jnp.roll(ga, -(ZB - ZB // 2), axis=1).reshape(gy, nzb // 2, SW, 3)
-    S = jnp.stack([E, O], axis=2).reshape(gy, nzb, SW, 3)
+    E = jnp.roll(ga, ZB // 2, axis=1).reshape(gy, nzb // 2, SW, C)
+    O = jnp.roll(ga, -(ZB - ZB // 2), axis=1).reshape(gy, nzb // 2, SW, C)
+    S = jnp.stack([E, O], axis=2).reshape(gy, nzb, SW, C)
     return jnp.moveaxis(S, 0, 1)                         # (nzb, gy, SW, 3)
 
 
 def spread(plan: SpectralPlan, forces):
-    """S f: (N, 3) forces -> (3, gx, gy, gz) grid. Per yz-plane: one
+    """S f: (N, C) forces -> (C, gx, gy, gz) grid (C = 3 per RHS; multi-RHS
+    stacks share the window evaluation, which dominates). Per yz-plane: one
     batched (over z-blocks) matmul of the dense-y window rows against the
     COMPACT z-slab window-force blocks, then slab assembly by two rolls
     (no scatter anywhere)."""
     gx = plan.params.grid[0]
     planes = _spread_planes(plan, forces,
                             jnp.arange(gx, dtype=jnp.int32))
-    return jnp.moveaxis(planes, -1, 0)                   # (3, gx, gy, gz)
+    return jnp.moveaxis(planes, -1, 0)                   # (C, gx, gy, gz)
 
 
 def _spread_planes(plan: SpectralPlan, forces, plane_ids):
-    """Local spread: (len(plane_ids), gy, gz, 3) planes (sharded wave)."""
+    """Local spread: (len(plane_ids), gy, gz, C) planes (sharded wave)."""
     p = plan.params
     gx, gy, gz = p.grid
     ZB = p.zslab
     SW = 2 * ZB
     nzb = gz // ZB
-    f = forces.reshape(-1, 3)
+    n = plan.positions.shape[0]
+    f = forces.reshape(n, -1)
+    C = f.shape[1]
     gather, f_pad = _slab_candidates(plan, f)
     prec = getattr(lax.Precision, p.precision.upper())
 
@@ -717,17 +720,17 @@ def _spread_planes(plan: SpectralPlan, forces, plane_ids):
         cand, wx, Y, Z = gather(a)
         W = wx[..., None] * Y
         Zf = Z[..., None] * f_pad[cand][:, :, None, :]
-        S = jnp.einsum("nrb,nrc->nbc", W, Zf.reshape(nzb, -1, SW * 3),
+        S = jnp.einsum("nrb,nrc->nbc", W, Zf.reshape(nzb, -1, SW * C),
                        precision=prec)
-        return _slabs_to_plane(S.reshape(nzb, gy, SW, 3), ZB)
+        return _slabs_to_plane(S.reshape(nzb, gy, SW, C), ZB)
 
     return lax.map(one_plane, plane_ids,
                    batch_size=min(p.plane_batch, plane_ids.shape[0]))
 
 
 def _interp_rows(plan: SpectralPlan, ug_planes, plane_ids):
-    """Local interpolation rows (len(plane_ids), nzb, cap, 3) from local
-    (len, gy, gz, 3) planes (sharded wave; the inverse-index gather over
+    """Local interpolation rows (len(plane_ids), nzb, cap, C) from local
+    (len, gy, gz, C) planes (sharded wave; the inverse-index gather over
     the all-gathered rows happens in the caller)."""
     p = plan.params
     gx, gy, gz = p.grid
@@ -735,6 +738,7 @@ def _interp_rows(plan: SpectralPlan, ug_planes, plane_ids):
     SW = 2 * ZB
     nzb = gz // ZB
     cap = plan.cap_seg
+    C = ug_planes.shape[-1]
     gather, _ = _slab_candidates(plan, None)
     prec = getattr(lax.Precision, p.precision.upper())
 
@@ -743,9 +747,9 @@ def _interp_rows(plan: SpectralPlan, ug_planes, plane_ids):
         cand, wx, Y, Z = gather(a)
         S = _plane_to_slabs(ga, ZB, nzb)
         W = wx[..., None] * Y
-        T = jnp.einsum("nrb,nbc->nrc", W, S.reshape(nzb, gy, SW * 3),
+        T = jnp.einsum("nrb,nbc->nrc", W, S.reshape(nzb, gy, SW * C),
                        precision=prec)
-        u = jnp.einsum("nrc,nrcq->nrq", Z, T.reshape(nzb, cap, SW, 3),
+        u = jnp.einsum("nrc,nrcq->nrq", Z, T.reshape(nzb, cap, SW, C),
                        precision=prec)
         return u
 
@@ -754,30 +758,36 @@ def _interp_rows(plan: SpectralPlan, ug_planes, plane_ids):
 
 
 def interpolate(plan: SpectralPlan, ug):
-    """S^T u: (3, gx, gy, gz) grid -> (N, 3), the exact transpose of
+    """S^T u: (C, gx, gy, gz) grid -> (N, C), the exact transpose of
     `spread` (slab extraction, batched matmul, compact-z contraction,
     collision-free inverse-index gather)."""
     gx = plan.params.grid[0]
+    C = ug.shape[0]
     # one contiguous transpose up front: per-plane strided slices of the
     # component-leading layout are slow on TPU
-    ugq = jnp.moveaxis(ug, 0, -1)                        # (gx, gy, gz, 3)
+    ugq = jnp.moveaxis(ug, 0, -1)                        # (gx, gy, gz, C)
     out = _interp_rows(plan, ugq, jnp.arange(gx, dtype=jnp.int32))
-    out = out.reshape(-1, 3)
-    out = jnp.concatenate([out, jnp.zeros((1, 3), out.dtype)], axis=0)
-    return jnp.sum(out[plan.inv_idx], axis=1)            # (N, 3)
+    out = out.reshape(-1, C)
+    out = jnp.concatenate([out, jnp.zeros((1, C), out.dtype)], axis=0)
+    return jnp.sum(out[plan.inv_idx], axis=1)            # (N, C)
 
 
 def k_scale(plan: SpectralPlan, gk):
     """Project out khat and apply the scalar kernel on the rfft
     half-spectrum (the projector I - khat khat^T and the kernel are even
-    in k, so they act identically on the half spectrum)."""
-    kdotg = jnp.sum(plan.khat * gk, axis=0, keepdims=True)
-    return plan.kernel[None] * (gk - plan.khat * kdotg)
+    in k, so they act identically on the half spectrum). gk may carry
+    C = 3 B channels (B stacked RHS, b-major)."""
+    shape = gk.shape
+    g = gk.reshape(-1, 3, *shape[1:])
+    kdotg = jnp.sum(plan.khat[None] * g, axis=1, keepdims=True)
+    out = plan.kernel[None, None] * (g - plan.khat[None] * kdotg)
+    return out.reshape(shape)
 
 
 def wave_matvec(plan: SpectralPlan, forces):
-    """u^w = S^T F^{-1} B F S f (spread, rFFT, scale, irFFT, interpolate)."""
-    grid = spread(plan, forces)                          # (3, gx, gy, gz)
+    """u^w = S^T F^{-1} B F S f (spread, rFFT, scale, irFFT, interpolate).
+    forces (N, C) with C = 3 B (B stacked RHS sharing window products)."""
+    grid = spread(plan, forces)                          # (C, gx, gy, gz)
     gk = jnp.fft.rfftn(grid, axes=(1, 2, 3))
     uk = k_scale(plan, gk)
     ug = jnp.fft.irfftn(uk, s=plan.params.grid, axes=(1, 2, 3))
@@ -833,14 +843,15 @@ def _xla_near_tile_fn(plan: SpectralPlan, forces):
     pos = plan.positions
     n = pos.shape[0]
     dtype = pos.dtype
-    f = forces.reshape(n, 3)
+    f = forces.reshape(n, -1)
+    nc = f.shape[1]
     box = jnp.asarray(p.box, dtype)
     cap = p.cell_capacity
     n_cells = plan.nbr_cells.shape[0]
 
     pos_pad = jnp.concatenate([pos, jnp.full((1, 3), jnp.nan, dtype)],
                               axis=0)
-    f_pad = jnp.concatenate([f, jnp.zeros((1, 3), dtype)], axis=0)
+    f_pad = jnp.concatenate([f, jnp.zeros((1, nc), dtype)], axis=0)
     ids = plan.cell_table.reshape(n_cells, cap)            # (C, cap)
     pos_c = pos_pad[ids]                                   # (C, cap, 3)
     f_c = f_pad[ids]
@@ -852,7 +863,7 @@ def _xla_near_tile_fn(plan: SpectralPlan, forces):
         pos_c = jnp.concatenate(
             [pos_c, jnp.full((pad_c, cap, 3), jnp.nan, dtype)], axis=0)
         f_c = jnp.concatenate(
-            [f_c, jnp.zeros((pad_c, cap, 3), dtype)], axis=0)
+            [f_c, jnp.zeros((pad_c, cap, nc), dtype)], axis=0)
     ids_pad = (jnp.concatenate([ids, jnp.full((pad_c, cap), n, jnp.int32)])
                if pad_c else ids)
     nbr_pad = (jnp.concatenate(
@@ -890,21 +901,26 @@ def _xla_near_tile_fn(plan: SpectralPlan, forces):
         del piece
         al = jnp.where(inside, al, 0.0)
         bfac = jnp.where(inside, be / jnp.where(inside, r2, 1.0), 0.0)
-        ddotf = jnp.sum(d * fs[:, None, :, :, :], axis=-1)
-        contrib = (al[..., None] * fs[:, None, :, :, :]
-                   + (bfac * ddotf)[..., None] * d)
-        return jnp.sum(contrib, axis=(2, 3))               # (TC, cap, 3)
+        # per-RHS contraction: fs carries nc = 3 B channels (b-major)
+        fs3 = fs.reshape(*fs.shape[:-1], nc // 3, 3)       # (TC,27,cap,B,3)
+        ddotf = jnp.sum(d[..., None, :] * fs3[:, None], axis=-1)
+        contrib = (al[..., None, None] * fs3[:, None]
+                   + (bfac[..., None] * ddotf)[..., None] * d[..., None, :])
+        out = jnp.sum(contrib, axis=(2, 3))                # (TC, cap, B, 3)
+        return out.reshape(TC, cap, nc)
 
     return tile_fn, n_pad_c, TC
 
 
 def _near_assemble(plan: SpectralPlan, rows, forces):
-    """Slot rows (>= n_cells*cap, 3) -> per-particle output + self term."""
+    """Slot rows (>= n_cells*cap, C) -> per-particle output + self term."""
     n = plan.positions.shape[0]
     dtype = forces.dtype
-    rows = jnp.concatenate([rows, jnp.zeros((1, 3), rows.dtype)], axis=0)
+    f = forces.reshape(n, -1)
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
     return (rows[plan.cell_slot].astype(dtype)
-            + plan.self_coeff * forces.reshape(n, 3).astype(dtype))
+            + plan.self_coeff * f.astype(dtype))
 
 
 def real_matvec_xla(plan: SpectralPlan, forces):
@@ -916,14 +932,16 @@ def real_matvec_xla(plan: SpectralPlan, forces):
     from a Clenshaw recurrence instead of table gathers."""
     cap = plan.params.cell_capacity
     n_cells = plan.nbr_cells.shape[0]
+    n = plan.positions.shape[0]
+    nc = forces.reshape(n, -1).shape[1]
     tile_fn, n_pad_c, TC = _xla_near_tile_fn(plan, forces)
     out_c = lax.map(tile_fn, jnp.arange(0, n_pad_c, TC))
-    rows = out_c.reshape(n_pad_c * cap, 3)[:n_cells * cap]
+    rows = out_c.reshape(n_pad_c * cap, nc)[:n_cells * cap]
     return _near_assemble(plan, rows, forces)
 
 
 def _near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc, cheb,
-                 mids, halfs, two_a, rc2):
+                 mids, halfs, two_a, rc2, n_rhs=1):
     """Fused near-field sweep: block = `tc` cells; for each cell, the
     (cap targets) x (S sources) pair tile is evaluated on the VPU with
     targets on sublanes and sources on lanes. Radial scalars come from
@@ -932,7 +950,11 @@ def _near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc, cheb,
     is no out-of-range polynomial blowup). All coefficients are
     compile-time python-float constants (weak-typed). The cell loop is a
     fori_loop (not a python unroll): the kernel body is traced once, which
-    keeps Mosaic compile time independent of the tile size."""
+    keeps Mosaic compile time independent of the tile size.
+
+    n_rhs > 1 applies the pair block to several stacked force sets in one
+    sweep (sf carries 3*n_rhs channels, b-major): the Clenshaw recurrence
+    — the dominant per-pair cost — is shared across all RHS."""
     K = len(cheb[0][0])
     inv_h0, inv_h1 = 1.0 / halfs[0], 1.0 / halfs[1]
 
@@ -946,9 +968,6 @@ def _near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc, cheb,
         sx = spos_ref[0, t, :][None, :]
         sy = spos_ref[1, t, :][None, :]
         sz = spos_ref[2, t, :][None, :]
-        fx = sf_ref[0, t, :][None, :]
-        fy = sf_ref[1, t, :][None, :]
-        fz = sf_ref[2, t, :][None, :]
         dx = tx - sx
         dy = ty - sy
         dz = tz - sz
@@ -976,13 +995,17 @@ def _near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc, cheb,
         dx = jnp.where(inside, dx, 0.0)
         dy = jnp.where(inside, dy, 0.0)
         dz = jnp.where(inside, dz, 0.0)
-        g = bfac * (dx * fx + dy * fy + dz * fz)
-        out_ref[pl.ds(r0, cap), 0:1] = jnp.sum(al * fx + g * dx, axis=1,
-                                               keepdims=True)
-        out_ref[pl.ds(r0, cap), 1:2] = jnp.sum(al * fy + g * dy, axis=1,
-                                               keepdims=True)
-        out_ref[pl.ds(r0, cap), 2:3] = jnp.sum(al * fz + g * dz, axis=1,
-                                               keepdims=True)
+        for b in range(n_rhs):
+            fx = sf_ref[3 * b + 0, t, :][None, :]
+            fy = sf_ref[3 * b + 1, t, :][None, :]
+            fz = sf_ref[3 * b + 2, t, :][None, :]
+            g = bfac * (dx * fx + dy * fy + dz * fz)
+            out_ref[pl.ds(r0, cap), 3 * b + 0:3 * b + 1] = jnp.sum(
+                al * fx + g * dx, axis=1, keepdims=True)
+            out_ref[pl.ds(r0, cap), 3 * b + 1:3 * b + 2] = jnp.sum(
+                al * fy + g * dy, axis=1, keepdims=True)
+            out_ref[pl.ds(r0, cap), 3 * b + 2:3 * b + 3] = jnp.sum(
+                al * fz + g * dz, axis=1, keepdims=True)
         return carry
 
     lax.fori_loop(0, tc, body, 0)
@@ -997,9 +1020,10 @@ def _near_rows_pallas(plan: SpectralPlan, forces, tgt_xyz, src_pos,
     TC = p.near_tile
     C_local, S = src_ids.shape
     n = plan.positions.shape[0]
-    f = forces.reshape(n, 3).astype(jnp.float32)
-    f_pad = jnp.concatenate([f, jnp.zeros((1, 3), jnp.float32)], axis=0)
-    sf = f_pad.T[:, src_ids]                             # (3, C_local, S)
+    f = forces.reshape(n, -1).astype(jnp.float32)
+    nc = f.shape[1]
+    f_pad = jnp.concatenate([f, jnp.zeros((1, nc), jnp.float32)], axis=0)
+    sf = f_pad.T[:, src_ids]                             # (nc, C_local, S)
 
     cheb_np, _ = _host_cheb(p)
     # python-float coefficients: weak-typed in-kernel constants (numpy
@@ -1011,7 +1035,7 @@ def _near_rows_pallas(plan: SpectralPlan, forces, tgt_xyz, src_pos,
     halfs = (0.5 * two_a, 0.5 * (p.r_cut - two_a))
     kernel = functools.partial(
         _near_kernel, cap=cap, tc=TC, cheb=cheb, mids=mids, halfs=halfs,
-        two_a=two_a, rc2=p.r_cut * p.r_cut)
+        two_a=two_a, rc2=p.r_cut * p.r_cut, n_rhs=nc // 3)
     return pl.pallas_call(
         kernel,
         grid=(C_local // TC,),
@@ -1020,12 +1044,12 @@ def _near_rows_pallas(plan: SpectralPlan, forces, tgt_xyz, src_pos,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TC, S), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TC, S), lambda i: (0, i, 0),
+            pl.BlockSpec((nc, TC, S), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TC * cap, 3), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TC * cap, nc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C_local * cap, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C_local * cap, nc), jnp.float32),
         interpret=jax.default_backend() not in ("tpu", "axon"),
     )(tgt_xyz.astype(jnp.float32), src_pos.astype(jnp.float32), sf)
 
@@ -1055,6 +1079,29 @@ def matvec(plan: SpectralPlan, forces, mesh=None, axis_name="blobs"):
     if mesh is not None and mesh.shape[axis_name] > 1:
         return matvec_sharded(mesh, plan, forces, axis_name=axis_name)
     return real_matvec(plan, forces) + wave_matvec(plan, forces)
+
+
+def matvec_multi(plan: SpectralPlan, forces, mesh=None, axis_name="blobs"):
+    """Stacked products M f_b, (B, N, 3) -> (B, N, 3), in ONE engine
+    sweep: the gridding window products and the near-field Chebyshev pair
+    scalars — the dominant costs — are shared across the B right-hand
+    sides; only the FFT volume and the final contractions scale with B.
+    Used by the lockstep multi-RHS GMRES (ops/gmres.gmres_lockstep) to
+    solve same-configuration systems for the price of little more than
+    one (the reference solves them back to back,
+    quaternion_integrator_multi_bodies.py:966-1007)."""
+    B, n = forces.shape[0], forces.shape[1]
+    if B == 1:
+        return matvec(plan, forces[0], mesh=mesh, axis_name=axis_name)[None]
+    if mesh is not None and mesh.shape[axis_name] > 1:
+        # sharded path: per-RHS (the single-RHS distributed matvec is
+        # exactness-tested; multi-RHS sharing rides the single-chip path)
+        return jnp.stack([
+            matvec_sharded(mesh, plan, forces[b], axis_name=axis_name)
+            for b in range(B)])
+    f = jnp.moveaxis(forces, 0, 1).reshape(n, 3 * B)     # b-major channels
+    out = real_matvec(plan, f) + wave_matvec(plan, f)
+    return jnp.moveaxis(out.reshape(n, B, 3), 1, 0)
 
 
 def matvec_sharded(mesh, plan: SpectralPlan, forces, axis_name="blobs"):

@@ -15,8 +15,14 @@ user-defined-function override seam):
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .mobility import _box_offsets, _min_image
 
@@ -147,6 +153,18 @@ def blob_blob_forces_neighbor_list(r_vectors, *, repulsion_strength=0.0,
     nx, ny, nz = dims
     n_cells = nx * ny * nz
 
+    # fully-periodic f32 boxes on TPU take the fused Pallas cell sweep:
+    # the generic path below gathers source rows PER TARGET
+    # (27*capacity gathers per blob — measured 2.5 s at 98k blobs /
+    # capacity 96), the Pallas path pre-gathers a (cell, 27*cap) source
+    # layout once and runs the pair force on the VPU (~20 ms)
+    if (all(L > 0 for L in periodic_length) and dtype == jnp.float32
+            and jax.default_backend() in ("tpu", "axon")):
+        return _neighbor_forces_pallas(
+            r_vectors, periodic_length, dims, int(cell_capacity),
+            float(repulsion_strength), float(debye_length),
+            float(blob_radius))
+
     # per-dim coordinates projected to the box / data extent
     cols, cells = [], []
     for d, (L, nd) in enumerate(zip(periodic_length, dims)):
@@ -230,6 +248,131 @@ def blob_blob_forces_neighbor_list(r_vectors, *, repulsion_strength=0.0,
 
     out = lax.map(tile_fn, jnp.arange(0, n_pad, row_tile))
     return out.reshape(n_pad, 3)[:n]
+
+
+def _nl_force_kernel(tgt_ref, spos_ref, out_ref, *, cap, tc, eps_over_b,
+                     inv_b, two_a):
+    """Fused cell-blocked pair-force sweep (VPU): block = `tc` cells; for
+    each cell the (cap targets) x (S sources) tile evaluates the
+    reference's soft exp/linear repulsion
+    (multi_bodies_functions.py:297-345) with targets on sublanes and
+    sources on lanes. NaN-padded rows contribute zero."""
+
+    def body(t, carry):
+        r0 = t.astype(jnp.int32) * jnp.int32(cap)
+        tx = tgt_ref[pl.ds(r0, cap), 0:1]
+        ty = tgt_ref[pl.ds(r0, cap), 1:2]
+        tz = tgt_ref[pl.ds(r0, cap), 2:3]
+        sx = spos_ref[0, t, :][None, :]
+        sy = spos_ref[1, t, :][None, :]
+        sz = spos_ref[2, t, :][None, :]
+        dx = tx - sx
+        dy = ty - sy
+        dz = tz - sz
+        r2 = dx * dx + dy * dy + dz * dz
+        inside = (r2 > 0.0) & (r2 < 1e30)   # scrubs self + NaN pads
+        r2s = jnp.where(inside, r2, 1.0)
+        invr = lax.rsqrt(r2s)
+        r = r2s * invr
+        mag = jnp.where(r > two_a,
+                        eps_over_b * jnp.exp((two_a - r) * inv_b) * invr,
+                        eps_over_b * invr)
+        mag = jnp.where(inside, mag, 0.0)
+        # scrub NaN pad displacements (0 * NaN would poison the row sums)
+        dx = jnp.where(inside, dx, 0.0)
+        dy = jnp.where(inside, dy, 0.0)
+        dz = jnp.where(inside, dz, 0.0)
+        out_ref[pl.ds(r0, cap), 0:1] = jnp.sum(mag * dx, axis=1,
+                                               keepdims=True)
+        out_ref[pl.ds(r0, cap), 1:2] = jnp.sum(mag * dy, axis=1,
+                                               keepdims=True)
+        out_ref[pl.ds(r0, cap), 2:3] = jnp.sum(mag * dz, axis=1,
+                                               keepdims=True)
+        return carry
+
+    lax.fori_loop(0, tc, body, 0)
+
+
+def _neighbor_forces_pallas(r_vectors, periodic_length, dims, cap,
+                            repulsion_strength, debye_length, blob_radius,
+                            tile_cells=8):
+    """Linked-cell pair forces on a pre-gathered (cell, 27*cap) source
+    layout (the ops/ewald near-field pattern: per-pair gathers are the
+    TPU killer, one plan-time gather + dense VPU tiles are not).
+    Fully-periodic boxes only; exact vs the generic path (the same 27-cell
+    stencil defines which pairs interact)."""
+    dtype = jnp.float32
+    n = r_vectors.shape[0]
+    nx, ny, nz = dims
+    n_cells = nx * ny * nz
+    box = jnp.asarray(periodic_length, dtype)
+    pos = r_vectors.astype(dtype)
+    pos = pos - jnp.floor(pos / box) * box
+
+    csize = box / jnp.asarray(dims, dtype)
+    c3 = jnp.clip((pos / csize).astype(jnp.int32), 0,
+                  jnp.asarray(dims, jnp.int32) - 1)
+    cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]
+    order = jnp.argsort(cid)
+    sc = cid[order]
+    slot = jnp.arange(n) - jnp.searchsorted(sc, sc, side="left")
+    in_cap = slot < cap
+    addr = jnp.where(in_cap, sc * cap + slot, n_cells * cap)
+    cell_table = jnp.full((n_cells * cap + 1,), n, dtype=jnp.int32)
+    cell_table = cell_table.at[addr].set(order.astype(jnp.int32))[:-1]
+    slot_of = jnp.full((n,), cap, jnp.int32).at[order].set(
+        jnp.where(in_cap, slot, cap).astype(jnp.int32))
+    cell_slot = jnp.where(slot_of < cap, cid * cap + slot_of, n_cells * cap)
+
+    # static 27-neighbor table with periodic wrap shifts
+    cc = np.stack(np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                              indexing="ij"), axis=-1).reshape(-1, 3)
+    o27 = np.array([(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+                    for k in (-1, 0, 1)])
+    raw = cc[:, None, :] + o27[None, :, :]
+    nbr = jnp.asarray(
+        ((raw[:, :, 0] % nx) * ny + raw[:, :, 1] % ny) * nz
+        + raw[:, :, 2] % nz, jnp.int32)                    # (C, 27)
+    shift = jnp.asarray(raw // np.array(dims), dtype) * box  # (C, 27, 3)
+
+    TC = min(tile_cells, n_cells)
+    S = -(-27 * cap // 128) * 128
+    n_cells_pad = -(-n_cells // TC) * TC
+    ids2 = cell_table.reshape(n_cells, cap)
+    sids = ids2[nbr]                                       # (C, 27, cap)
+    pos_nan = jnp.concatenate([pos, jnp.full((1, 3), jnp.nan, dtype)],
+                              axis=0)
+    spos = pos_nan[sids] + shift[:, :, None, :]
+    spos = spos.reshape(n_cells, 27 * cap, 3)
+    pad_s = S - 27 * cap
+    pad_c = n_cells_pad - n_cells
+    spos = jnp.pad(spos, ((0, pad_c), (0, pad_s), (0, 0)),
+                   constant_values=jnp.nan)
+    src = jnp.moveaxis(spos, -1, 0)                        # (3, C_pad, S)
+    tpos = pos_nan[cell_table].reshape(n_cells, cap, 3)
+    tgt = jnp.pad(tpos, ((0, pad_c), (0, 0), (0, 0)),
+                  constant_values=jnp.nan).reshape(n_cells_pad * cap, 3)
+
+    kernel = functools.partial(
+        _nl_force_kernel, cap=cap, tc=TC,
+        eps_over_b=repulsion_strength / debye_length,
+        inv_b=1.0 / debye_length, two_a=2.0 * blob_radius)
+    rows = pl.pallas_call(
+        kernel,
+        grid=(n_cells_pad // TC,),
+        in_specs=[
+            pl.BlockSpec((TC * cap, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TC, S), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TC * cap, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_cells_pad * cap, 3), jnp.float32),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(tgt, src)
+    rows = jnp.concatenate([rows, jnp.zeros((1, 3), rows.dtype)], axis=0)
+    return rows[cell_slot].astype(r_vectors.dtype)
 
 
 def body_body_forces_torques(locations, *, repulsion_strength=0.0,

@@ -47,7 +47,8 @@ def gmres(
     dtype = b.dtype
     if M is None:
         M = lambda v: v
-    if x0 is None:
+    cold_start = x0 is None
+    if cold_start:
         x0 = jnp.zeros_like(b)
 
     m = int(min(restart, n, maxiter))
@@ -127,7 +128,9 @@ def gmres(
         y, r, rnorm, iters, cycles = state
         return (cycles < max_cycles) & (rnorm > target)
 
-    r0 = b - matvec(x0)  # effective RHS of the correction system
+    # effective RHS of the correction system (skip the A*0 product on a
+    # cold start: at scale one pair sweep is the unit of cost)
+    r0 = b if cold_start else b - matvec(x0)
 
     def outer_body(state):
         y, r, rnorm, iters, cycles = state
@@ -135,6 +138,141 @@ def gmres(
         r = r0 - a_tilde(y)
         return (y, r, jnp.linalg.norm(r), iters + j, cycles + 1)
     state = (jnp.zeros_like(b), r0, jnp.linalg.norm(r0), jnp.asarray(0), jnp.asarray(0))
+    y, r, rnorm, iters, _ = lax.while_loop(outer_cond, outer_body, state)
+    x = x0 + M(y)
+    return GmresResult(x=x, residual_norm=rnorm, iterations=iters,
+                       converged=rnorm <= target)
+
+
+def gmres_lockstep(
+    matvec: Callable,
+    b: jax.Array,
+    *,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-8,
+    atol: float = 0.0,
+    restart: int = 60,
+    maxiter: int = 1000,
+    M: Optional[Callable] = None,
+) -> GmresResult:
+    """Solve matvec(X) = b for a STACK of right-hand sides b of shape
+    (nrhs, n), running one independent Arnoldi process per RHS in
+    lockstep: each iteration applies the operator to the whole (nrhs, n)
+    block in ONE call, so an operator whose pair sweep / gridding cost is
+    shared across columns (ops/ewald.matvec_multi, the batched dense
+    planes product) amortizes it. The loop runs until EVERY RHS meets its
+    own target; already-converged columns keep iterating harmlessly
+    (their residual only shrinks further). matvec and M map
+    (nrhs, n) -> (nrhs, n).
+
+    This replaces back-to-back reference solves that share a
+    configuration — e.g. the Slip-Trapz rigid solve and its RFD solve
+    (quaternion_integrator_multi_bodies.py:966-1007) — with one batched
+    Krylov loop. Returns per-RHS x/residual/converged; `iterations` is
+    the number of BATCHED sweeps executed (the cost-relevant count: one
+    sweep serves all columns)."""
+    nrhs, n = b.shape
+    dtype = b.dtype
+    if M is None:
+        M = lambda v: v
+    cold_start = x0 is None
+    if cold_start:
+        x0 = jnp.zeros_like(b)
+
+    m = int(min(restart, n, maxiter))
+    max_cycles = max(1, -(-maxiter // m))
+
+    b_norm = jnp.linalg.norm(b, axis=1)
+    target = jnp.maximum(tol * b_norm, atol)                   # (nrhs,)
+
+    def a_tilde(Y):
+        return matvec(M(Y))
+
+    def run_cycle(y, r, rnorm):
+        safe = jnp.where(rnorm > 0, rnorm, 1.0)
+        V = jnp.zeros((nrhs, m + 1, n), dtype).at[:, 0].set(r / safe[:, None])
+        R = jnp.zeros((nrhs, m + 1, m), dtype)
+        cs = jnp.zeros((nrhs, m), dtype)
+        sn = jnp.zeros((nrhs, m), dtype)
+        g = jnp.zeros((nrhs, m + 1), dtype).at[:, 0].set(rnorm)
+
+        def inner_cond(state):
+            j, V, R, cs, sn, g, res = state
+            return (j < m) & jnp.any(res > target)
+
+        def inner_body(state):
+            j, V, R, cs, sn, g, res = state
+            w = a_tilde(V[:, j])                               # (nrhs, n)
+            # classical Gram-Schmidt, applied twice for stability. The
+            # batched contractions MUST run at full f32: the default TPU
+            # einsum precision (bf16 MXU) loses basis orthogonality and
+            # the Givens residual estimate silently diverges from the
+            # true residual (the single-RHS path's mat-vec products
+            # lower to f32 VPU reductions and never see this).
+            prec = jax.lax.Precision.HIGHEST
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)[None]
+            h1 = jnp.einsum("bkn,bn->bk", V, w, precision=prec) * mask
+            w = w - jnp.einsum("bkn,bk->bn", V, h1, precision=prec)
+            h2 = jnp.einsum("bkn,bn->bk", V, w, precision=prec) * mask
+            w = w - jnp.einsum("bkn,bk->bn", V, h2, precision=prec)
+            h = h1 + h2
+            wnorm = jnp.linalg.norm(w, axis=1)                 # (nrhs,)
+            wsafe = jnp.where(wnorm > 0, wnorm, 1.0)
+            V = V.at[:, j + 1].set(
+                jnp.where(wnorm[:, None] > 0, w / wsafe[:, None], 0.0))
+            h = h.at[:, j + 1].set(wnorm)
+
+            def apply_rot(i, hv):
+                hi = hv[:, i]
+                hip = hv[:, i + 1]
+                hv = hv.at[:, i].set(cs[:, i] * hi + sn[:, i] * hip)
+                return hv.at[:, i + 1].set(-sn[:, i] * hi + cs[:, i] * hip)
+
+            h = lax.fori_loop(0, j, apply_rot, h)
+
+            hj, hjp = h[:, j], h[:, j + 1]
+            denom = jnp.sqrt(hj * hj + hjp * hjp)
+            dsafe = jnp.where(denom > 0, denom, 1.0)
+            c = jnp.where(denom > 0, hj / dsafe, 1.0)
+            s = jnp.where(denom > 0, hjp / dsafe, 0.0)
+            h = h.at[:, j].set(c * hj + s * hjp).at[:, j + 1].set(0.0)
+            cs = cs.at[:, j].set(c)
+            sn = sn.at[:, j].set(s)
+            gj = g[:, j]
+            g = g.at[:, j].set(c * gj).at[:, j + 1].set(-s * gj)
+            res = jnp.abs(g[:, j + 1])
+            R = R.at[:, :, j].set(h)
+            return (j + 1, V, R, cs, sn, g, res)
+
+        state = (jnp.asarray(0), V, R, cs, sn, g, rnorm)
+        j, V, R, cs, sn, g, res = lax.while_loop(inner_cond, inner_body,
+                                                 state)
+
+        used = jnp.arange(m) < j
+        Rm = R[:, :m, :m]
+        eye = jnp.eye(m, dtype=bool) & ~used[None, :]
+        Rm = jnp.where(eye[None], 1.0, Rm)
+        gm = jnp.where(used[None], g[:, :m], 0.0)
+        ym = jax.vmap(lambda Ri, gi: jax.scipy.linalg.solve_triangular(
+            Ri, gi, lower=False))(Rm, gm)
+        y = y + jnp.einsum("bkn,bk->bn", V[:, :m], ym,
+                           precision=jax.lax.Precision.HIGHEST)
+        return y, j
+
+    def outer_cond(state):
+        y, r, rnorm, iters, cycles = state
+        return (cycles < max_cycles) & jnp.any(rnorm > target)
+
+    r0 = b if cold_start else b - matvec(x0)
+
+    def outer_body(state):
+        y, r, rnorm, iters, cycles = state
+        y, j = run_cycle(y, r, rnorm)
+        r = r0 - a_tilde(y)
+        return (y, r, jnp.linalg.norm(r, axis=1), iters + j, cycles + 1)
+
+    state = (jnp.zeros_like(b), r0, jnp.linalg.norm(r0, axis=1),
+             jnp.asarray(0), jnp.asarray(0))
     y, r, rnorm, iters, _ = lax.while_loop(outer_cond, outer_body, state)
     x = x0 + M(y)
     return GmresResult(x=x, residual_norm=rnorm, iterations=iters,

@@ -284,6 +284,57 @@ def pairwise_matvec(
     return out
 
 
+def pairwise_matvec_multi(r_src, r_tgt, vec, eta, a, *, coupling="tt",
+                          domain="single_wall",
+                          periodic_length=(0.0, 0.0, 0.0),
+                          self_interaction=True, method="auto",
+                          mesh=None, shard_axis="blobs", **kw):
+    """Stacked pairwise products, vec (B, Ns, 3) -> (B, Nt, 3), sharing
+    ONE pair-geometry sweep across the B right-hand sides on the fused
+    direct Pallas path (the condensed block coefficients are applied to
+    every column; see pair_kernels.pair_matvec_pallas). Falls back to
+    per-RHS products where the direct path doesn't apply."""
+    B = vec.shape[0]
+    single_kw = dict(coupling=coupling, domain=domain,
+                     periodic_length=periodic_length,
+                     self_interaction=self_interaction, method=method,
+                     mesh=mesh, shard_axis=shard_axis, **kw)
+    periodic_length = tuple(float(x) for x in periodic_length)
+    dtype = jnp.result_type(r_src.dtype, vec.dtype)
+    use_direct = (method in ("auto", "pallas") and mesh is None and B > 1
+                  and dtype == jnp.float32
+                  and coupling in ("tt", "tr", "rt", "rr")
+                  and domain in ("no_wall", "single_wall")
+                  and all(L <= 0 for L in periodic_length)
+                  and jax.default_backend() in ("tpu", "axon"))
+    if not use_direct:
+        return jnp.stack([
+            pairwise_matvec(r_src, r_tgt, vec[b], eta, a, **single_kw)
+            for b in range(B)])
+
+    from . import pair_kernels
+
+    n_src = r_src.shape[0]
+    n_tgt = r_tgt.shape[0]
+    v = vec.astype(jnp.float32)
+    wall = domain == "single_wall"
+    if wall:
+        damp_s = damping_factors(r_src, a).astype(jnp.float32)
+        damp_t = damping_factors(r_tgt, a).astype(jnp.float32)
+        r_src = shift_heights(r_src, a)
+        r_tgt = shift_heights(r_tgt, a)
+        v = v * damp_s[None, :, None]
+    inva = 1.0 / a
+    V = jnp.moveaxis(v, 0, 1).reshape(n_src, 3 * B)      # b-major columns
+    out = pair_kernels.pair_matvec_pallas(
+        r_src.astype(jnp.float32) * inva, r_tgt.astype(jnp.float32) * inva,
+        V, coupling=coupling, wall=wall, self_interaction=self_interaction)
+    out = out / (8.0 * jnp.pi * eta * a ** _PREF_POW[coupling])
+    if wall:
+        out = out * damp_t[:, None]
+    return jnp.moveaxis(out.reshape(n_tgt, B, 3), 1, 0)
+
+
 # ---------------------------------------------------------------------------
 # Reference-named convenience products (square, same blobs as src and tgt)
 # ---------------------------------------------------------------------------

@@ -147,9 +147,10 @@ def _wall_cross_g(R2, Rz, h):
     return f1 * invR, f2 * invR, f3 * invR2, f4
 
 
-def _tt_apply(dx, dy, dz, xy2, r2, invr, self_mask, zero, wall, Rz, zs,
-              vx, vy, vz):
-    """t = M_tt v with condensed coefficients (5 scalars per pair)."""
+def _tt_condense(dx, dy, dz, xy2, r2, invr, self_mask, zero, wall, Rz, zs):
+    """Condensed M_tt coefficients (5 scalars per pair): application to
+    any number of RHS columns then costs ~10 VPU ops each (the condense
+    cost — the dominant per-pair work — is shared, see n_rhs)."""
     c1, c2 = _tt_coeffs(r2, invr, self_mask, zero)
     if wall:
         R2 = xy2 + Rz * Rz
@@ -164,6 +165,12 @@ def _tt_apply(dx, dy, dz, xy2, r2, invr, self_mask, zero, wall, Rz, zs,
         S = c2
         P = Q = c2 * dz
         mzz = c1 + c2 * dz * dz
+    return A, S, P, Q, mzz
+
+
+def _diag_apply(coeffs, dx, dy, vx, vy, vz):
+    """Apply condensed diagonal-block (tt/rr) coefficients to one RHS."""
+    A, S, P, Q, mzz = coeffs
     w = dx * vx + dy * vy
     u = S * w + P * vz
     tx = dx * u + A * vx
@@ -172,8 +179,15 @@ def _tt_apply(dx, dy, dz, xy2, r2, invr, self_mask, zero, wall, Rz, zs,
     return tx, ty, tz
 
 
-def _rr_apply(dx, dy, dz, xy2, r2, invr, self_mask, zero, wall, Rz,
+def _tt_apply(dx, dy, dz, xy2, r2, invr, self_mask, zero, wall, Rz, zs,
               vx, vy, vz):
+    """t = M_tt v with condensed coefficients (5 scalars per pair)."""
+    coeffs = _tt_condense(dx, dy, dz, xy2, r2, invr, self_mask, zero,
+                          wall, Rz, zs)
+    return _diag_apply(coeffs, dx, dy, vx, vy, vz)
+
+
+def _rr_condense(dx, dy, dz, xy2, r2, invr, self_mask, zero, wall, Rz):
     c1, c2 = _rr_coeffs(r2, invr, self_mask, zero)
     if wall:
         R2 = xy2 + Rz * Rz
@@ -188,39 +202,47 @@ def _rr_apply(dx, dy, dz, xy2, r2, invr, self_mask, zero, wall, Rz,
         S = c2
         P = Q = c2 * dz
         mzz = c1 + c2 * dz * dz
-    w = dx * vx + dy * vy
-    u = S * w + P * vz
-    tx = dx * u + A * vx
-    ty = dy * u + A * vy
-    tz = Q * w + mzz * vz
-    return tx, ty, tz
+    return A, S, P, Q, mzz
 
 
-def _cross_apply(dx, dy, dz, xy2, r2, invr, zero, wall, which, Rz, h,
-                 vx, vy, vz):
-    """t = M v for the cross blocks. which='tr' (U from T, wall height =
-    z_target) or 'rt' (W from F, wall height = z_source). Core part is the
-    antisymmetric [d x] for both."""
+def _rr_apply(dx, dy, dz, xy2, r2, invr, self_mask, zero, wall, Rz,
+              vx, vy, vz):
+    coeffs = _rr_condense(dx, dy, dz, xy2, r2, invr, self_mask, zero,
+                          wall, Rz)
+    return _diag_apply(coeffs, dx, dy, vx, vy, vz)
+
+
+def _cross_condense(dx, dy, dz, xy2, r2, invr, zero, wall, which, Rz, h):
+    """Condensed cross-block (tr/rt) entries: the antisymmetric core
+    coefficient plus (when wall) the 8 wall-correction matrix entries."""
     c = _cross_coeff(r2, invr, zero)
+    if not wall:
+        return (c,)
+    R2 = xy2 + Rz * Rz
+    F1, F2, G3, f4 = _wall_cross_g(R2, Rz, h)
+    # UT pattern at (sx*dx, sx*dy): tr flips the in-plane displacement
+    s = -1.0 if which == "tr" else 1.0
+    ux, uy = s * dx, s * dy
+    # core corr entries (rpy._wall_cross_core, folded): then M -= corr,
+    # and for rt the pattern transposes.
+    cxx = -G3 * ux * uy
+    cxy = -F1 * Rz + G3 * ux * ux - f4
+    cxz = F1 * uy
+    cyx = F1 * Rz - G3 * uy * uy + f4
+    cyy = G3 * ux * uy
+    cyz = -F1 * ux
+    czx = -(F1 + F2) * uy - G3 * uy * Rz
+    czy = (F1 + F2) * ux + G3 * ux * Rz
+    return (c, cxx, cxy, cxz, cyx, cyy, cyz, czx, czy)
+
+
+def _cross_apply_condensed(coeffs, dx, dy, dz, which, vx, vy, vz):
+    c = coeffs[0]
     tx = c * (dz * vy - dy * vz)
     ty = c * (dx * vz - dz * vx)
     tz = c * (dy * vx - dx * vy)
-    if wall:
-        R2 = xy2 + Rz * Rz
-        F1, F2, G3, f4 = _wall_cross_g(R2, Rz, h)
-        # UT pattern at (sx*dx, sx*dy): tr flips the in-plane displacement
-        s = -1.0 if which == "tr" else 1.0
-        ux, uy = s * dx, s * dy
-        # core corr entries (rpy._wall_cross_core, folded): then M -= corr,
-        # and for rt the pattern transposes.
-        cxx = -G3 * ux * uy
-        cxy = -F1 * Rz + G3 * ux * ux - f4
-        cxz = F1 * uy
-        cyx = F1 * Rz - G3 * uy * uy + f4
-        cyy = G3 * ux * uy
-        cyz = -F1 * ux
-        czx = -(F1 + F2) * uy - G3 * uy * Rz
-        czy = (F1 + F2) * ux + G3 * ux * Rz
+    if len(coeffs) > 1:
+        _, cxx, cxy, cxz, cyx, cyy, cyz, czx, czy = coeffs
         if which == "tr":
             wx = -(cxx * vx + cxy * vy + cxz * vz)
             wy = -(cyx * vx + cyy * vy + cyz * vz)
@@ -235,8 +257,19 @@ def _cross_apply(dx, dy, dz, xy2, r2, invr, zero, wall, which, Rz, h,
     return tx, ty, tz
 
 
+def _cross_apply(dx, dy, dz, xy2, r2, invr, zero, wall, which, Rz, h,
+                 vx, vy, vz):
+    """t = M v for the cross blocks. which='tr' (U from T, wall height =
+    z_target) or 'rt' (W from F, wall height = z_source). Core part is the
+    antisymmetric [d x] for both."""
+    coeffs = _cross_condense(dx, dy, dz, xy2, r2, invr, zero, wall, which,
+                             Rz, h)
+    return _cross_apply_condensed(coeffs, dx, dy, dz, which, vx, vy, vz)
+
+
 def _pair_kernel(qtx_ref, qty_ref, qtz_ref, qsx_ref, qsy_ref, qsz_ref,
-                 v_ref, out_ref, *, coupling, wall, self_interaction):
+                 v_ref, out_ref, *, coupling, wall, self_interaction,
+                 n_rhs=1):
     i = pl.program_id(0)
     c = pl.program_id(1)
     n_cols = pl.num_programs(1)
@@ -271,39 +304,62 @@ def _pair_kernel(qtx_ref, qty_ref, qtz_ref, qsx_ref, qsy_ref, qsz_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    # condense the pair-block coefficients ONCE; apply them to every RHS
+    # column (multi-RHS lockstep solves share the dominant per-pair work)
     if coupling == "grand":
-        fx, fy, fz = v_ref[0, :], v_ref[1, :], v_ref[2, :]
-        tx_, ty_, tz_ = v_ref[3, :], v_ref[4, :], v_ref[5, :]
-        fx, fy, fz = fx[None, :], fy[None, :], fz[None, :]
-        tx_, ty_, tz_ = tx_[None, :], ty_[None, :], tz_[None, :]
-        # U = Mtt F + Mtr T ; W = Mrt F + Mrr T
-        ax, ay, az = _tt_apply(dx, dy, dz, xy2, r2s, invr, self_mask, zero,
-                               wall, Rz, zsr, fx, fy, fz)
-        bx, by, bz = _cross_apply(dx, dy, dz, xy2, r2s, invr, zero, wall,
-                                  "tr", Rz, ztr, tx_, ty_, tz_)
-        cx, cy, cz = _cross_apply(dx, dy, dz, xy2, r2s, invr, zero, wall,
-                                  "rt", Rz, zsr, fx, fy, fz)
-        ex, ey, ez_ = _rr_apply(dx, dy, dz, xy2, r2s, invr, self_mask, zero,
-                                wall, Rz, tx_, ty_, tz_)
-        comps = (ax + bx, ay + by, az + bz, cx + ex, cy + ey, cz + ez_)
+        ctt = _tt_condense(dx, dy, dz, xy2, r2s, invr, self_mask, zero,
+                           wall, Rz, zsr)
+        ctr = _cross_condense(dx, dy, dz, xy2, r2s, invr, zero, wall,
+                              "tr", Rz, ztr)
+        crt = _cross_condense(dx, dy, dz, xy2, r2s, invr, zero, wall,
+                              "rt", Rz, zsr)
+        crr = _rr_condense(dx, dy, dz, xy2, r2s, invr, self_mask, zero,
+                           wall, Rz)
+        comps = []
+        for b in range(n_rhs):
+            o = 6 * b
+            fx, fy, fz = (v_ref[o + 0, :][None, :], v_ref[o + 1, :][None, :],
+                          v_ref[o + 2, :][None, :])
+            tx_, ty_, tz_ = (v_ref[o + 3, :][None, :],
+                             v_ref[o + 4, :][None, :],
+                             v_ref[o + 5, :][None, :])
+            # U = Mtt F + Mtr T ; W = Mrt F + Mrr T
+            ax, ay, az = _diag_apply(ctt, dx, dy, fx, fy, fz)
+            bx, by, bz = _cross_apply_condensed(ctr, dx, dy, dz, "tr",
+                                                tx_, ty_, tz_)
+            cx, cy, cz = _cross_apply_condensed(crt, dx, dy, dz, "rt",
+                                                fx, fy, fz)
+            ex, ey, ez_ = _diag_apply(crr, dx, dy, tx_, ty_, tz_)
+            comps += [ax + bx, ay + by, az + bz, cx + ex, cy + ey, cz + ez_]
     else:
-        vx = v_ref[0, :][None, :]
-        vy = v_ref[1, :][None, :]
-        vz = v_ref[2, :][None, :]
         if coupling == "tt":
-            comps = _tt_apply(dx, dy, dz, xy2, r2s, invr, self_mask, zero,
-                              wall, Rz, zsr, vx, vy, vz)
+            coeffs = _tt_condense(dx, dy, dz, xy2, r2s, invr, self_mask,
+                                  zero, wall, Rz, zsr)
+            apply_one = lambda vx, vy, vz: _diag_apply(
+                coeffs, dx, dy, vx, vy, vz)
         elif coupling == "rr":
-            comps = _rr_apply(dx, dy, dz, xy2, r2s, invr, self_mask, zero,
-                              wall, Rz, vx, vy, vz)
+            coeffs = _rr_condense(dx, dy, dz, xy2, r2s, invr, self_mask,
+                                  zero, wall, Rz)
+            apply_one = lambda vx, vy, vz: _diag_apply(
+                coeffs, dx, dy, vx, vy, vz)
         elif coupling == "tr":
-            comps = _cross_apply(dx, dy, dz, xy2, r2s, invr, zero, wall,
-                                 "tr", Rz, ztr, vx, vy, vz)
+            coeffs = _cross_condense(dx, dy, dz, xy2, r2s, invr, zero,
+                                     wall, "tr", Rz, ztr)
+            apply_one = lambda vx, vy, vz: _cross_apply_condensed(
+                coeffs, dx, dy, dz, "tr", vx, vy, vz)
         elif coupling == "rt":
-            comps = _cross_apply(dx, dy, dz, xy2, r2s, invr, zero, wall,
-                                 "rt", Rz, zsr, vx, vy, vz)
+            coeffs = _cross_condense(dx, dy, dz, xy2, r2s, invr, zero,
+                                     wall, "rt", Rz, zsr)
+            apply_one = lambda vx, vy, vz: _cross_apply_condensed(
+                coeffs, dx, dy, dz, "rt", vx, vy, vz)
         else:
             raise ValueError(coupling)
+        comps = []
+        for b in range(n_rhs):
+            o = 3 * b
+            comps += list(apply_one(v_ref[o + 0, :][None, :],
+                                    v_ref[o + 1, :][None, :],
+                                    v_ref[o + 2, :][None, :]))
 
     for a, t in enumerate(comps):
         out_ref[a, :] += jnp.sum(t, axis=1)
@@ -318,15 +374,23 @@ def pair_matvec_pallas(q_src, q_tgt, vec, *, coupling="tt", wall=True,
 
     q_src (Ns,3), q_tgt (Nt,3) float32; vec (Ns, 3) — or (Ns, 6) = (F, T)
     for coupling='grand', with T pre-scaled by 1/a relative to F.
-    Returns (Nt, 3) (or (Nt, 6) = (U, W a) for 'grand')."""
+    Returns (Nt, 3) (or (Nt, 6) = (U, W a) for 'grand').
+
+    vec may also stack B right-hand sides as (Ns, nin*B) (b-major
+    columns): the per-pair geometry and condensed block coefficients are
+    evaluated ONCE and applied to every column; returns (Nt, nout*B)."""
     dtype = jnp.float32
     n_src = q_src.shape[0]
     n_tgt = q_tgt.shape[0]
     nin, nout = _NCOMP[coupling]
+    n_rhs = vec.reshape(n_src, -1).shape[1] // nin
+    nin, nout = nin * n_rhs, nout * n_rhs
     if col_tile is None:
         # grand evaluates all four blocks per tile (more live temporaries);
         # smaller col tiles keep it inside the Mosaic scoped-VMEM limit
         col_tile = 256 if coupling == "grand" else 512
+        if n_rhs > 1:
+            col_tile = max(128, col_tile // 2)
     v = vec.reshape(n_src, nin).astype(dtype)
     q_src = q_src.astype(dtype)
     q_tgt = q_tgt.astype(dtype)
@@ -349,7 +413,8 @@ def pair_matvec_pallas(q_src, q_tgt, vec, *, coupling="tt", wall=True,
 
     grid = (n_tgt_pad // row_tile, n_src_pad // col_tile)
     kernel = functools.partial(_pair_kernel, coupling=coupling, wall=wall,
-                               self_interaction=self_interaction)
+                               self_interaction=self_interaction,
+                               n_rhs=n_rhs)
     row_spec = pl.BlockSpec((1, row_tile), lambda i, c: (0, i),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((1, col_tile), lambda i, c: (0, c),

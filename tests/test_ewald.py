@@ -334,3 +334,19 @@ def test_wave_sqrt_noise_covariance():
     err = np.linalg.norm(emp - mw) / np.linalg.norm(mw)
     # Frobenius error of a (24,24) Wishart estimate at K=3000: ~5%
     assert err < 0.12, err
+
+
+def test_matvec_multi_matches_stacked_singles():
+    """The multi-RHS engine sweep (shared windows + shared near-field
+    Chebyshev scalars) is EXACTLY the stack of single products."""
+    rng = np.random.default_rng(7)
+    n = 80
+    pos = rng.uniform(0.0, BOX[0], size=(n, 3))
+    p = ewald.default_params(A, ETA, BOX, tol=1e-5)
+    plan = ewald.make_plan(p, jnp.asarray(pos))
+    F = jnp.asarray(rng.normal(size=(3, n, 3)))
+    single = jnp.stack([ewald.matvec(plan, F[b]) for b in range(3)])
+    multi = ewald.matvec_multi(plan, F)
+    err = float(jnp.max(jnp.abs(single - multi))
+                / jnp.max(jnp.abs(single)))
+    assert err < 1e-12, err

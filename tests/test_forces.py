@@ -77,3 +77,22 @@ def test_direct_forces_newton_third_law():
     r = jnp.asarray(rng.uniform(0, 5, (50, 3)))
     f = force_ops.blob_blob_forces(r, **_params())
     assert np.allclose(np.asarray(jnp.sum(f, axis=0)), 0.0, atol=1e-10)
+
+
+def test_neighbor_list_pallas_cell_sweep_matches_generic():
+    """The fused Pallas cell sweep (the TPU fast path for fully-periodic
+    boxes, run here in interpret mode) is exact vs the generic
+    neighbor-list path and the direct sum."""
+    rng = np.random.default_rng(9)
+    L = 12.0
+    r = jnp.asarray(rng.uniform(0, L, (350, 3)), jnp.float32)
+    kw = dict(_params(), periodic_length=(L, L, L))
+    f_direct = force_ops.blob_blob_forces(r, **kw)
+    rc = 2 * kw["blob_radius"] + 30 * kw["debye_length"]
+    dims = tuple(min(int(L // rc), 16) for _ in range(3))
+    f_pl = force_ops._neighbor_forces_pallas(
+        r, (L, L, L), dims, 64, kw["repulsion_strength"],
+        kw["debye_length"], kw["blob_radius"])
+    scale = float(jnp.max(jnp.abs(f_direct)))
+    assert np.allclose(np.asarray(f_pl), np.asarray(f_direct),
+                       atol=2e-6 * scale)

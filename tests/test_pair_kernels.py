@@ -110,3 +110,26 @@ def test_source_target_rectangular():
     got = got / (8.0 * np.pi * eta * a) * damp_t[:, None]
     ref = np.asarray(ref)
     assert np.allclose(np.asarray(got), ref, atol=3e-6 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("coupling", ["tt", "grand"])
+def test_pair_matvec_multi_rhs_matches_singles(coupling):
+    """Stacked RHS columns (shared condensed coefficients) reproduce the
+    per-column products exactly."""
+    r, _ = _scene(n=29, seed=11)
+    rng = np.random.default_rng(12)
+    nin = 6 if coupling == "grand" else 3
+    V = rng.normal(size=(29, 2 * nin))
+    rr = jnp.asarray(r, jnp.float32) / 0.3
+    singles = [np.asarray(pair_kernels.pair_matvec_pallas(
+        rr, rr, jnp.asarray(V[:, b * nin:(b + 1) * nin], jnp.float32),
+        coupling=coupling, wall=True, self_interaction=True,
+        interpret=True)) for b in range(2)]
+    multi = np.asarray(pair_kernels.pair_matvec_pallas(
+        rr, rr, jnp.asarray(V, jnp.float32), coupling=coupling, wall=True,
+        self_interaction=True, interpret=True))
+    nout = singles[0].shape[1]
+    scale = max(np.abs(s).max() for s in singles)
+    for b in range(2):
+        np.testing.assert_allclose(multi[:, b * nout:(b + 1) * nout],
+                                   singles[b], atol=1e-6 * scale)

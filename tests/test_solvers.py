@@ -2,7 +2,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rigidmultiblobswall_tpu.ops.gmres import gmres
+from rigidmultiblobswall_tpu.models import kinematics as kin
+from rigidmultiblobswall_tpu.models import solvers
+from rigidmultiblobswall_tpu.models.system import BodyType, System, make_state
+from rigidmultiblobswall_tpu.ops.gmres import gmres, gmres_lockstep
 from rigidmultiblobswall_tpu.ops.lanczos import stochastic_forcing_lanczos
 
 
@@ -155,3 +158,61 @@ def test_lanczos_covariance_statistics():
     samples = np.asarray(sample(keys))
     cov = np.cov(samples.T, bias=True)
     assert np.allclose(cov, M, atol=0.35 * np.abs(M).max())
+
+
+def test_lockstep_solve_matches_back_to_back_singles():
+    """solve_mobility_problem_lockstep must reproduce the two individual
+    solves at the same configuration (it shares the Krylov sweeps, not
+    the solutions)."""
+    from rigidmultiblobswall_tpu.ops import rpy  # noqa: F401 (import check)
+
+    rng = np.random.default_rng(3)
+    ref = rng.normal(size=(6, 3)) * 0.4
+    t = BodyType(name="b", ref_config=ref, count=4)
+    system = System(types=(t,), eta=1.0, blob_radius=0.2, kT=0.1, g=0.1,
+                    domain="single_wall", repulsion_strength_wall=0.1,
+                    debye_length_wall=0.3, solver_tolerance=1e-10)
+    pos = rng.uniform(2.0, 6.0, size=(4, 3))
+    pos[:, 2] += 2.0
+    quat = rng.normal(size=(4, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    state = make_state(pos, quat)
+
+    r = kin.blob_positions(system, state)
+    rhs1 = solvers.build_rhs(system, state, r)
+    w = rng.normal(size=rhs1.shape[0])
+    rhs2 = jnp.zeros_like(rhs1).at[:3 * system.num_blobs].set(
+        jnp.asarray(w[:3 * system.num_blobs]))
+    s1 = solvers.solve_mobility_problem(system, state, rhs=rhs1, tol=1e-10)
+    s2 = solvers.solve_mobility_problem(system, state, rhs=rhs2, tol=1e-10)
+    sp = solvers.solve_mobility_problem_lockstep(
+        system, state, rhs=jnp.stack([rhs1, rhs2]), tol=1e-10)
+    scale = float(jnp.max(jnp.abs(s1.velocities)))
+    assert float(jnp.max(jnp.abs(sp.velocities[0] - s1.velocities))) < 1e-7 * scale
+    assert float(jnp.max(jnp.abs(sp.velocities[1] - s2.velocities))) < 1e-7 * scale
+    assert bool(jnp.all(sp.residual_norm <= 1e-10 * jnp.stack(
+        [jnp.linalg.norm(rhs1), jnp.linalg.norm(rhs2)])))
+
+
+def test_gmres_lockstep_matches_single_rhs():
+    """Lockstep multi-RHS GMRES converges every column to the same answer
+    as independent single-RHS solves (incl. with a warm start)."""
+    n = 60
+    rng = np.random.default_rng(5)
+    A = np.eye(n) * 4.0 + 0.3 * rng.normal(size=(n, n))
+    B = rng.normal(size=(3, n))
+    Minv = np.linalg.inv(A) * 0.9 + 0.1 * np.eye(n)
+    mv = lambda x: x @ jnp.asarray(A).T
+    Mfn = lambda x: x @ jnp.asarray(Minv).T
+    res = gmres_lockstep(mv, jnp.asarray(B), tol=1e-10, restart=25,
+                         maxiter=200, M=Mfn)
+    assert bool(res.converged.all())
+    for i in range(3):
+        x = np.linalg.solve(A, B[i])
+        assert np.linalg.norm(np.asarray(res.x[i]) - x) < 1e-8
+    # warm start reduces the sweep count
+    res_w = gmres_lockstep(mv, jnp.asarray(B),
+                           x0=res.x + 1e-3, tol=1e-10,
+                           restart=25, maxiter=200, M=Mfn)
+    assert bool(res_w.converged.all())
+    assert int(res_w.iterations) <= int(res.iterations)
