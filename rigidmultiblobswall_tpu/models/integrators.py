@@ -299,10 +299,13 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
 
     rfd_state = kin.advance(state, W_RFD, system.rf_delta)
     r_rfd = kin.blob_positions(system, rfd_state)
-    # same-engine RFD difference: for periodic_spectral this builds a
-    # spectral plan at the displaced configuration (one extra plan per
-    # step) instead of silently switching to the pairwise sweep
-    M_rfd_xW = saddle._mobility_apply(system, r_rfd, None, W_slip)
+    # same-engine RFD difference at the rf_delta-displaced configuration:
+    # the spectral plan refreshes in place (position re-gathers only —
+    # the drift is tiny) instead of paying a full plan rebuild for ONE
+    # product; other engines take the matrix-free sweep
+    m_rfd = saddle.refresh_dense_mobility(system, m_dense, r_rfd,
+                                          build=False)
+    M_rfd_xW = saddle._mobility_apply(system, r_rfd, m_rfd, W_slip)
     KT_rfd_xW = kin.KT_mul(system, rfd_state, W_slip)
 
     rand_slip_cor = noise1 + kT_over_delta * (M_rfd_xW - MxW).ravel()
@@ -312,12 +315,15 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
     ok_pred = kin.valid_configuration(system, predictor)
 
     # warm-start the corrector from the predictor solution (the operator
-    # and RHS move only O(dt) between x_n and the predictor)
+    # and RHS move only O(dt) between x_n and the predictor); the
+    # predictor's mobility engine refreshes from the step-start plan
+    r_pred = kin.blob_positions(system, predictor)
+    m_pred = saddle.refresh_dense_mobility(system, m_dense, r_pred)
     x0 = jnp.concatenate([sol1.lam.ravel(), v1.ravel(), sol1.phi.ravel()])
     sol2 = solvers.solve_mobility_problem(system, predictor, pc=pc,
                                           noise_slip=rand_slip_cor,
                                           noise_ft=rand_ft_cor, x0=x0,
-                                          **solver_kw)
+                                          m_dense=m_pred, **solver_kw)
     velocities = 0.5 * (v1 + sol2.velocities)
     new_state = kin.advance(state, velocities, dt)
     ok = ok_pred & kin.valid_configuration(system, new_state)
@@ -345,16 +351,21 @@ def _stochastic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
     factor = jnp.sqrt(2.0 * system.kT / dt)
     n3 = 3 * system.num_blobs
 
-    noise, it_l = _noise_slip(system, state, pc, k_noise, factor, **lanczos_kw)
+    r_blobs_ab = kin.blob_positions(system, state)
+    # ONE mobility engine per step-start configuration, shared by the
+    # noise Lanczos and the lockstep solve; the +-delta/2 RFD
+    # configurations refresh it (position re-gathers only)
+    m_dense = saddle.maybe_dense_mobility(system, r_blobs_ab)
+    noise, it_l = _noise_slip(system, state, pc, k_noise, factor,
+                              m_dense=m_dense, **lanczos_kw)
     # stochastic + deterministic solves share the configuration: one
     # lockstep Krylov loop with two RHS columns
-    r_blobs_ab = kin.blob_positions(system, state)
     rhs_det = solvers.build_rhs(system, state, r_blobs_ab)
     rhs_stoch = jnp.zeros_like(rhs_det).at[:n3].set(-noise.ravel())
     lock_kw = {k: v for k, v in solver_kw.items() if k != "verbose"}
     sol_pair = solvers.solve_mobility_problem_lockstep(
         system, state, rhs=jnp.stack([rhs_stoch, rhs_det]), pc=pc,
-        **lock_kw)
+        m_dense=m_dense, **lock_kw)
     v_stoch = sol_pair.velocities[0]
     v_det = sol_pair.velocities[1]
 
@@ -367,16 +378,30 @@ def _stochastic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
 
     state_minus = State(pos=state.pos - 0.5 * delta * disp[:, :3],
                         quat=kin.quat.step(state.quat, W[:, 3:], -0.5 * delta))
+    # +-delta/2 engines: spectral plans refresh cheaply; the materialized
+    # dense path keeps its previous scoped "auto" rebuilds (holding three
+    # plane sets live at once would break the memory budget)
+    spectral = system.domain == "periodic_spectral"
+    r_minus = kin.blob_positions(system, state_minus)
+    m_minus = (saddle.refresh_dense_mobility(system, m_dense, r_minus)
+               if spectral else "auto")
     sol_minus = solvers.solve_mobility_problem(system, state_minus, pc=pc,
-                                               rhs=rhs_rfd, **solver_kw)
+                                               rhs=rhs_rfd, m_dense=m_minus,
+                                               **solver_kw)
     state_plus = State(pos=state.pos + 0.5 * delta * disp[:, :3],
                        quat=kin.quat.step(state.quat, W[:, 3:], 0.5 * delta))
-    op_plus = saddle.make_linear_operator(system, state_plus)
+    r_plus = kin.blob_positions(system, state_plus)
+    m_plus = (saddle.refresh_dense_mobility(system, m_dense, r_plus)
+              if spectral else None)
+    op_plus = saddle.make_linear_operator(system, state_plus, r_plus,
+                                          m_dense=m_plus)
     sol_minus_flat = jnp.concatenate([sol_minus.lam.ravel(),
                                       sol_minus.velocities.ravel()])
     rhs_residual = rhs_rfd - op_plus(sol_minus_flat)
     sol_drift = solvers.solve_mobility_problem(system, state_plus, pc=pc,
-                                               rhs=rhs_residual, **solver_kw)
+                                               rhs=rhs_residual,
+                                               m_dense=m_plus if spectral
+                                               else "auto", **solver_kw)
     v_stoch = v_stoch + (system.kT / delta) * sol_drift.velocities
 
     v_ab = jnp.where(carry.first_step, v_det,
@@ -603,10 +628,15 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
 
     W_slip = jax.random.normal(k2, (system.num_blobs, 3), dtype=dtype)
     r_blobs = kin.blob_positions(system, state)
-    MxW = saddle._mobility_apply(system, r_blobs, None, W_slip)
+    # ONE mobility engine per step-start configuration, shared by the
+    # M products, the noise Lanczos and the lockstep solve
+    m_dense = saddle.maybe_dense_mobility(system, r_blobs)
+    MxW = saddle._mobility_apply(system, r_blobs, m_dense, W_slip)
     KTxW = kin.KT_mul(system, state, W_slip)
 
-    mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc)
+    mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc,
+                                               r_blobs=r_blobs,
+                                               m_dense=m_dense)
     W1 = jax.random.normal(k1, (3 * system.num_blobs,), dtype=dtype)
     Wcor = W1 + jax.random.normal(k3, (3 * system.num_blobs,), dtype=dtype)
     lkw = {k: v for k, v in lanczos_kw.items() if k != _PC_CACHE_KEY}
@@ -626,7 +656,8 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
         -W_slip.ravel())
     lock_kw = {k: v for k, v in solver_kw.items() if k != "verbose"}
     sol_pair = solvers.solve_mobility_problem_lockstep(
-        system, state, rhs=jnp.stack([rhs_mid, rhs_rfd]), pc=pc, **lock_kw)
+        system, state, rhs=jnp.stack([rhs_mid, rhs_rfd]), pc=pc,
+        m_dense=m_dense, **lock_kw)
     sol_mid = solvers.MobilitySolution(
         lam=sol_pair.lam[0], velocities=sol_pair.velocities[0],
         iterations=sol_pair.iterations,
@@ -636,7 +667,9 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
 
     rfd_state = kin.advance(state, W_RFD, system.rf_delta)
     r_rfd = kin.blob_positions(system, rfd_state)
-    M_rfd_xW = saddle._mobility_apply(system, r_rfd, None, W_slip)
+    m_rfd = saddle.refresh_dense_mobility(system, m_dense, r_rfd,
+                                          build=False)
+    M_rfd_xW = saddle._mobility_apply(system, r_rfd, m_rfd, W_slip)
     KT_rfd_xW = kin.KT_mul(system, rfd_state, W_slip)
 
     kT_over_delta = system.kT / system.rf_delta
@@ -645,12 +678,14 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
 
     mid = kin.advance(state, v_mid, 0.5 * dt)
     ok_mid = kin.valid_configuration(system, mid)
+    r_mid = kin.blob_positions(system, mid)
+    m_mid = saddle.refresh_dense_mobility(system, m_dense, r_mid)
     x0 = jnp.concatenate([sol_mid.lam.ravel(), v_mid.ravel(),
                           sol_mid.phi.ravel()])
     sol_cor = solvers.solve_mobility_problem(system, mid, pc=pc,
                                              noise_slip=rand_slip_cor,
                                              noise_ft=rand_ft_cor, x0=x0,
-                                             **solver_kw)
+                                             m_dense=m_mid, **solver_kw)
     new_state = kin.advance(state, sol_cor.velocities, dt)
     ok = ok_mid & kin.valid_configuration(system, new_state)
     iters = sol_pair.iterations + sol_cor.iterations
@@ -673,12 +708,16 @@ def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
     W = rfd_noise.at[:, :3].multiply(system.kT / lengths[:, None])
     W = W.at[:, 3:].multiply(system.kT)
     rhs_rand = jnp.concatenate([jnp.zeros(n3, dtype), -W.ravel()])
+    r_blobs = kin.blob_positions(system, state)
+    # ONE mobility engine per step-start configuration, shared by the
+    # RFD solve, the M products, the noise Lanczos and the lockstep solve
+    m_dense = saddle.maybe_dense_mobility(system, r_blobs)
     sol_rfd = solvers.solve_mobility_problem(system, state, rhs=rhs_rand,
-                                             pc=pc, **solver_kw)
+                                             pc=pc, m_dense=m_dense,
+                                             **solver_kw)
     U_RFD, Lam_RFD = sol_rfd.velocities, sol_rfd.lam
 
-    r_blobs = kin.blob_positions(system, state)
-    MxLam = saddle._mobility_apply(system, r_blobs, None, Lam_RFD)
+    MxLam = saddle._mobility_apply(system, r_blobs, m_dense, Lam_RFD)
     KTxLam = kin.KT_mul(system, state, Lam_RFD)
     KxU = kin.K_mul(system, state, U_RFD)
 
@@ -686,12 +725,15 @@ def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
         pos=state.pos + system.rf_delta * lengths[:, None] * rfd_noise[:, :3],
         quat=kin.quat.step(state.quat, rfd_noise[:, 3:], system.rf_delta))
     r_rfd = kin.blob_positions(system, rfd_state)
-    DxM = saddle._mobility_apply(system, r_rfd, None, Lam_RFD) - MxLam
+    m_rfd = saddle.refresh_dense_mobility(system, m_dense, r_rfd,
+                                          build=False)
+    DxM = saddle._mobility_apply(system, r_rfd, m_rfd, Lam_RFD) - MxLam
     DxKT = kin.KT_mul(system, rfd_state, Lam_RFD) - KTxLam
     DxK = kin.K_mul(system, rfd_state, U_RFD) - KxU
 
     noise, it_l = _noise_slip(system, state, pc, k_noise,
-                              jnp.sqrt(2.0 * system.kT / dt), **lanczos_kw)
+                              jnp.sqrt(2.0 * system.kT / dt),
+                              m_dense=m_dense, **lanczos_kw)
     rand_slip = (DxM - DxK).ravel() / system.rf_delta
     rand_ft = -DxKT / system.rf_delta
 
@@ -703,7 +745,7 @@ def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
     lock_kw = {k: v for k, v in solver_kw.items() if k != "verbose"}
     sol_pair = solvers.solve_mobility_problem_lockstep(
         system, state, rhs=jnp.stack([rhs_new, rhs_rand]), pc=pc,
-        **lock_kw)
+        m_dense=m_dense, **lock_kw)
     v_det = sol_pair.velocities[0]
     v_noise = sol_pair.velocities[1]
     v_ab = jnp.where(carry.first_step, v_det + v_noise,

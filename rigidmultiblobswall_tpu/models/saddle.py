@@ -118,6 +118,23 @@ def maybe_dense_mobility(system: System, r_blobs):
         periodic_length=system.periodic_length)
 
 
+def refresh_dense_mobility(system: System, m_dense, r_new, *, build=True):
+    """Mobility engine for a configuration NEAR the one `m_dense` was
+    built at (same topology, O(dt) drift): spectral plans refresh via
+    ops/ewald.update_plan — position re-gathers only, with an automatic
+    full-rebuild fallback past the drift budget — instead of paying the
+    plan sorts again. Every other engine rebuilds at r_new (build=True)
+    or defers to the matrix-free path (build=False, for single products
+    where materialization would not amortize)."""
+    if system.domain == "periodic_spectral":
+        from ..ops import ewald
+
+        if isinstance(m_dense, ewald.SpectralPlan):
+            return ewald.update_plan(m_dense, r_new)
+        return maybe_dense_mobility(system, r_new)
+    return maybe_dense_mobility(system, r_new) if build else None
+
+
 def _mobility_apply(system, r_blobs, m_dense, lam):
     if system.domain == "periodic_spectral":
         from ..ops import ewald

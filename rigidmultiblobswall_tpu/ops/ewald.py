@@ -606,6 +606,80 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         params=params)
 
 
+def update_plan(plan: SpectralPlan, positions) -> SpectralPlan:
+    """Refresh a plan for a slightly-moved same-topology configuration
+    WITHOUT re-sorting: keeps the cell membership, the gridding segment
+    assignment and the near-field slot layout, re-gathering only the
+    position data (the argsorts and the (cell, 27*cap) source pre-gather
+    dominate make_plan's cost).
+
+    Exactness contract: the near-field pair sweep stays EXACT while no
+    particle drifts (min-image, per axis) more than half the cell slack
+    (cell_side - r_cut)/2 — every pair inside r_cut at the new positions
+    is then still covered by the old 27-cell stencil, and distances are
+    always evaluated from the NEW positions. The wave-side gridding keeps
+    its tol-level accuracy while the drift stays under half a grid
+    spacing (a stale plane/slab assignment truncates only the ~tol window
+    tail). Outside that budget the function falls back to a FULL rebuild
+    via lax.cond, so callers may use it unconditionally for in-step
+    companion configurations — the RFD displacement and the trapezoidal
+    predictor (quaternion_integrator_multi_bodies.py:993-1036)."""
+    p = plan.params
+    dtype = plan.positions.dtype
+    box = jnp.asarray(p.box, dtype)
+    pos_w = positions - jnp.floor(positions / box) * box
+    delta = pos_w - plan.positions
+    delta = delta - jnp.round(delta / box) * box       # min-image drift
+    pos_eff = plan.positions + delta
+
+    dims = plan.cell_dims
+    side = np.asarray(p.box, np.float64) / np.asarray(dims)
+    budget = 0.5 * np.minimum(side - p.r_cut,
+                              np.asarray(p.spacing, np.float64))
+    ok = jnp.all(jnp.max(jnp.abs(delta), axis=0)
+                 <= jnp.asarray(np.maximum(budget, 0.0), dtype))
+
+    def refresh(_):
+        new = {"positions": pos_eff}
+        if plan.src_pos is not None:
+            nx, ny, nz = dims
+            n_cells = nx * ny * nz
+            cap = p.cell_capacity
+            n = pos_eff.shape[0]
+            # cell-level wrap shifts (1-D device arithmetic, tiny)
+            idx = jnp.arange(n_cells, dtype=jnp.int32)
+            c3 = jnp.stack([idx // (ny * nz), (idx // nz) % ny, idx % nz],
+                           axis=-1)
+            o27 = jnp.asarray(
+                [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+                 for k in (-1, 0, 1)], jnp.int32)
+            raw = c3[:, None, :] + o27[None, :, :]
+            wrap = jnp.floor_divide(raw, jnp.asarray(dims, jnp.int32))
+            shift = wrap.astype(dtype) * box             # (C, 27, 3)
+            C_pad, S = plan.src_ids.shape
+            shift_full = jnp.broadcast_to(
+                shift[:, :, None, :], (n_cells, 27, cap, 3)
+            ).reshape(n_cells, 27 * cap, 3)
+            shift_full = jnp.pad(
+                shift_full,
+                ((0, C_pad - n_cells), (0, S - 27 * cap), (0, 0)))
+            pos_nan = jnp.concatenate(
+                [pos_eff, jnp.full((1, 3), jnp.nan, dtype)], axis=0)
+            spos = pos_nan[plan.src_ids] + shift_full    # (C_pad, S, 3)
+            new["src_pos"] = jnp.moveaxis(spos, -1, 0)
+            tpos = pos_nan[plan.cell_table].reshape(n_cells, cap, 3)
+            new["tgt_xyz"] = jnp.pad(
+                tpos, ((0, C_pad - n_cells), (0, 0), (0, 0)),
+                constant_values=jnp.nan).reshape(C_pad * cap, 3)
+        return dataclasses.replace(plan, **new)
+
+    def rebuild(_):
+        # same params (capacities already resolved) -> identical shapes
+        return make_plan(p, positions)
+
+    return lax.cond(ok, refresh, rebuild, None)
+
+
 # ---------------------------------------------------------------------------
 # Wave-space product
 # ---------------------------------------------------------------------------

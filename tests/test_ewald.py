@@ -350,3 +350,53 @@ def test_matvec_multi_matches_stacked_singles():
     err = float(jnp.max(jnp.abs(single - multi))
                 / jnp.max(jnp.abs(single)))
     assert err < 1e-12, err
+
+
+@pytest.mark.parametrize("near_impl", ["xla", "pallas"])
+def test_update_plan_refresh_small_drift(near_impl):
+    """update_plan under the drift budget: the near field stays EXACT
+    (old stencil still covers every r_cut pair; distances use the new
+    positions) and the wave side keeps tol-level accuracy (stale
+    plane/slab assignments only truncate the ~tol window tail)."""
+    rng = np.random.default_rng(21)
+    n = 120
+    pos = rng.uniform(0.0, BOX[0], size=(n, 3))
+    p = ewald.default_params(A, ETA, BOX, tol=1e-4, near_impl=near_impl)
+    plan = ewald.make_plan(p, jnp.asarray(pos))
+    h = min(p.spacing)
+    drift = rng.uniform(-0.25 * h, 0.25 * h, size=(n, 3))
+    pos2 = pos + drift
+    F = jnp.asarray(rng.normal(size=(n, 3)))
+
+    up = ewald.update_plan(plan, jnp.asarray(pos2))
+    fresh = ewald.make_plan(p, jnp.asarray(pos2))
+    # the refresh branch was taken: cell membership is inherited
+    assert bool(jnp.array_equal(up.cell_table, plan.cell_table))
+    y_up = ewald.matvec(up, F)
+    y_new = ewald.matvec(fresh, F)
+    rel = float(jnp.max(jnp.abs(y_up - y_new)) / jnp.max(jnp.abs(y_new)))
+    assert rel < 30 * p.tol, rel
+    # near field alone is exact (same pairs, true new distances)
+    rn = float(jnp.max(jnp.abs(ewald.real_matvec(up, F)
+                               - ewald.real_matvec(fresh, F)))
+               / jnp.max(jnp.abs(y_new)))
+    assert rn < 1e-6, rn
+
+
+def test_update_plan_rebuild_fallback_large_drift():
+    """Past the drift budget update_plan falls back to a FULL rebuild:
+    the result must agree with make_plan at the new positions (same
+    params -> same layout) to rounding."""
+    rng = np.random.default_rng(22)
+    n = 60
+    pos = rng.uniform(0.0, BOX[0], size=(n, 3))
+    p = ewald.default_params(A, ETA, BOX, tol=1e-4)
+    plan = ewald.make_plan(p, jnp.asarray(pos))
+    pos2 = rng.uniform(0.0, BOX[0], size=(n, 3))   # completely new config
+    F = jnp.asarray(rng.normal(size=(n, 3)))
+    up = ewald.update_plan(plan, jnp.asarray(pos2))
+    fresh = ewald.make_plan(p, jnp.asarray(pos2))
+    y_up = np.asarray(ewald.matvec(up, F))
+    y_new = np.asarray(ewald.matvec(fresh, F))
+    np.testing.assert_allclose(y_up, y_new, rtol=0, atol=1e-12 * np.max(
+        np.abs(y_new)))
