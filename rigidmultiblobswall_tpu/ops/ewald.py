@@ -1167,14 +1167,13 @@ def matvec_multi(plan: SpectralPlan, forces, mesh=None, axis_name="blobs"):
     B, n = forces.shape[0], forces.shape[1]
     if B == 1:
         return matvec(plan, forces[0], mesh=mesh, axis_name=axis_name)[None]
-    if mesh is not None and mesh.shape[axis_name] > 1:
-        # sharded path: per-RHS (the single-RHS distributed matvec is
-        # exactness-tested; multi-RHS sharing rides the single-chip path)
-        return jnp.stack([
-            matvec_sharded(mesh, plan, forces[b], axis_name=axis_name)
-            for b in range(B)])
     f = jnp.moveaxis(forces, 0, 1).reshape(n, 3 * B)     # b-major channels
-    out = real_matvec(plan, f) + wave_matvec(plan, f)
+    if mesh is not None and mesh.shape[axis_name] > 1:
+        # distributed sweep shares gridding/near work across the B
+        # channels exactly like the single-chip path
+        out = matvec_sharded(mesh, plan, f, axis_name=axis_name)
+    else:
+        out = real_matvec(plan, f) + wave_matvec(plan, f)
     return jnp.moveaxis(out.reshape(n, B, 3), 1, 0)
 
 
@@ -1234,6 +1233,7 @@ def matvec_sharded(mesh, plan: SpectralPlan, forces, axis_name="blobs"):
 
     def shard_fn(pl_, f, tgt2_, src_pos2_, src_ids2_):
         d = lax.axis_index(axis_name)
+        nc = f.shape[1]                              # 3 B channels, b-major
         # ---- near field, local cell block
         if use_pallas:
             t_loc = lax.dynamic_slice_in_dim(tgt2_, d * Cd * cap,
@@ -1244,7 +1244,7 @@ def matvec_sharded(mesh, plan: SpectralPlan, forces, axis_name="blobs"):
         else:
             tile_fn, _, _ = _xla_near_tile_fn(pl_, f)
             starts = (d * tiles_per + jnp.arange(tiles_per)) * TCX
-            rows_local = lax.map(tile_fn, starts).reshape(-1, 3)
+            rows_local = lax.map(tile_fn, starts).reshape(-1, nc)
         rows = lax.all_gather(rows_local, axis_name, axis=0, tiled=True)
         un = _near_assemble(pl_, rows[:n_cells * cap], f)
 
@@ -1252,34 +1252,36 @@ def matvec_sharded(mesh, plan: SpectralPlan, forces, axis_name="blobs"):
         if not wave_sharded:
             return un + wave_matvec(pl_, f)
         plane_ids = d * gxd + jnp.arange(gxd, dtype=jnp.int32)
-        slab = _spread_planes(pl_, f, plane_ids)     # (gxd, gy, gz, 3)
-        g = jnp.moveaxis(slab, -1, 0)                # (3, gxd, gy, gz)
+        slab = _spread_planes(pl_, f, plane_ids)     # (gxd, gy, gz, C)
+        g = jnp.moveaxis(slab, -1, 0)                # (C, gxd, gy, gz)
         gk = jnp.fft.rfft(g, axis=3)
-        gk = jnp.fft.fft(gk, axis=2)                 # (3, gxd, gy, nz2)
+        gk = jnp.fft.fft(gk, axis=2)                 # (C, gxd, gy, nz2)
         gk = lax.all_to_all(gk, axis_name, split_axis=2, concat_axis=1,
-                            tiled=True)              # (3, gx, gyd, nz2)
+                            tiled=True)              # (C, gx, gyd, nz2)
         gk = jnp.fft.fft(gk, axis=1)
         kern = lax.dynamic_slice_in_dim(pl_.kernel, d * gyd, gyd, 1)
         khat = lax.dynamic_slice_in_dim(pl_.khat, d * gyd, gyd, 2)
-        kdotg = jnp.sum(khat * gk, axis=0, keepdims=True)
-        uk = kern[None] * (gk - khat * kdotg)
+        gb = gk.reshape(nc // 3, 3, *gk.shape[1:])   # (B, 3, gx, gyd, nz2)
+        kdotg = jnp.sum(khat[None] * gb, axis=1, keepdims=True)
+        uk = (kern[None, None] * (gb - khat[None] * kdotg)).reshape(gk.shape)
         uk = jnp.fft.ifft(uk, axis=1)
         uk = lax.all_to_all(uk, axis_name, split_axis=1, concat_axis=2,
-                            tiled=True)              # (3, gxd, gy, nz2)
+                            tiled=True)              # (C, gxd, gy, nz2)
         uk = jnp.fft.ifft(uk, axis=2)
-        ug = jnp.fft.irfft(uk, n=gz, axis=3)         # (3, gxd, gy, gz)
-        ug_planes = jnp.moveaxis(ug, 0, -1)          # (gxd, gy, gz, 3)
+        ug = jnp.fft.irfft(uk, n=gz, axis=3)         # (C, gxd, gy, gz)
+        ug_planes = jnp.moveaxis(ug, 0, -1)          # (gxd, gy, gz, C)
         wrows_local = _interp_rows(pl_, ug_planes, plane_ids)
-        wrows = lax.all_gather(wrows_local.reshape(-1, 3), axis_name,
-                               axis=0, tiled=True)   # (gx*nzb*cap_seg, 3)
+        wrows = lax.all_gather(wrows_local.reshape(-1, nc), axis_name,
+                               axis=0, tiled=True)   # (gx*nzb*cap_seg, C)
         wrows = jnp.concatenate(
-            [wrows, jnp.zeros((1, 3), wrows.dtype)], axis=0)
+            [wrows, jnp.zeros((1, nc), wrows.dtype)], axis=0)
         uw = jnp.sum(wrows[pl_.inv_idx], axis=1)
         return un + uw.astype(un.dtype)
 
     if not use_pallas:
         tgt2 = src_pos2 = src_ids2 = jnp.zeros((), jnp.float32)
-    args = (plan, forces.reshape(-1, 3), tgt2, src_pos2, src_ids2)
+    n = plan.positions.shape[0]
+    args = (plan, forces.reshape(n, -1), tgt2, src_pos2, src_ids2)
     specs = jax.tree_util.tree_map(lambda _: PartitionSpec(), args)
     return shard_map(shard_fn, mesh=mesh, in_specs=specs,
                      out_specs=PartitionSpec(), check_vma=False)(*args)

@@ -122,7 +122,7 @@ def gmres(
         gm = jnp.where(used, g[:m], 0.0)
         ym = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
         y = y + V[:m].T @ ym
-        return y, j
+        return y, j, res
 
     def outer_cond(state):
         y, r, rnorm, iters, cycles = state
@@ -134,9 +134,22 @@ def gmres(
 
     def outer_body(state):
         y, r, rnorm, iters, cycles = state
-        y, j = run_cycle(y, r, rnorm)
-        r = r0 - a_tilde(y)
-        return (y, r, jnp.linalg.norm(r), iters + j, cycles + 1)
+        y, j, est = run_cycle(y, r, rnorm)
+
+        # When the Givens estimate converged inside the cycle, skip the
+        # explicit true-residual product: at scale it is one full pair
+        # sweep per solve for a number the estimate already gives to
+        # ~1e-6 relative (CGS2 keeps the Arnoldi relation tight; the PC
+        # is pinned exactly-linear, see saddle._full_precision). A
+        # restart (estimate NOT converged) still recomputes the true
+        # residual — restart correctness never rides the estimate.
+        def true_resid(_):
+            rr = r0 - a_tilde(y)
+            return rr, jnp.linalg.norm(rr)
+
+        r, rnorm = lax.cond(est <= target, lambda _: (r, est),
+                            true_resid, None)
+        return (y, r, rnorm, iters + j, cycles + 1)
     state = (jnp.zeros_like(b), r0, jnp.linalg.norm(r0), jnp.asarray(0), jnp.asarray(0))
     y, r, rnorm, iters, _ = lax.while_loop(outer_cond, outer_body, state)
     x = x0 + M(y)
@@ -257,7 +270,7 @@ def gmres_lockstep(
             Ri, gi, lower=False))(Rm, gm)
         y = y + jnp.einsum("bkn,bk->bn", V[:, :m], ym,
                            precision=jax.lax.Precision.HIGHEST)
-        return y, j
+        return y, j, res
 
     def outer_cond(state):
         y, r, rnorm, iters, cycles = state
@@ -267,9 +280,17 @@ def gmres_lockstep(
 
     def outer_body(state):
         y, r, rnorm, iters, cycles = state
-        y, j = run_cycle(y, r, rnorm)
-        r = r0 - a_tilde(y)
-        return (y, r, jnp.linalg.norm(r, axis=1), iters + j, cycles + 1)
+        y, j, est = run_cycle(y, r, rnorm)
+
+        # skip the explicit true-residual sweep when every column's
+        # Givens estimate converged (see the single-RHS comment)
+        def true_resid(_):
+            rr = r0 - a_tilde(y)
+            return rr, jnp.linalg.norm(rr, axis=1)
+
+        r, rnorm = lax.cond(jnp.all(est <= target), lambda _: (r, est),
+                            true_resid, None)
+        return (y, r, rnorm, iters + j, cycles + 1)
 
     state = (jnp.zeros_like(b), r0, jnp.linalg.norm(r0, axis=1),
              jnp.asarray(0), jnp.asarray(0))

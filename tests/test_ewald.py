@@ -400,3 +400,26 @@ def test_update_plan_rebuild_fallback_large_drift():
     y_new = np.asarray(ewald.matvec(fresh, F))
     np.testing.assert_allclose(y_up, y_new, rtol=0, atol=1e-12 * np.max(
         np.abs(y_new)))
+
+
+def test_matvec_multi_sharded_matches_singles():
+    """Multi-RHS over the mesh: one distributed sweep (shared gridding and
+    near-field work across b-major channels) equals the stacked
+    single-RHS sharded products."""
+    from rigidmultiblobswall_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(6)
+    n = 96
+    pos = rng.uniform(0.0, BOX[0], size=(n, 3))
+    F = jnp.asarray(rng.normal(size=(2, n, 3)))
+    p = ewald.default_params(A, ETA, BOX, tol=1e-4, grid_max=64)
+    plan = ewald.make_plan(p, jnp.asarray(pos))
+    mesh = make_mesh(8)
+    singles = jnp.stack([
+        ewald.matvec_sharded(mesh, plan, F[b]) for b in range(2)])
+    multi = ewald.matvec_multi(plan, F, mesh=mesh)
+    scale = float(jnp.max(jnp.abs(singles)))
+    np.testing.assert_allclose(np.asarray(multi) / scale,
+                               np.asarray(singles) / scale, atol=1e-10)
