@@ -232,7 +232,9 @@ def main():
         lanczos_tolerance=LANCZOS_TOL, lanczos_max_iter=32,
         lanczos_check_every=4,
         gmres_restart=60, gmres_maxiter=300, max_rejections=3)
-    carry = integrators.init_carry(system, dtype=jnp.float32)
+    # state=... seeds the carried cross-step spectral plan (each step then
+    # refreshes it instead of re-sorting); no-op for other engines
+    carry = integrators.init_carry(system, dtype=jnp.float32, state=state)
 
     @jax.jit
     def jit_step(state, key, carry):

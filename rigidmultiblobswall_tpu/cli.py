@@ -315,7 +315,8 @@ def main(argv=None):
         carry = (integrators.init_carry_with_pc(system, state,
                                                 dtype=state.pos.dtype)
                  if cfg.update_PC > 1
-                 else integrators.init_carry(system, dtype=state.pos.dtype))
+                 else integrators.init_carry(system, dtype=state.pos.dtype,
+                                             state=state))
 
         @jax.jit
         def jit_step(state, key, carry):

@@ -44,13 +44,24 @@ class Carry(NamedTuple):
     velocities_prev: jax.Array  # (B,6) for Adams-Bashforth
     first_step: jax.Array       # bool
     step_idx: jax.Array = None  # int, for time-dependent constraints
+    # spectral engine carried ACROSS steps: each step refreshes it at its
+    # own start configuration (ops/ewald.update_plan — position
+    # re-gathers with an automatic full-rebuild fallback past the drift
+    # budget) instead of paying the plan sorts every step. None for
+    # every other engine, and when init_carry is not given a state.
+    plan: object = None
 
 
-def init_carry(system: System, dtype=jnp.float64) -> Carry:
+def init_carry(system: System, dtype=jnp.float64, state=None) -> Carry:
+    plan = None
+    if state is not None and system.domain == "periodic_spectral":
+        plan = saddle.maybe_dense_mobility(
+            system, kin.blob_positions(system, state))
     return Carry(
         velocities_prev=jnp.zeros((system.num_bodies, 6), dtype=dtype),
         first_step=jnp.asarray(True),
         step_idx=jnp.asarray(0),
+        plan=plan,
     )
 
 
@@ -100,6 +111,8 @@ def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
 
 
 _PC_CACHE_KEY = "_cached_pc"
+_PLAN_CACHE_KEY = "_cached_plan"
+_CACHE_KEYS = (_PC_CACHE_KEY, _PLAN_CACHE_KEY)
 
 
 def _get_pc(system, state, lanczos_kw):
@@ -110,6 +123,16 @@ def _get_pc(system, state, lanczos_kw):
     if pc is not None:
         return pc
     return saddle.build_block_diag_pc(system, state)
+
+
+def _get_m_dense(system, r_blobs, lanczos_kw):
+    """Step-start mobility engine: the carried cross-step spectral plan
+    (already refreshed at this configuration by the stepper wrapper)
+    when present, else build at r_blobs."""
+    plan = lanczos_kw.get(_PLAN_CACHE_KEY)
+    if plan is not None:
+        return plan
+    return saddle.maybe_dense_mobility(system, r_blobs)
 
 
 def _free_mask(system, dtype):
@@ -271,7 +294,7 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
 
     W_slip = jax.random.normal(k2, (system.num_blobs, 3), dtype=dtype)
     r_blobs = kin.blob_positions(system, state)
-    m_dense = saddle.maybe_dense_mobility(system, r_blobs)
+    m_dense = _get_m_dense(system, r_blobs, lanczos_kw)
     MxW = saddle._mobility_apply(system, r_blobs, m_dense, W_slip)
     KTxW = kin.KT_mul(system, state, W_slip)
 
@@ -355,7 +378,7 @@ def _stochastic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
     # ONE mobility engine per step-start configuration, shared by the
     # noise Lanczos and the lockstep solve; the +-delta/2 RFD
     # configurations refresh it (position re-gathers only)
-    m_dense = saddle.maybe_dense_mobility(system, r_blobs_ab)
+    m_dense = _get_m_dense(system, r_blobs_ab, lanczos_kw)
     noise, it_l = _noise_slip(system, state, pc, k_noise, factor,
                               m_dense=m_dense, **lanczos_kw)
     # stochastic + deterministic solves share the configuration: one
@@ -591,7 +614,7 @@ def _stochastic_GDC_RFD(system, dt, solver_kw, lanczos_kw, key, state, carry):
 
     res_rfd = stochastic_forcing_lanczos(
         mtt_rfd, z, factor=factor,
-        **{k: v for k, v in lanczos_kw.items() if k != _PC_CACHE_KEY})
+        **{k: v for k, v in lanczos_kw.items() if k not in _CACHE_KEYS})
     sol_rfd = saddle.apply_identity_saddle_solver(
         system, rfd_state, jnp.concatenate([-res_rfd.noise, zeros_b]))
     _, U_rfd, _ = saddle.split_saddle_vector(system, sol_rfd)
@@ -630,7 +653,7 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
     r_blobs = kin.blob_positions(system, state)
     # ONE mobility engine per step-start configuration, shared by the
     # M products, the noise Lanczos and the lockstep solve
-    m_dense = saddle.maybe_dense_mobility(system, r_blobs)
+    m_dense = _get_m_dense(system, r_blobs, lanczos_kw)
     MxW = saddle._mobility_apply(system, r_blobs, m_dense, W_slip)
     KTxW = kin.KT_mul(system, state, W_slip)
 
@@ -639,7 +662,7 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
                                                m_dense=m_dense)
     W1 = jax.random.normal(k1, (3 * system.num_blobs,), dtype=dtype)
     Wcor = W1 + jax.random.normal(k3, (3 * system.num_blobs,), dtype=dtype)
-    lkw = {k: v for k, v in lanczos_kw.items() if k != _PC_CACHE_KEY}
+    lkw = {k: v for k, v in lanczos_kw.items() if k not in _CACHE_KEYS}
     noise_W1 = stochastic_forcing_lanczos(
         mobility_pc, W1, factor=jnp.sqrt(4.0 * system.kT / dt),
         L_mult=L_mult, **lkw)
@@ -711,7 +734,7 @@ def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
     r_blobs = kin.blob_positions(system, state)
     # ONE mobility engine per step-start configuration, shared by the
     # RFD solve, the M products, the noise Lanczos and the lockstep solve
-    m_dense = saddle.maybe_dense_mobility(system, r_blobs)
+    m_dense = _get_m_dense(system, r_blobs, lanczos_kw)
     sol_rfd = solvers.solve_mobility_problem(system, state, rhs=rhs_rand,
                                              pc=pc, m_dense=m_dense,
                                              **solver_kw)
@@ -910,6 +933,17 @@ def make_stepper(system: System, scheme: str, dt: float, *,
         lkw = dict(lanczos_kw, **(extra_kw or {}))
         return body_fn(system, dt, solver_kw, lkw, key, state, carry)
 
+    def _step_plan(state, carry):
+        """Refresh the carried cross-step spectral plan at this step's
+        start configuration (position re-gathers; full rebuild past the
+        drift budget). Returns (plan_or_None, extra_kw)."""
+        plan = getattr(carry, "plan", None)
+        if plan is None:
+            return None, {}
+        plan = saddle.refresh_dense_mobility(
+            system, plan, kin.blob_positions(system, state))
+        return plan, {_PLAN_CACHE_KEY: plan}
+
     if update_PC > 1:
         def step(state: State, key, carry):
             inner, pc, step_idx = carry
@@ -917,6 +951,7 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                 step_idx % update_PC == 0,
                 lambda: saddle.build_block_diag_pc(system, state),
                 lambda: pc)
+            plan, plan_kw = _step_plan(state, inner)
 
             def cond(loop):
                 _, _, _, attempts, ok = loop
@@ -926,7 +961,7 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                 _, key, _, attempts, _ = loop
                 key, sub = jax.random.split(key)
                 new_state, velocities, det_it, st_it, ok = attempt(
-                    sub, state, inner, {_PC_CACHE_KEY: pc})
+                    sub, state, inner, {_PC_CACHE_KEY: pc, **plan_kw})
                 return (new_state, key, (velocities, det_it, st_it),
                         attempts + 1, ok)
 
@@ -938,7 +973,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                 jax.lax.while_loop(cond, body, init))
             new_inner = Carry(velocities_prev=velocities,
                               first_step=jnp.asarray(False),
-                              step_idx=inner.step_idx + 1)
+                              step_idx=inner.step_idx + 1,
+                              plan=plan)
             aux = StepAux(velocities=velocities, det_iterations=det_it,
                           stoch_iterations=st_it, rejections=attempts - 1)
             return new_state, (new_inner, pc, step_idx + 1), aux
@@ -946,6 +982,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
         return step
 
     def step(state: State, key, carry: Carry):
+        plan, plan_kw = _step_plan(state, carry)
+
         def cond(loop):
             _, _, _, attempts, ok = loop
             return jnp.logical_not(ok) & (attempts < max_rejections)
@@ -953,7 +991,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
         def body(loop):
             _, key, _, attempts, _ = loop
             key, sub = jax.random.split(key)
-            new_state, velocities, det_it, st_it, ok = attempt(sub, state, carry)
+            new_state, velocities, det_it, st_it, ok = attempt(
+                sub, state, carry, plan_kw)
             return (new_state, key,
                     (velocities, det_it, st_it), attempts + 1, ok)
 
@@ -965,7 +1004,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
 
         new_carry = Carry(velocities_prev=velocities,
                           first_step=jnp.asarray(False),
-                          step_idx=carry.step_idx + 1)
+                          step_idx=carry.step_idx + 1,
+                          plan=plan)
         aux = StepAux(velocities=velocities, det_iterations=det_it,
                       stoch_iterations=st_it, rejections=attempts - 1)
         return new_state, new_carry, aux
@@ -979,7 +1019,7 @@ def simulate(system: System, state: State, key, *, scheme: str, dt: float,
     states, aux history). The reference's outer time loop
     (multi_bodies.py:1422-1511) as one compiled scan."""
     step = make_stepper(system, scheme, dt, **stepper_kw)
-    carry0 = init_carry(system, dtype=state.pos.dtype)
+    carry0 = init_carry(system, dtype=state.pos.dtype, state=state)
 
     def scan_body(loop_carry, _):
         state, key, carry = loop_carry
@@ -1005,6 +1045,6 @@ def init_carry_with_pc(system: System, state: State, dtype=jnp.float64):
     """Carry for steppers built with update_PC > 1: (Carry, cached PC,
     step index). The PC is refactored every update_PC steps inside the
     step (reference update_PC option, multi_bodies.py:508)."""
-    return (init_carry(system, dtype=dtype),
+    return (init_carry(system, dtype=dtype, state=state),
             saddle.build_block_diag_pc(system, state),
             jnp.asarray(0))

@@ -192,3 +192,45 @@ def test_slip_mid_dla_matches_midpoint_at_zero_kT():
                        atol=1e-9)
     assert np.allclose(np.asarray(s_dla.quat), np.asarray(s_mid.quat),
                        atol=1e-9)
+
+
+def test_carried_spectral_plan_matches_fresh_plans():
+    """Stepping with the cross-step carried spectral plan (init_carry
+    given a state; each step refreshes via ewald.update_plan) matches
+    per-step fresh plan builds to engine tolerance."""
+    rng = np.random.default_rng(31)
+    n_bodies = 6
+    t = BodyType(name="b", ref_config=rng.normal(size=(4, 3)) * 0.15,
+                 count=n_bodies)
+    L = 12.0
+    system = System(types=(t,), eta=1.0, blob_radius=0.1, kT=0.05, g=0.0,
+                    domain="periodic_spectral", periodic_length=(L, L, L),
+                    spectral_tol=1e-4, spectral_grid_max=64,
+                    spectral_cell_capacity=32,
+                    repulsion_strength=0.1, debye_length=0.2,
+                    solver_tolerance=1e-8)
+    pos = rng.uniform(1.0, L - 1.0, size=(n_bodies, 3))
+    quat = rng.normal(size=(n_bodies, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    state = make_state(pos, quat)
+
+    step = integrators.make_stepper(system, "stochastic_Slip_Trapz", 1e-3,
+                                    lanczos_tolerance=1e-6,
+                                    lanczos_max_iter=32)
+    key = jax.random.PRNGKey(0)
+
+    def run(carry0):
+        s, c = state, carry0
+        for i in range(3):
+            s, c, aux = step(s, jax.random.PRNGKey(i), c)
+        return s
+
+    s_fresh = run(integrators.init_carry(system, dtype=state.pos.dtype))
+    s_carry = run(integrators.init_carry(system, dtype=state.pos.dtype,
+                                         state=state))
+    scale = float(jnp.max(jnp.abs(s_fresh.pos)))
+    err = float(jnp.max(jnp.abs(s_carry.pos - s_fresh.pos))) / scale
+    # the carried plan's stale plane/slab assignments perturb the wave
+    # part at the engine tolerance only
+    assert np.all(np.isfinite(np.asarray(s_carry.pos)))
+    assert err < 50 * system.spectral_tol, err
