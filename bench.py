@@ -72,6 +72,10 @@ def build(periodic=False):
             types=(t,), eta=1.0, blob_radius=0.131, kT=0.05, g=0.0,
             domain="periodic_spectral", periodic_length=(L, L, L),
             spectral_tol=float(os.environ.get("BENCH_SPECTRAL_TOL", 1e-4)),
+            # cap the FFT grid (trades wave volume against near-field
+            # cutoff): at 196k+ blobs the C=6 lockstep FFT transients on
+            # a 256^3 grid exceed one chip's HBM
+            spectral_grid_max=int(os.environ.get("BENCH_GRID_MAX", 256)),
             # measured-optimal gridding bucket (mean occupancy x4/3 at
             # this density); drops are checked eagerly in main()
             spectral_bucket_capacity=int(

@@ -283,6 +283,92 @@ def stochastic_velocity(sus: RollerSuspension, r, key, dt, *,
     return v, noise.iterations, iters
 
 
+def det_stoch_velocity_lockstep(sus: RollerSuspension, r, key, dt, *,
+                                x0_torque=None,
+                                gmres_restart=20, gmres_maxiter=1000):
+    """Fused deterministic + stochastic update for constrained-omega
+    rollers with hydrodynamic interactions: the deterministic torque
+    solve (M_rr T = omega - M_rt F, quaternion_integrator_rollers.py:944)
+    and the stochastic torque solve (M_rr T = -noise_r - div M_rt, :1164)
+    are both M_rr systems at the SAME configuration — one lockstep
+    Krylov loop shares every rr pair sweep across the two right-hand
+    sides (ops/gmres.gmres_lockstep), and the two trailing M_tr torque
+    products share one condensed-coefficient sweep
+    (ops/mobility.pairwise_matvec_multi).
+
+    Returns (v_det, torque_det, v_stoch, gmres_sweeps, lanczos_iters)."""
+    from ..ops.gmres import gmres_lockstep
+
+    dtype = r.dtype
+    n = sus.num_rollers
+    kw = sus.mobility_kwargs
+    k_noise, k_rfd = jax.random.split(key)
+    force = roller_forces(sus, r)
+
+    def grand(ft):
+        f = ft[:3 * n].reshape(n, 3)
+        t = ft[3 * n:].reshape(n, 3)
+        u, w = mob.grand_mobility_matvec(r, f, t, sus.eta, sus.blob_radius,
+                                         **kw)
+        return jnp.concatenate([u.ravel(), w.ravel()])
+
+    z = jax.random.normal(k_noise, (6 * n,), dtype=dtype)
+    noise = stochastic_forcing_lanczos(
+        grand, z, factor=jnp.sqrt(2.0 * sus.kT / dt),
+        tolerance=sus.solver_tolerance, max_iter=sus.lanczos_max_iter)
+
+    wall = sus.domain != "no_wall"
+    if sus.kT > 0 and wall:
+        div_M_tt = _rfd_div(sus, r, k_rfd, lambda rr, dx:
+                            mob.mobility_trans_times_force(
+                                rr, dx, sus.eta, sus.blob_radius, **kw))
+        div_M_rt = _rfd_div(sus, r, k_rfd, lambda rr, dx:
+                            mob.mobility_rot_times_force(
+                                rr, dx, sus.eta, sus.blob_radius, **kw))
+    else:
+        div_M_tt = jnp.zeros((n, 3), dtype)
+        div_M_rt = jnp.zeros((n, 3), dtype)
+
+    noise_t = noise.noise[:3 * n].reshape(n, 3)
+    noise_r = noise.noise[3 * n:].reshape(n, 3)
+
+    omega = jnp.broadcast_to(
+        jnp.asarray(sus.omega_one_roller, dtype=dtype), (n, 3))
+    rhs_det = (omega - mob.mobility_rot_times_force(
+        r, force, sus.eta, sus.blob_radius, **kw)).ravel()
+    rhs_st = (-noise_r - div_M_rt).ravel()
+
+    B = jnp.stack([rhs_det, rhs_st])
+    norms = jnp.linalg.norm(B, axis=1)
+    safe = jnp.where(norms > 0, norms, 1.0)
+    x0 = None
+    if x0_torque is not None:
+        x0 = jnp.stack([x0_torque.ravel() / safe[0],
+                        jnp.zeros(3 * n, dtype)])
+
+    def op_multi(T):
+        out = mob.pairwise_matvec_multi(
+            r, r, T.reshape(2, n, 3), sus.eta, sus.blob_radius,
+            coupling="rr", self_interaction=True, **kw)
+        return out.reshape(2, -1)
+
+    res = gmres_lockstep(op_multi, B / safe[:, None], x0=x0,
+                         tol=sus.solver_tolerance, restart=gmres_restart,
+                         maxiter=gmres_maxiter)
+    T = res.x * norms[:, None]
+    torque_det = T[0].reshape(n, 3)
+    torque_st = T[1].reshape(n, 3)
+
+    # the two M_tr torque products share one pair sweep
+    tr = mob.pairwise_matvec_multi(
+        r, r, jnp.stack([torque_det, torque_st]), sus.eta, sus.blob_radius,
+        coupling="tr", self_interaction=True, **kw)
+    v_det = mob.mobility_trans_times_force(
+        r, force, sus.eta, sus.blob_radius, **kw) + tr[0]
+    v_st = tr[1] + noise_t + div_M_tt
+    return v_det, torque_det, v_st, res.iterations, noise.iterations
+
+
 def stochastic_linear_velocity(sus: RollerSuspension, r, key, dt, *,
                                with_drift=True):
     """Free-kinematics M_tt-only noise (+ RFD drift)
@@ -337,25 +423,35 @@ def _scheme_adams_bashforth(sus, dt, key, r, carry):
 
 def _scheme_stochastic_first_order(sus, dt, key, r, carry):
     k1, k2 = jax.random.split(key)
-    v, t, it = deterministic_velocity_and_torque(sus, r)
     if sus.free_kinematics:
+        v, t, it = deterministic_velocity_and_torque(sus, r)
         vs, it_l = stochastic_linear_velocity(sus, r, k2, dt)
-        it_g = jnp.asarray(0)
-    else:
-        vs, it_l, it_g = stochastic_velocity(sus, r, k2, dt)
+        return r + dt * (v + vs), v, t, it, it_l
+    if sus.hydro_interactions:
+        v, t, vs, it, it_l = det_stoch_velocity_lockstep(sus, r, k2, dt)
+        return r + dt * (v + vs), v, t, it, it_l
+    v, t, it = deterministic_velocity_and_torque(sus, r)
+    vs, it_l, it_g = stochastic_velocity(sus, r, k2, dt)
     return r + dt * (v + vs), v, t, it + it_g, it_l
 
 
 def _scheme_stochastic_adams_bashforth(sus, dt, key, r, carry):
     k1, k2 = jax.random.split(key)
-    v, t, it = deterministic_velocity_and_torque(sus, r)
     if sus.free_kinematics:
+        v, t, it = deterministic_velocity_and_torque(sus, r)
         vs, it_l = stochastic_linear_velocity(sus, r, k2, dt)
-        it_g = jnp.asarray(0)
+    elif sus.hydro_interactions:
+        # det + stoch torque solves share one lockstep M_rr Krylov loop
+        v, t, vs, it, it_l = det_stoch_velocity_lockstep(sus, r, k2, dt)
+        v_ab = jnp.where(carry.first_step, v,
+                         1.5 * v - 0.5 * carry.velocities_prev)
+        return r + dt * (v_ab + vs), v, t, it, it_l
     else:
+        v, t, it = deterministic_velocity_and_torque(sus, r)
         vs, it_l, it_g = stochastic_velocity(sus, r, k2, dt)
+        it = it + it_g
     v_ab = jnp.where(carry.first_step, v, 1.5 * v - 0.5 * carry.velocities_prev)
-    return r + dt * (v_ab + vs), v, t, it + it_g, it_l
+    return r + dt * (v_ab + vs), v, t, it, it_l
 
 
 def _thermal_drift(sus, r, key):

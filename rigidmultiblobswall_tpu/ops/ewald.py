@@ -529,25 +529,16 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         o27_d = jnp.asarray(o27, jnp.int32)
         raw = c3_cells[:, None, :] + o27_d[None, :, :]     # (C, 27, 3)
         wrap = jnp.floor_divide(raw, jnp.asarray(dims, jnp.int32))
-        shift = wrap.astype(dtype) * box                   # (C, 27, 3)
         ids2 = cell_table.reshape(n_cells, cap)
-        sids = ids2[nbr_cells]                             # (C, 27, cap)
-        pos_nan = jnp.concatenate(
-            [pos, jnp.full((1, 3), jnp.nan, dtype)], axis=0)
-        spos = pos_nan[sids] + shift[:, :, None, :]        # (C, 27, cap, 3)
-        spos = spos.reshape(n_cells, 27 * cap, 3)
-        sids = sids.reshape(n_cells, 27 * cap)
+        sids = ids2[nbr_cells].reshape(n_cells, 27 * cap)  # (C, 27*cap)
         pad_s = S - 27 * cap
         pad_cells = n_cells_pad - n_cells
-        spos = jnp.pad(spos, ((0, pad_cells), (0, pad_s), (0, 0)),
-                       constant_values=jnp.nan)
         src_ids = jnp.pad(sids, ((0, pad_cells), (0, pad_s)),
                           constant_values=n)
-        src_pos = jnp.moveaxis(spos, -1, 0)                # (3, C_pad, S)
-        tpos = pos_nan[cell_table].reshape(n_cells, cap, 3)
-        tgt_xyz = jnp.pad(tpos, ((0, pad_cells), (0, 0), (0, 0)),
-                          constant_values=jnp.nan
-                          ).reshape(n_cells_pad * cap, 3)
+        src_pos = _gather_src_pos(pos, src_ids, wrap, box, dims, cap,
+                                  n_cells_pad, S)
+        tgt_xyz = _gather_tgt_xyz(pos, cell_table, cap, n_cells_pad,
+                                  n_cells)
 
     # ---- (plane, z-block) segment layout for the z-slab gridding.
     # Each particle registers one entry per x-plane it stamps (P entries),
@@ -606,6 +597,56 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         params=params)
 
 
+def _gather_src_pos(pos, src_ids, wrap, box, dims, cap, C_pad, S):
+    """Pre-gathered near-field source positions (3, C_pad, S).
+
+    Two strategies, picked by size. The fast path gathers (3,)-vector
+    rows — but its (C_pad*S, 3) temporaries tile the size-3 minor dim to
+    the 128-lane TPU layout, a 42x padding blowup (measured 5.1 GB per
+    temporary at 196k blobs: three of them OOM a 16 GB chip when the
+    plan builds or refreshes inside jit). Past a size threshold the
+    build switches to per-COMPONENT scalar gathers: every temporary is
+    a clean 2-D (C_pad, S) array (compact, ~42 MB), at ~3x the gather
+    cost — the right trade exactly when memory, not time, binds."""
+    dtype = pos.dtype
+    nx, ny, nz = dims
+    n_cells = nx * ny * nz
+
+    def shift_comp(d):
+        sh = wrap[:, :, d].astype(dtype) * box[d]        # (C, 27)
+        sh = jnp.broadcast_to(sh[:, :, None], (n_cells, 27, cap)
+                              ).reshape(n_cells, 27 * cap)
+        return jnp.pad(sh, ((0, C_pad - n_cells), (0, S - 27 * cap)))
+
+    if C_pad * S <= (8 << 20):
+        pos_nan = jnp.concatenate(
+            [pos, jnp.full((1, 3), jnp.nan, dtype)], axis=0)
+        spos = pos_nan[src_ids]                          # (C_pad, S, 3)
+        shift = jnp.stack([shift_comp(d) for d in range(3)], axis=-1)
+        return jnp.moveaxis(spos + shift, -1, 0)         # (3, C_pad, S)
+
+    comps = []
+    for d in range(3):
+        pc = jnp.concatenate(
+            [pos[:, d], jnp.full((1,), jnp.nan, dtype)])
+        comps.append(pc[src_ids] + shift_comp(d))        # (C_pad, S)
+    return jnp.stack(comps)                              # (3, C_pad, S)
+
+
+def _gather_tgt_xyz(pos, cell_table, cap, C_pad, n_cells):
+    """Target slot positions (C_pad*cap, 3) via per-component gathers
+    (same layout rationale as _gather_src_pos)."""
+    dtype = pos.dtype
+    cols = []
+    for d in range(3):
+        pc = jnp.concatenate(
+            [pos[:, d], jnp.full((1,), jnp.nan, dtype)])
+        t = jnp.pad(pc[cell_table], (0, (C_pad - n_cells) * cap),
+                    constant_values=jnp.nan)
+        cols.append(t)
+    return jnp.stack(cols, axis=-1)                      # (C_pad*cap, 3)
+
+
 def update_plan(plan: SpectralPlan, positions) -> SpectralPlan:
     """Refresh a plan for a slightly-moved same-topology configuration
     WITHOUT re-sorting: keeps the cell membership, the gridding segment
@@ -645,7 +686,6 @@ def update_plan(plan: SpectralPlan, positions) -> SpectralPlan:
             nx, ny, nz = dims
             n_cells = nx * ny * nz
             cap = p.cell_capacity
-            n = pos_eff.shape[0]
             # cell-level wrap shifts (1-D device arithmetic, tiny)
             idx = jnp.arange(n_cells, dtype=jnp.int32)
             c3 = jnp.stack([idx // (ny * nz), (idx // nz) % ny, idx % nz],
@@ -655,22 +695,11 @@ def update_plan(plan: SpectralPlan, positions) -> SpectralPlan:
                  for k in (-1, 0, 1)], jnp.int32)
             raw = c3[:, None, :] + o27[None, :, :]
             wrap = jnp.floor_divide(raw, jnp.asarray(dims, jnp.int32))
-            shift = wrap.astype(dtype) * box             # (C, 27, 3)
             C_pad, S = plan.src_ids.shape
-            shift_full = jnp.broadcast_to(
-                shift[:, :, None, :], (n_cells, 27, cap, 3)
-            ).reshape(n_cells, 27 * cap, 3)
-            shift_full = jnp.pad(
-                shift_full,
-                ((0, C_pad - n_cells), (0, S - 27 * cap), (0, 0)))
-            pos_nan = jnp.concatenate(
-                [pos_eff, jnp.full((1, 3), jnp.nan, dtype)], axis=0)
-            spos = pos_nan[plan.src_ids] + shift_full    # (C_pad, S, 3)
-            new["src_pos"] = jnp.moveaxis(spos, -1, 0)
-            tpos = pos_nan[plan.cell_table].reshape(n_cells, cap, 3)
-            new["tgt_xyz"] = jnp.pad(
-                tpos, ((0, C_pad - n_cells), (0, 0), (0, 0)),
-                constant_values=jnp.nan).reshape(C_pad * cap, 3)
+            new["src_pos"] = _gather_src_pos(
+                pos_eff, plan.src_ids, wrap, box, dims, cap, C_pad, S)
+            new["tgt_xyz"] = _gather_tgt_xyz(
+                pos_eff, plan.cell_table, cap, C_pad, n_cells)
         return dataclasses.replace(plan, **new)
 
     def rebuild(_):
@@ -862,9 +891,25 @@ def wave_matvec(plan: SpectralPlan, forces):
     """u^w = S^T F^{-1} B F S f (spread, rFFT, scale, irFFT, interpolate).
     forces (N, C) with C = 3 B (B stacked RHS sharing window products)."""
     grid = spread(plan, forces)                          # (C, gx, gy, gz)
-    gk = jnp.fft.rfftn(grid, axes=(1, 2, 3))
-    uk = k_scale(plan, gk)
-    ug = jnp.fft.irfftn(uk, s=plan.params.grid, axes=(1, 2, 3))
+    gx, gy, gz = plan.params.grid
+    C = grid.shape[0]
+
+    def spectral(g3):
+        gk = jnp.fft.rfftn(g3, axes=(1, 2, 3))
+        uk = k_scale(plan, gk)
+        return jnp.fft.irfftn(uk, s=plan.params.grid, axes=(1, 2, 3))
+
+    if C > 3 and gx * gy * gz > (1 << 24):
+        # multi-RHS on a HUGE grid (beyond 256^3): run the spectral
+        # stage one 3-channel chunk at a time — lax.map serializes, so
+        # only one chunk's complex FFT transients (~vol x 16 B each) are
+        # ever live. At 256^3 and below the transients fit comfortably
+        # and chunking only costs overlap (measured +13% at 98k blobs),
+        # so it stays off there.
+        ug = lax.map(spectral,
+                     grid.reshape(-1, 3, gx, gy, gz)).reshape(grid.shape)
+    else:
+        ug = spectral(grid)
     return interpolate(plan, ug)
 
 

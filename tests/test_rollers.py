@@ -145,3 +145,28 @@ def test_uncorrelated_brownian_msd():
     expected_var = 2 * mu * sus.kT * dt
     measured = disp.var()
     assert abs(measured - expected_var) / expected_var < 0.25
+
+
+def test_det_stoch_lockstep_matches_separate_solves():
+    """The fused constrained-omega update (one lockstep M_rr Krylov loop
+    + shared M_tr sweep) reproduces deterministic_velocity_and_torque +
+    stochastic_velocity exactly (same key split, same systems)."""
+    n = 10
+    sus = _suspension(n, kT=0.2, free_kinematics=False,
+                      omega_one_roller=(0.0, 4.0, 0.0),
+                      solver_tolerance=1e-12)
+    r = _positions(n, seed=3)
+    key = jax.random.PRNGKey(7)
+
+    v_ref, t_ref, it_ref = rollers.deterministic_velocity_and_torque(sus, r)
+    vs_ref, itl_ref, itg_ref = rollers.stochastic_velocity(sus, r, key, 1e-3)
+
+    v, t, vs, it, it_l = rollers.det_stoch_velocity_lockstep(
+        sus, r, key, 1e-3)
+    scale_v = float(jnp.max(jnp.abs(v_ref)))
+    scale_t = float(jnp.max(jnp.abs(t_ref)))
+    assert float(jnp.max(jnp.abs(v - v_ref))) < 1e-8 * scale_v
+    assert float(jnp.max(jnp.abs(t - t_ref))) < 1e-8 * scale_t
+    assert float(jnp.max(jnp.abs(vs - vs_ref))) < 1e-8 * max(
+        float(jnp.max(jnp.abs(vs_ref))), scale_v)
+    assert int(it_l) == int(itl_ref)
