@@ -192,26 +192,9 @@ def main():
 
         from rigidmultiblobswall_tpu.models import kinematics, saddle
 
+        system = saddle.auto_spectral_capacities(
+            system, state, log=lambda m: print(m, file=sys.stderr))
         r_blobs = kinematics.blob_positions(system, state)
-        for _ in range(5):
-            plan = saddle.maybe_dense_mobility(system, r_blobs)
-            drops = (int(plan.n_dropped), int(plan.n_dropped_cells))
-            print(f"spectral plan: grid={plan.params.grid} "
-                  f"r_cut={plan.params.r_cut:.2f} cap_seg={plan.cap_seg} "
-                  f"cell_cap={plan.params.cell_capacity} "
-                  f"dropped={drops}", file=sys.stderr)
-            if drops == (0, 0):
-                break
-            updates = {}
-            if drops[0]:
-                updates["spectral_bucket_capacity"] = plan.cap_seg * 3 // 2
-            if drops[1]:
-                # +8 (one lane group): overflow is a few clumped cells'
-                # tail, not a density misestimate — 3/2 overshoots
-                updates["spectral_cell_capacity"] = (
-                    plan.params.cell_capacity + 8)
-            system = dataclasses.replace(system, **updates)
-        assert drops == (0, 0), f"capacity drops {drops}"
 
         # force-cell capacity from the ACTUAL occupancy (silent source
         # drops would weaken the repulsion): max count per force cell,

@@ -306,6 +306,11 @@ def main(argv=None):
     else:
         # dynamic simulation
         key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+        # grow the spectral engine's fixed capacities until drop-free at
+        # the initial configuration (no-op for other domains)
+        from .models import saddle as _saddle
+
+        system = _saddle.auto_spectral_capacities(system, state, log=print)
         gmres_maxiter = 1000
         step = integrators.make_stepper(system, cfg.scheme, cfg.dt,
                                         tolerance=cfg.solver_tolerance,

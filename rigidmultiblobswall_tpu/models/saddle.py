@@ -118,6 +118,42 @@ def maybe_dense_mobility(system: System, r_blobs):
         periodic_length=system.periodic_length)
 
 
+def auto_spectral_capacities(system: System, state, *, max_rounds=5,
+                             log=None):
+    """Grow the spectral engine's fixed capacities until a plan at this
+    configuration reports ZERO dropped entries. Bucket-dropped particles
+    silently lose their far-field contribution and over-capacity cells
+    drop near-field sources — the auto heuristics size for uniform
+    density, which clumped configurations (whole multiblob bodies per
+    cell) can exceed. No-op for other domains."""
+    if system.domain != "periodic_spectral":
+        return system
+    import dataclasses
+
+    r_blobs = kin.blob_positions(system, state)
+    for _ in range(max_rounds):
+        plan = maybe_dense_mobility(system, r_blobs)
+        drops = (int(plan.n_dropped), int(plan.n_dropped_cells))
+        if log is not None:
+            log(f"spectral plan: grid={plan.params.grid} "
+                f"r_cut={plan.params.r_cut:.2f} cap_seg={plan.cap_seg} "
+                f"cell_cap={plan.params.cell_capacity} dropped={drops}")
+        if drops == (0, 0):
+            return system
+        updates = {}
+        if drops[0]:
+            updates["spectral_bucket_capacity"] = plan.cap_seg * 3 // 2
+        if drops[1]:
+            # +8 (one lane group): cell overflow is a few clumped cells'
+            # tail, not a density misestimate
+            updates["spectral_cell_capacity"] = (
+                plan.params.cell_capacity + 8)
+        system = dataclasses.replace(system, **updates)
+    raise ValueError(
+        f"spectral capacities still dropping after {max_rounds} rounds "
+        f"of growth: {drops}")
+
+
 def refresh_dense_mobility(system: System, m_dense, r_new, *, build=True):
     """Mobility engine for a configuration NEAR the one `m_dense` was
     built at (same topology, O(dt) drift): spectral plans refresh via

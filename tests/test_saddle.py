@@ -161,3 +161,37 @@ def test_prescribed_kinematics_obstacle():
     sol_free = solvers.solve_mobility_problem(system_free, state_free)
     assert not np.allclose(np.asarray(sol.velocities)[0],
                            np.asarray(sol_free.velocities)[0], atol=1e-8)
+
+
+def test_auto_spectral_capacities_reaches_zero_drops():
+    """Clumped configurations can overflow the auto capacity heuristics;
+    auto_spectral_capacities must grow them to a drop-free plan (and
+    be a no-op for other domains)."""
+    import dataclasses
+
+    from rigidmultiblobswall_tpu.models.system import BodyType, System, make_state
+
+    rng = np.random.default_rng(5)
+    # 5 tightly-clumped 8-blob bodies: whole bodies land in single cells
+    t = BodyType(name="c", ref_config=rng.normal(size=(8, 3)) * 0.05,
+                 count=5)
+    L = 20.0
+    system = System(types=(t,), eta=1.0, blob_radius=0.1, kT=0.0,
+                    domain="periodic_spectral", periodic_length=(L, L, L),
+                    spectral_tol=1e-3, spectral_grid_max=64,
+                    spectral_bucket_capacity=8, spectral_cell_capacity=8)
+    pos = np.full((5, 3), L / 2) + rng.uniform(-0.3, 0.3, size=(5, 3))
+    quat = np.tile([1.0, 0, 0, 0], (5, 1))
+    state = make_state(pos, quat)
+
+    grown = saddle.auto_spectral_capacities(system, state)
+    r = kin.blob_positions(grown, state)
+    plan = saddle.maybe_dense_mobility(grown, r)
+    assert int(plan.n_dropped) == 0 and int(plan.n_dropped_cells) == 0
+    # undersized start really was dropping (the test is not vacuous)
+    plan0 = saddle.maybe_dense_mobility(system, kin.blob_positions(system, state))
+    assert int(plan0.n_dropped) > 0 or int(plan0.n_dropped_cells) > 0
+
+    sw = dataclasses.replace(system, domain="single_wall",
+                             periodic_length=(0.0, 0.0, 0.0))
+    assert saddle.auto_spectral_capacities(sw, state) is sw
