@@ -77,6 +77,13 @@ def main(argv=None):
             fields.plot_velocity_field_to_vtk(
                 cfg.plot_velocity_field, system, state, sol.lam,
                 cfg.output_name, tracer_radius=cfg.tracer_radius)
+        if (cfg.plot_concentration_field is not None
+                and cfg.phoretic_cfg is not None):
+            from .models import fields
+
+            fields.plot_concentration_field_to_vtk(
+                cfg.plot_concentration_field, system, state,
+                cfg.phoretic_cfg, cfg.output_name)
 
     elif cfg.scheme == "resistance":
         velocity = np.zeros((system.num_bodies, 6))
@@ -181,11 +188,14 @@ def main(argv=None):
         tables = lub.LubricationTables.load(
             opts.get("lubrication_tables_dir", lub.DEFAULT_TABLE_DIR))
         max_nb = opts.get("max_neighbors")
+        # the reference's option name is Lub_Cut (read_input.py:96,
+        # default 4.5); lub_cutoff[_wall] are this framework's aliases
+        lub_cut = float(opts.get("Lub_Cut", opts.get("lub_cutoff", 4.5)))
         sol = lub.LubSolver(
             num_bodies=system.num_bodies, eta=cfg.eta, a=cfg.blob_radius,
             kT=cfg.kT, dt=cfg.dt,
-            cutoff=float(opts.get("lub_cutoff", 4.5)),
-            cutoff_wall=float(opts.get("lub_cutoff_wall", 4.5)),
+            cutoff=lub_cut,
+            cutoff_wall=float(opts.get("lub_cutoff_wall", lub_cut)),
             debye_cut=float(opts.get("firm_delta", 1e-2)),
             rf_delta=cfg.rf_delta,
             periodic_length=tuple(cfg.periodic_length),
@@ -198,6 +208,14 @@ def main(argv=None):
         weight = cfg.g
         a = cfg.blob_radius
 
+        # firm (stiff short-range) potential of the lubrication examples:
+        # offset 2a(1-firm_delta), debye 2a*firm_delta/ln(10)
+        # (Uniform_Rollers/main_rollers.py:141-143,
+        # multi_bodies_functions.py:143-155,225-238)
+        eps_firm = float(opts.get("repulsion_strength_firm", 0.0))
+        firm_delta = float(opts.get("firm_delta", 1e-2))
+        debye_firm = 2.0 * a * firm_delta / np.log(1e1)
+
         def ft_calc(pos):
             # gravity + wall Yukawa + pair soft repulsion on the sphere
             # centers (Uniform_Rollers FT_calc composition)
@@ -209,6 +227,19 @@ def main(argv=None):
                 pos, repulsion_strength=cfg.repulsion_strength,
                 debye_length=cfg.debye_length, blob_radius=a,
                 periodic_length=tuple(cfg.periodic_length))
+            if eps_firm > 0.0:
+                # the firm wall/pair terms are the same Yukawa forms with
+                # contact shifted inward by firm_delta: emulate via an
+                # effective radius a(1-firm_delta)
+                f = f + forces.blob_external_forces(
+                    pos, g=0.0, blob_radius=a * (1.0 - firm_delta),
+                    repulsion_strength_wall=eps_firm,
+                    debye_length_wall=debye_firm)
+                f = f + forces.blob_blob_forces(
+                    pos, repulsion_strength=eps_firm,
+                    debye_length=debye_firm,
+                    blob_radius=a * (1.0 - firm_delta),
+                    periodic_length=tuple(cfg.periodic_length))
             return jnp.concatenate([f, jnp.zeros_like(f)], axis=1)
 
         stepper = (lub.step_euler_maruyama
@@ -306,6 +337,12 @@ def main(argv=None):
     else:
         # dynamic simulation
         key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+        if cfg.random_state is not None:
+            # resume the PRNG from a saved .random_state file (the JAX
+            # analog of the reference's np.random pickle restore,
+            # multi_bodies.py:1154-1158)
+            key = jax.random.wrap_key_data(
+                jnp.asarray(np.loadtxt(cfg.random_state, dtype=np.uint32)))
         # grow the spectral engine's fixed capacities until drop-free at
         # the initial configuration (no-op for other domains)
         from .models import saddle as _saddle
@@ -354,12 +391,27 @@ def main(argv=None):
                                                   step_idx)
                     scene.write_clones_file(name, pos_i, quat_i)
 
+        def save_concentration_field(step_idx, state):
+            # phoretic runs can dump the off-surface concentration field
+            # alongside each saved frame (the reference example's intent,
+            # multi_bodies_stkfmm.py:215-219, whose plot helper is
+            # undefined there)
+            if (cfg.plot_concentration_field is not None
+                    and cfg.phoretic_cfg is not None):
+                from .models import fields
+
+                fields.plot_concentration_field_to_vtk(
+                    cfg.plot_concentration_field, system, state,
+                    cfg.phoretic_cfg, cfg.output_name,
+                    suffix=".%08d" % step_idx)
+
         for step_idx in range(cfg.initial_step, cfg.n_steps):
             if (step_idx % cfg.n_save) == 0 and step_idx >= 0:
                 elapsed = time.time() - start_time
                 print("Integrator = %s, step = %d, wallclock = %.2fs" % (
                     cfg.scheme, step_idx, elapsed))
                 save_clones(step_idx, state)
+                save_concentration_field(step_idx, state)
             key, sub = jax.random.split(key)
             state, carry, aux = jit_step(state, sub, carry)
             det_iters += int(aux.det_iterations)

@@ -56,9 +56,14 @@ class InputConfig:
     slip_file: Optional[str] = None
     force_file: Optional[str] = None
     plot_velocity_field: Optional[np.ndarray] = None
+    plot_concentration_field: Optional[np.ndarray] = None
     # phoretic / Laplace coupling (read_input.py:100-102)
     background_laplace: Optional[np.ndarray] = None
     diffusion_coefficient: float = 1.0
+    # RNG restore file (read_input.py random_state; multi_bodies.py:1154)
+    random_state: Optional[str] = None
+    # set by build_system when any structure carries a .Laplace file
+    phoretic_cfg: object = None
 
 
 def read_input(path) -> InputConfig:
@@ -123,6 +128,10 @@ def read_input(path) -> InputConfig:
     cfg.force_file = g("force_file")
     if g("plot_velocity_field"):
         cfg.plot_velocity_field = np.fromstring(g("plot_velocity_field"), sep=" ")
+    if g("plot_concentration_field"):
+        cfg.plot_concentration_field = np.fromstring(
+            g("plot_concentration_field"), sep=" ")
+    cfg.random_state = g("random_state")
     tmp_laplace = np.fromstring(g("background_Laplace") or "", sep=" ")
     cfg.background_laplace = np.hstack(
         [tmp_laplace, np.zeros(9 - tmp_laplace.size)])
@@ -309,6 +318,7 @@ def build_system(cfg: InputConfig, base_dir="."):
             return slip
 
         system = _dc.replace(system, slip_fn=slip_fn)
+        cfg.phoretic_cfg = pcfg
 
     state = make_state(np.concatenate(locations, axis=0),
                        np.concatenate(quaternions, axis=0))

@@ -44,6 +44,27 @@ def evaluate_velocity_field(system: System, state: State, lam, grid_coords,
         system.eta, wall=wall, periodic_length=system.periodic_length)
 
 
+def plot_concentration_field_to_vtk(grid_spec, system: System, state: State,
+                                    phoretic_cfg, output_name, *, c=None,
+                                    suffix=""):
+    """Evaluate the phoretic concentration field on the grid and write a
+    scalar legacy-VTK file. Working replacement for the reference's
+    undefined ``plot_concentration_field_pyVTK`` (multi_bodies/examples/
+    Laplace_sphere/multi_bodies_stkfmm.py:219). ``c`` optionally reuses an
+    already-solved surface concentration."""
+    from . import phoretic as ph
+
+    coords, mesh, _ = velocity_field_grid(grid_spec)
+    c_grid, _ = ph.concentration_field(system, state, phoretic_cfg, coords,
+                                       c=c)
+    c_grid = np.asarray(c_grid)
+    vtk.write_rectilinear_mesh(
+        output_name + suffix + ".concentration_field.vtk",
+        mesh[0], mesh[1], mesh[2],
+        [("concentration", 1, c_grid.ravel())])
+    return c_grid
+
+
 def plot_velocity_field_to_vtk(grid_spec, system: System, state: State, lam,
                                output_name, tracer_radius=0.0):
     coords, mesh, _ = velocity_field_grid(grid_spec)

@@ -174,6 +174,9 @@ seed                  0
 omega                 25.0
 cut_torque            0.2
 max_neighbors         3
+Lub_Cut               4.0
+repulsion_strength_firm 0.0163
+firm_delta            1e-2
 output_name           {out}
 structure             sphere.vertex spheres.clones
 """)
@@ -221,11 +224,15 @@ solver_tolerance      1e-6
 seed                  0
 background_Laplace    1
 save_clones           one_file
+plot_concentration_field  -2 2 3 -2 2 3 1 5 3
 output_name           {out}
 structure             {vertex} shell.clones janus.Laplace
 """)
     monkeypatch.chdir(tmp_path)
     cli.main(["--input-file", str(inp)])
+    # the concentration field is written per saved frame
+    vtk_txt = open(out + ".00000000.concentration_field.vtk").read()
+    assert "SCALARS concentration" in vtk_txt
     rows = [l.split() for l in open(out + ".shell.config")
             if len(l.split()) == 7]
     p = np.array(rows, float)[:, :3]
@@ -251,3 +258,54 @@ obstacle              {vertex} {clones}
 """)
     with pytest.raises(ValueError, match="Obstacles"):
         input_mod.read_input(str(inp))
+
+
+def test_cli_restart_with_random_state(tmp_path, monkeypatch):
+    """A run restarted from step 2 with the saved .random_state must
+    reproduce the tail of an uninterrupted run exactly (the reference's
+    np.random pickle restore + initial_step clones rewiring,
+    multi_bodies.py:1154-1162, read_input.py:139-144)."""
+    vertex = os.path.join(REF_DIR,
+                          "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    if not os.path.exists(vertex):
+        pytest.skip("reference structures not present")
+    clones = tmp_path / "one.clones"
+    clones.write_text("1\n0 0 2  1 0 0 0\n")
+
+    def write_input(path, out, n_steps, initial_step=0, random_state=None):
+        extra = (f"random_state          {random_state}\n"
+                 if random_state else "")
+        path.write_text(f"""
+scheme                stochastic_EM
+dt                    0.001
+n_steps               {n_steps}
+initial_step          {initial_step}
+n_save                2
+eta                   1.0
+blob_radius           0.4
+kT                    0.1
+g                     1.0
+repulsion_strength_wall  1.0
+debye_length_wall     0.4
+seed                  7
+{extra}output_name           {out}
+structure             {vertex} {clones}
+""")
+
+    monkeypatch.chdir(tmp_path)
+    # uninterrupted 4-step run
+    outC = str(tmp_path / "full")
+    write_input(tmp_path / "inC.dat", outC, 4)
+    cli.main(["--input-file", str(tmp_path / "inC.dat")])
+    # 2-step run, then restart 2->4 from its clones + .random_state
+    outA = str(tmp_path / "part")
+    write_input(tmp_path / "inA.dat", outA, 2)
+    cli.main(["--input-file", str(tmp_path / "inA.dat")])
+    write_input(tmp_path / "inB.dat", outA, 4, initial_step=2,
+                random_state=outA + ".random_state")
+    cli.main(["--input-file", str(tmp_path / "inB.dat")])
+
+    _, locC, quatC = scene.read_clones_file(outC + ".one.00000004.clones")
+    _, locB, quatB = scene.read_clones_file(outA + ".one.00000004.clones")
+    np.testing.assert_allclose(locB, locC, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(quatB, quatC, rtol=0, atol=1e-12)

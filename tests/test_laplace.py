@@ -123,3 +123,114 @@ def test_phoretic_slip_janus_sphere():
     assert c[emitting > 0].mean() > c[emitting == 0].mean()
     # axisymmetric activity -> z-directed net slip asymmetry
     assert abs(slip[:, 2].mean()) > 1e-4
+
+
+def test_concentration_field_uniform_emitter_analytic():
+    """Off-surface concentration of a uniformly emitting sphere (reaction
+    rate 0) must match the exact monopole field c(r) = Q/(4 pi Dc r) with
+    Q = emitting_rate * surface area; near the surface the representation
+    must approach the solved surface concentration (jump consistency)."""
+    from rigidmultiblobswall_tpu.models import phoretic
+    from rigidmultiblobswall_tpu.models.system import (BodyType, System,
+                                                       make_state)
+    from tests.test_saddle import _shell_vertices
+
+    nb, a, Dc, q = 162, 0.5, 1.3, 0.7
+    ref = _shell_vertices(nb, a)
+    normals = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+    area = 4 * np.pi * a**2
+    chem = phoretic.Chemistry(
+        normals_ref=normals, reaction_rate=np.zeros(nb),
+        emitting_rate=np.full(nb, q), surface_mobility=np.ones(nb),
+        weights=np.full(nb, area / nb))
+    t = BodyType(name="emitter", ref_config=ref, count=1)
+    system = System(types=(t,), blob_radius=0.05, domain="no_wall",
+                    solver_tolerance=1e-10)
+    center = np.array([0.3, -0.2, 5.0])
+    state = make_state([center], [[1.0, 0, 0, 0]])
+    cfg = phoretic.PhoreticConfig(chemistry=(chem,),
+                                  background=jnp.zeros(9),
+                                  diffusion_coefficient=Dc)
+
+    radii = np.array([2.0 * a, 3.0 * a, 6.0 * a])
+    dirs = np.array([[1.0, 0, 0], [0, 1 / np.sqrt(2), 1 / np.sqrt(2)],
+                     [0, 0, -1.0]])
+    targets = center + radii[:, None] * dirs
+    c_t, c_surf = phoretic.concentration_field(system, state, cfg, targets)
+    c_t = np.asarray(c_t)
+    exact = q * area / (4 * np.pi * Dc * radii)
+    assert np.allclose(c_t, exact, rtol=2e-2), (c_t, exact)
+    # near field: just outside the sphere the monopole law still holds
+    near = center + np.array([[1.12 * a, 0, 0]])
+    c_near, _ = phoretic.concentration_field(system, state, cfg, near,
+                                             c=c_surf)
+    assert np.allclose(np.asarray(c_near),
+                       q * area / (4 * np.pi * Dc * 1.12 * a), rtol=5e-2)
+
+
+def test_concentration_field_surface_limit_janus():
+    """Double-layer sign/jump consistency: for a NON-uniform surface
+    concentration (Janus sphere) the exterior field evaluated just outside
+    a blob must approach that blob's solved surface value. A wrong
+    double-layer sign would be off by ~c (the jump is +/- c/2)."""
+    from rigidmultiblobswall_tpu.models import phoretic
+    from rigidmultiblobswall_tpu.models.system import (BodyType, System,
+                                                       make_state)
+    from tests.test_saddle import _shell_vertices
+
+    nb, a = 162, 0.5
+    ref = _shell_vertices(nb, a)
+    normals = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+    emitting = np.where(ref[:, 2] > 0, 1.0, 0.0)
+    chem = phoretic.Chemistry(
+        normals_ref=normals, reaction_rate=np.full(nb, 0.5),
+        emitting_rate=emitting, surface_mobility=np.ones(nb),
+        weights=np.full(nb, 4 * np.pi * a**2 / nb))
+    t = BodyType(name="janus", ref_config=ref, count=1)
+    system = System(types=(t,), blob_radius=0.05, domain="no_wall",
+                    solver_tolerance=1e-10)
+    center = np.array([0.0, 0.0, 5.0])
+    state = make_state([center], [[1.0, 0, 0, 0]])
+    cfg = phoretic.PhoreticConfig(chemistry=(chem,),
+                                  background=jnp.zeros(9),
+                                  diffusion_coefficient=1.0)
+    _, c_surf, _ = phoretic.phoretic_slip(system, state, cfg)
+    c_surf = np.asarray(c_surf)
+    # two probe blobs: one on the emitting cap, one on the inert side
+    for bi in (int(np.argmax(ref[:, 2])), int(np.argmin(ref[:, 2]))):
+        probe = center + 1.15 * ref[bi]
+        c_p, _ = phoretic.concentration_field(system, state, cfg,
+                                              probe[None], c=c_surf)
+        # continuum decay over 15% radius is smooth; a sign error in the
+        # double layer would shift the value by ~c_surf[bi] itself
+        assert abs(float(c_p[0]) - c_surf[bi]) < 0.25 * abs(c_surf[bi]), (
+            float(c_p[0]), c_surf[bi])
+
+
+def test_plot_concentration_field_to_vtk(tmp_path):
+    """The grid evaluation writes a scalar legacy-VTK file (the working
+    equivalent of the reference's undefined plot_concentration_field_pyVTK,
+    multi_bodies/examples/Laplace_sphere/multi_bodies_stkfmm.py:219)."""
+    from rigidmultiblobswall_tpu.models import fields, phoretic
+    from rigidmultiblobswall_tpu.models.system import (BodyType, System,
+                                                       make_state)
+    from tests.test_saddle import _shell_vertices
+
+    nb = 32
+    ref = _shell_vertices(nb, 0.5)
+    normals = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+    chem = phoretic.Chemistry(
+        normals_ref=normals, reaction_rate=np.zeros(nb),
+        emitting_rate=np.ones(nb), surface_mobility=np.ones(nb),
+        weights=np.full(nb, 4 * np.pi * 0.25 / nb))
+    t = BodyType(name="emitter", ref_config=ref, count=1)
+    system = System(types=(t,), blob_radius=0.1, domain="no_wall")
+    state = make_state([[0.0, 0.0, 5.0]], [[1.0, 0, 0, 0]])
+    cfg = phoretic.PhoreticConfig(chemistry=(chem,), background=jnp.zeros(9),
+                                  diffusion_coefficient=1.0)
+    grid = [-2, 2, 4, -2, 2, 4, 3, 7, 4]
+    out = str(tmp_path / "run")
+    c = fields.plot_concentration_field_to_vtk(grid, system, state, cfg, out)
+    assert c.shape == (64,)
+    txt = open(out + ".concentration_field.vtk").read()
+    assert "SCALARS concentration" in txt and "RECTILINEAR_GRID" in txt
