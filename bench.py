@@ -13,8 +13,12 @@ best-case arrangement (build dense once per configuration, reuse for all
 matvecs of that configuration) the measured cost at 3072 blobs on this
 host is 3 x 21.9 s (dense build, mobility/mobility.py:1018) + 26 x 96 ms
 (dense matvec) ~= 68.2 s. The O(N^2)/O(N^3)-scaled estimate is used for
-other sizes. Override with BENCH_REF_STEP_MS. (The repo-level north star
-- 50 ms at 100k blobs on v5e-8 - is tracked separately in BASELINE.md.)
+other sizes. Override with BENCH_REF_STEP_MS. For the (default) spectral
+path the same O(N^2) comparator applies: the reference has no working
+spectral backend (its DPStokes/libMobility submodules are empty stubs),
+so a reference user pays the pairwise-sweep cost per matvec regardless
+of domain. (The repo-level north star - 50 ms at 100k blobs on v5e-8 -
+is tracked separately in BASELINE.md.)
 """
 
 import json
@@ -32,18 +36,24 @@ import jax.numpy as jnp
 from rigidmultiblobswall_tpu.models import integrators
 from rigidmultiblobswall_tpu.models.system import BodyType, System, make_state
 
-# benchmark scale (single chip): 4096 12-blob shells = 49152 blobs.
-# At this size the (3N,3N) mobility cannot be materialized (87 GB); the
-# step runs entirely on the matrix-free direct-block Pallas engine
-# (ops/pair_kernels.py). See SCALING.md for the size sweep and the
-# path to the 100k-blob north star.
-N_BODIES = int(os.environ.get("BENCH_BODIES", 4096))
+# benchmark scale (single chip): 8192 12-blob shells = 98,304 blobs —
+# the north-star blob count (BASELINE.md) — on the O(N log N) spectral
+# Ewald engine (ops/ewald.py; measured 2.50 s/step on one v5e chip, see
+# SCALING.md). At this size the (3N,3N) mobility cannot be materialized
+# (350 GB) and the direct-block Pallas engine takes 17.7 s/step.
+# BENCH_PATH=multibody benchmarks the wall-bounded direct O(N^2) engine
+# instead (default 4096 bodies / 49k blobs: the dense matrix would be
+# 87 GB; runs matrix-free on ops/pair_kernels.py at the VPU roofline).
+N_BODIES = int(os.environ.get(
+    "BENCH_BODIES",
+    8192 if os.environ.get("BENCH_PATH", "spectral") == "spectral"
+    else 4096))
 N_BLOBS_PER = 12
 DT = 1e-3
 SCHEME = os.environ.get("BENCH_SCHEME", "stochastic_Slip_Trapz")
 # BENCH_PATH=rollers benchmarks the minimally-resolved microroller path
 # (grand-mobility constrained-omega dynamics) instead of the multibody one
-BENCH_PATH = os.environ.get("BENCH_PATH", "multibody")
+BENCH_PATH = os.environ.get("BENCH_PATH", "spectral")
 N_ROLLERS = int(os.environ.get("BENCH_ROLLERS", 32768))
 # f32-appropriate defaults; override toward the reference's 1e-8 with
 # BENCH_TOL / BENCH_LANCZOS_TOL (see ACCURACY.md for the f32-vs-f64 story)
