@@ -371,15 +371,38 @@ def main(argv=None):
 
         velocities_log = []
 
+        # articulated groups are stored type-major internally (sub-body j
+        # of every instance is one BodyType) but the reference writes one
+        # file per articulated ID with bodies in clones-file order
+        # (instance-major, multi_bodies.py:1430-1462) — reconstruct that
+        art_sub_types = set()
+        for art in system.articulated:
+            art_sub_types.update(art.sub_type_indices)
+
+        def _articulated_frames(state):
+            offs = system.body_offsets
+            pos = np.asarray(state.pos)
+            quat = np.asarray(state.quat)
+            for art in system.articulated:
+                p = np.stack([pos[offs[i]:offs[i] + art.count]
+                              for i in art.sub_type_indices], axis=1)
+                q = np.stack([quat[offs[i]:offs[i] + art.count]
+                              for i in art.sub_type_indices], axis=1)
+                yield art.name, p.reshape(-1, 3), q.reshape(-1, 4)
+
         def save_clones(step_idx, state):
             offs = system.body_offsets
-            for i, t in enumerate(system.types):
-                pos_i = np.asarray(state.pos)[offs[i]:offs[i + 1]]
-                quat_i = np.asarray(state.quat)[offs[i]:offs[i + 1]]
+            groups = [(t.name,
+                       np.asarray(state.pos)[offs[i]:offs[i + 1]],
+                       np.asarray(state.quat)[offs[i]:offs[i + 1]])
+                      for i, t in enumerate(system.types)
+                      if i not in art_sub_types]
+            groups += list(_articulated_frames(state))
+            for name_i, pos_i, quat_i in groups:
                 if cfg.save_clones == "one_file":
                     # append snapshots into a single .config file
                     # (reference multi_bodies.py save_clones='one_file')
-                    name = "%s.%s.config" % (cfg.output_name, t.name)
+                    name = "%s.%s.config" % (cfg.output_name, name_i)
                     mode = "w" if step_idx == cfg.initial_step else "a"
                     with open(name, mode) as f:
                         f.write("%d\n" % len(pos_i))
@@ -387,7 +410,7 @@ def main(argv=None):
                             f.write("%s %s %s %s %s %s %s\n" % (
                                 x[0], x[1], x[2], q[0], q[1], q[2], q[3]))
                 else:
-                    name = "%s.%s.%08d.clones" % (cfg.output_name, t.name,
+                    name = "%s.%s.%08d.clones" % (cfg.output_name, name_i,
                                                   step_idx)
                     scene.write_clones_file(name, pos_i, quat_i)
 

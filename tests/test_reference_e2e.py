@@ -147,3 +147,40 @@ def test_prescribed_obstacle_matches_reference(tmp_path):
     _compare_trajectories(tmp_path, "deterministic_forward_euler",
                           [[vertex, free_clones]], "free",
                           n_steps=3, dt=0.01, extra=extra)
+
+
+def test_articulated_chain_matches_reference(tmp_path):
+    """Articulated 3-shell chain sedimenting above the wall
+    (articulated_deterministic_forward_euler): exercises the constraint
+    blocks in the saddle solve + the nonlinear post-step projection
+    (reference articulated/articulated.py:148-520 vs our Gauss-Newton)."""
+    vertex = os.path.join(REF, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    for d in ("ref", "ours"):
+        (tmp_path / d).mkdir(exist_ok=True)
+        (tmp_path / d / "chain.list_vertex").write_text(
+            f"{vertex}\n{vertex}\n{vertex}\n")
+        (tmp_path / d / "chain.clones").write_text(
+            "3\n0 0 2.0 1 0 0 0\n2.0 0 2.0 1 0 0 0\n4.0 0 2.0 1 0 0 0\n")
+        (tmp_path / d / "chain.const").write_text(
+            "3\n2\n"
+            "0 1 1.0 0. 0. -1.0 0. 0.\n"
+            "1 2 1.0 0. 0. -1.0 0. 0.\n")
+    structures = []  # articulated entry goes through `extra`
+    extra = "articulated chain.list_vertex chain.clones chain.const"
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    for d in (ref_dir, our_dir):
+        (d / "input.dat").write_text(
+            _input_text("articulated_deterministic_forward_euler",
+                        structures, n_steps=3, dt=0.01,
+                        extra=extra).replace("OUTPUT", "out"))
+    _run_reference(str(ref_dir), "input.dat")
+    _run_ours(str(our_dir), "input.dat")
+    t_ref = _load_traj(str(ref_dir / "out"), "chain", 3)
+    t_our = _load_traj(str(our_dir / "out"), "chain", 3)
+    q_ref, q_our = t_ref[:, :, 3:], t_our[:, :, 3:]
+    sign = np.sign(np.sum(q_ref * q_our, axis=-1, keepdims=True))
+    err_pos = np.abs(t_ref[:, :, :3] - t_our[:, :, :3]).max()
+    err_q = np.abs(q_ref - sign * q_our).max()
+    assert err_pos < 1e-5, f"position mismatch {err_pos:.3e}"
+    assert err_q < 1e-5, f"orientation mismatch {err_q:.3e}"
