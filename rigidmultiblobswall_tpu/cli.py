@@ -14,6 +14,7 @@ Outputs: <output>.inputfile, .bodies_info, .velocity.dat, .force.dat,
 from __future__ import annotations
 
 import argparse
+import os
 import shutil
 import sys
 import time
@@ -44,11 +45,51 @@ def main(argv=None):
 
     cfg = input_mod.read_input(args.input_file)
     shutil.copyfile(args.input_file, cfg.output_name + ".inputfile")
-    # scene-file paths resolve relative to the input file's directory
-    import os
+    # stamp the framework's git commit for provenance
+    # (reference multi_bodies.py:1145-1151)
+    try:
+        import subprocess
 
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout.decode()
+        with open(cfg.output_name + ".git", "w") as f:
+            f.write(commit)
+    except Exception:
+        pass
+    # scene-file paths resolve relative to the input file's directory
     system, state = input_mod.build_system(
         cfg, base_dir=os.path.dirname(os.path.abspath(args.input_file)))
+
+    # user-extension override module (the reference's L5 mechanism: a
+    # user_defined_functions.py in the run directory overrides the force/
+    # slip hooks, multi_bodies_functions.py:466-472). Here it may define
+    # jax-traceable hooks blob_force_fn(system, state, r_blobs)->(N,3),
+    # body_force_torque_fn(system, state, r_blobs)->(B,6),
+    # slip_fn(system, state)->(N,3), and preprocess/postprocess(system,
+    # state, step)->state callbacks around the time loop.
+    user_mod = None
+    for udf_dir in (os.getcwd(),
+                    os.path.dirname(os.path.abspath(args.input_file))):
+        udf = os.path.join(udf_dir, "user_defined_functions.py")
+        if os.path.isfile(udf):
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "user_defined_functions", udf)
+            user_mod = importlib.util.module_from_spec(spec)
+            sys.modules[spec.name] = user_mod
+            spec.loader.exec_module(user_mod)
+            import dataclasses as _dc
+
+            hooks = {name: getattr(user_mod, name)
+                     for name in ("blob_force_fn", "body_force_torque_fn",
+                                  "slip_fn")
+                     if hasattr(user_mod, name)}
+            if hooks:
+                system = _dc.replace(system, **hooks)
+            print("Loaded user_defined_functions from", udf)
+            break
 
     with open(cfg.output_name + ".bodies_info", "w") as f:
         f.write("num_of_body_types  %d\n" % len(system.types))
@@ -104,6 +145,22 @@ def main(argv=None):
         slip_mob = N @ K.T @ np.linalg.inv(M)
         np.savetxt(cfg.output_name + ".body_slip_mobility.dat", slip_mob,
                    delimiter="  ")
+        # double-layer slip correction when a .Laplace file supplies
+        # surface normals/weights (multi_bodies_utilities.py:607-613)
+        if cfg.phoretic_cfg is not None:
+            from .models import phoretic
+            from .ops import stokes_layers
+
+            pcfg = cfg.phoretic_cfg
+            r_blobs = kin.blob_positions(system, state)
+            normals = phoretic.lab_normals(system, state, pcfg.chemistry)
+            weights = phoretic._gather(system, pcfg.chemistry, "weights",
+                                       r_blobs.dtype)
+            D = np.asarray(stokes_layers.double_layer_dense(
+                r_blobs, r_blobs, normals, weights))
+            I2pD = 0.5 * np.eye(D.shape[0]) + D
+            np.savetxt(cfg.output_name + ".body_slip_mobility_double_layer.dat",
+                       slip_mob @ I2pD, delimiter="  ")
         print("Time to compute body mobility =", time.time() - start_time)
 
     elif cfg.scheme in ("body_mcmc", "MCMC"):
@@ -428,6 +485,24 @@ def main(argv=None):
                     cfg.phoretic_cfg, cfg.output_name,
                     suffix=".%08d" % step_idx)
 
+        def save_mobilities(step_idx, state):
+            # trajectory-resolved dense blob/body mobility dumps
+            # (reference multi_bodies.py:1465-1477)
+            want_blobs = cfg.options.get("save_blobs_mobility") == "True"
+            want_body = cfg.options.get("save_body_mobility") == "True"
+            if not (want_blobs or want_body):
+                return
+            M = np.asarray(solvers.dense_blob_mobility(system, state))
+            if want_blobs:
+                np.savetxt("%s.blobs_mobility.%08d.dat"
+                           % (cfg.output_name, step_idx), M, delimiter="  ")
+            if want_body:
+                K = np.asarray(solvers._dense_K(system, state))
+                Minv = np.linalg.inv(M)
+                N = np.linalg.pinv(K.T @ Minv @ K)
+                np.savetxt("%s.body_mobility.%08d.dat"
+                           % (cfg.output_name, step_idx), N, delimiter="  ")
+
         for step_idx in range(cfg.initial_step, cfg.n_steps):
             if (step_idx % cfg.n_save) == 0 and step_idx >= 0:
                 elapsed = time.time() - start_time
@@ -435,8 +510,13 @@ def main(argv=None):
                     cfg.scheme, step_idx, elapsed))
                 save_clones(step_idx, state)
                 save_concentration_field(step_idx, state)
+                save_mobilities(step_idx, state)
+            if user_mod is not None and hasattr(user_mod, "preprocess"):
+                state = user_mod.preprocess(system, state, step_idx)
             key, sub = jax.random.split(key)
             state, carry, aux = jit_step(state, sub, carry)
+            if user_mod is not None and hasattr(user_mod, "postprocess"):
+                state = user_mod.postprocess(system, state, step_idx)
             det_iters += int(aux.det_iterations)
             stoch_iters += int(aux.stoch_iterations)
             rejections += int(aux.rejections)
@@ -450,6 +530,7 @@ def main(argv=None):
             if cfg.options.get("save_velocities", "False") == "True":
                 velocities_log.append(np.asarray(aux.velocities))
         save_clones(cfg.n_steps, state)
+        save_mobilities(cfg.n_steps, state)
         if velocities_log:
             np.savetxt(cfg.output_name + ".velocities.dat",
                        np.stack(velocities_log).reshape(len(velocities_log), -1))

@@ -120,7 +120,19 @@ def read_input(path) -> InputConfig:
     cfg.periodic_length = tuple(
         np.fromstring(g("periodic_length") or "0 0 0", sep=" "))
     cfg.update_PC = int(g("update_PC") or 1)
-    cfg.domain = str(g("domain") or "single_wall")
+    # the reference also encodes the domain in the kernel-implementation
+    # names ('*_no_wall', '*_free_surface', multi_bodies.py:207-290);
+    # honor that when no explicit domain option is given
+    impl = " ".join([g("mobility_vector_prod_implementation") or "",
+                     g("mobility_blobs_implementation") or ""])
+    if g("domain"):
+        cfg.domain = str(g("domain"))
+    elif "no_wall" in impl:
+        cfg.domain = "no_wall"
+    elif "free_surface" in impl:
+        cfg.domain = "free_surface"
+    else:
+        cfg.domain = "single_wall"
     cfg.save_clones = str(g("save_clones") or "one_file_per_step")
     cfg.tracer_radius = float(g("tracer_radius") or 0.0)
     cfg.velocity_file = g("velocity_file")
@@ -268,12 +280,24 @@ def build_system(cfg: InputConfig, base_dir="."):
     # reference backend selector (read_input.py blob_blob_force_implementation):
     # any tree/neighbor value maps to the linked-cell path; the four dense
     # backends collapse onto the one XLA/Pallas direct sweep
-    bb_impl = cfg.options.get("blob_blob_force_implementation", "")
-    bb_method = ("neighbor_list" if "tree" in bb_impl or "neighbor" in bb_impl
-                 else "direct")
+    bb_impl = cfg.options.get("blob_blob_force_implementation", "None")
+    if bb_impl == "None":
+        # the reference's default: blob-blob forces disabled
+        # (read_input.py:69 -> set_blob_blob_forces 'None' -> zeros)
+        bb_method = "none"
+    elif "tree" in bb_impl or "neighbor" in bb_impl:
+        bb_method = "neighbor_list"
+    else:
+        bb_method = "direct"
+    # body-body Yukawa selector (multi_bodies.py:1139): default 'None' = off;
+    # any backend name activates the one XLA implementation
+    bbody_impl = cfg.options.get("body_body_force_torque_implementation",
+                                 "None")
+    bbody_method = "none" if bbody_impl == "None" else "yukawa"
 
     system = System(
         blob_blob_force_method=bb_method,
+        body_body_force_method=bbody_method,
         articulated=tuple(articulated_types),
         nonlinear_solver_tolerance=float(
             cfg.options.get("nonlinear_solver_tolerance", 1e-8)),

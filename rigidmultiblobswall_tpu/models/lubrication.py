@@ -47,7 +47,12 @@ from ..ops import quaternion as quat
 from ..ops.gmres import gmres
 from ..ops.lanczos import stochastic_forcing_lanczos
 
-DEFAULT_TABLE_DIR = "/root/reference/Lubrication/Resistance_Coefs"
+# Resistance-scalar tables are numeric data shipped with the public
+# reference (Lubrication/Resistance_Coefs/*.txt); they are intentionally
+# not vendored. Point RMB_TPU_LUB_TABLES at a checkout's table directory
+# if the default path is absent.
+DEFAULT_TABLE_DIR = os.environ.get(
+    "RMB_TPU_LUB_TABLES", "/root/reference/Lubrication/Resistance_Coefs")
 
 
 def _read_pair_table(path):

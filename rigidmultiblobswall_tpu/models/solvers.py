@@ -38,7 +38,11 @@ def force_torque_calculator(system: System, state: State, r_blobs):
         r_blobs, g=system.g, blob_mass=1.0, blob_radius=system.blob_radius,
         repulsion_strength_wall=system.repulsion_strength_wall,
         debye_length_wall=system.debye_length_wall)
-    if system.blob_blob_force_method == "neighbor_list":
+    if system.blob_blob_force_method == "none":
+        # the reference's blob_blob_force_implementation=None default
+        # (multi_bodies_functions.py:260 -> default_zero_r_vectors)
+        pass
+    elif system.blob_blob_force_method == "neighbor_list":
         f_blobs = f_blobs + force_ops.blob_blob_forces_neighbor_list(
             r_blobs, repulsion_strength=system.repulsion_strength,
             debye_length=system.debye_length,
@@ -56,10 +60,13 @@ def force_torque_calculator(system: System, state: State, r_blobs):
     if system.blob_force_fn is not None:
         f_blobs = f_blobs + system.blob_force_fn(system, state, r_blobs)
     ft = kin.KT_mul(system, state, f_blobs)
-    ft = ft + force_ops.body_body_forces_torques(
-        state.pos, repulsion_strength=system.repulsion_strength,
-        debye_length=system.debye_length,
-        periodic_length=system.periodic_length)
+    # body-body Yukawa is opt-in, matching the reference's default
+    # body_body_force_torque_implementation=None (multi_bodies.py:1139)
+    if system.body_body_force_method in ("python", "yukawa"):
+        ft = ft + force_ops.body_body_forces_torques(
+            state.pos, repulsion_strength=system.repulsion_strength,
+            debye_length=system.debye_length,
+            periodic_length=system.periodic_length)
     if system.body_force_torque_fn is not None:
         ft = ft + system.body_force_torque_fn(system, state, r_blobs)
     return ft

@@ -114,6 +114,10 @@ class System:
     blob_blob_cutoff: float = 0.0
     blob_blob_grid_dim: int = 16
     blob_blob_cell_capacity: int = 32
+    # body-body Yukawa force (the reference's example user override,
+    # multi_bodies_functions.py:359-408): 'none' (reference default,
+    # body_body_force_torque_implementation None) or 'python'/'yukawa'
+    body_body_force_method: str = "none"
     solver_tolerance: float = 1e-8
     rf_delta: float = 1e-3
     # user-extension hooks (reference L5 layer); all optional callables

@@ -151,3 +151,23 @@ def double_layer_source_target(r_src, r_tgt, normals, vector, weights, *,
                            jnp.sum(ddy + qy, axis=1),
                            jnp.sum(ddz + qz + dz2 + qz2, axis=1)], axis=-1)
     return -3.0 / (4.0 * jnp.pi) * u
+
+
+def double_layer_dense(r_src, r_tgt, normals, weights):
+    """Dense unbounded Stokes double-layer matrix (3Nt, 3Ns), diagonal
+    (self) blocks zero — the reference's
+    double_layer_matrix_source_target_numba
+    (multi_bodies_utilities.py:189-260), used for the body_mobility
+    double-layer slip correction."""
+    normals = normals.reshape(-1, 3)
+    d = r_tgt[:, None, :] - r_src[None, :, :]
+    r2 = jnp.sum(d * d, axis=-1)
+    skip = r2 <= 1e-28
+    r2s = jnp.where(skip, 1.0, r2)
+    invr5 = 1.0 / (r2s * r2s * jnp.sqrt(r2s))
+    rn = jnp.einsum("tsk,sk->ts", d, normals)
+    fac = jnp.where(skip, 0.0, rn * weights[None, :] * invr5)
+    blocks = fac[:, :, None, None] * d[:, :, :, None] * d[:, :, None, :]
+    nt, ns = r_tgt.shape[0], r_src.shape[0]
+    D = blocks.transpose(0, 2, 1, 3).reshape(3 * nt, 3 * ns)
+    return -3.0 / (4.0 * jnp.pi) * D

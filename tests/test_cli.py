@@ -309,3 +309,162 @@ structure             {vertex} {clones}
     _, locB, quatB = scene.read_clones_file(outA + ".one.00000004.clones")
     np.testing.assert_allclose(locB, locC, rtol=0, atol=1e-12)
     np.testing.assert_allclose(quatB, quatC, rtol=0, atol=1e-12)
+
+
+def test_cli_dynamic_saves_mobilities(tmp_path, monkeypatch):
+    """save_blobs_mobility/save_body_mobility dump the dense blob and 6x6
+    body mobility at every save point (reference multi_bodies.py:1465-1477)."""
+    vertex = os.path.join(REF_DIR, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    clones = tmp_path / "one.clones"
+    clones.write_text("1\n0 0 2  1 0 0 0\n")
+    inp = tmp_path / "input.dat"
+    out = str(tmp_path / "mobdump")
+    inp.write_text(f"""
+scheme                deterministic_forward_euler
+dt                    0.001
+n_steps               2
+n_save                1
+eta                   1.0
+blob_radius           0.4
+kT                    0.0
+g                     1.0
+save_blobs_mobility   True
+save_body_mobility    True
+output_name           {out}
+structure             {vertex} {clones}
+""")
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--input-file", str(inp)])
+    for s in (0, 1, 2):
+        M = np.loadtxt("%s.blobs_mobility.%08d.dat" % (out, s))
+        N = np.loadtxt("%s.body_mobility.%08d.dat" % (out, s))
+        assert M.shape == (36, 36)
+        assert N.shape == (6, 6)
+        # both are SPD mobilities
+        assert np.all(np.linalg.eigvalsh((M + M.T) / 2) > 0)
+        assert np.all(np.linalg.eigvalsh((N + N.T) / 2) > 0)
+
+
+def test_body_body_force_gate():
+    """The Yukawa body-body force is opt-in: reference default
+    body_body_force_torque_implementation=None adds nothing
+    (multi_bodies.py:1139); 'python' activates it."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from rigidmultiblobswall_tpu.models import kinematics as kin
+    from rigidmultiblobswall_tpu.models import solvers
+    from rigidmultiblobswall_tpu.models.system import (BodyType, System,
+                                                       make_state)
+
+    t = BodyType(name="b", ref_config=np.zeros((1, 3)), count=2)
+    sys_off = System(types=(t,), eta=1.0, blob_radius=0.5, kT=0.0, g=0.0,
+                     domain="single_wall", repulsion_strength=1.0,
+                     debye_length=0.5)
+    state = make_state(np.array([[0, 0, 2.0], [1.5, 0, 2.0]]),
+                       np.tile([1.0, 0, 0, 0], (2, 1)))
+    r = kin.blob_positions(sys_off, state)
+    ft_off = solvers.force_torque_calculator(sys_off, state, r)
+    sys_on = dataclasses.replace(sys_off, body_body_force_method="yukawa")
+    ft_on = solvers.force_torque_calculator(sys_on, state, r)
+    diff = np.asarray(ft_on - ft_off).reshape(2, 6)
+    # equal-and-opposite extra x-forces, no torques
+    assert abs(diff[0, 0]) > 1e-6
+    np.testing.assert_allclose(diff[0, :3], -diff[1, :3], atol=1e-12)
+    np.testing.assert_allclose(diff[:, 3:], 0.0, atol=1e-12)
+
+
+def test_cli_body_mobility_double_layer(tmp_path, monkeypatch):
+    """With a .Laplace file, body_mobility also writes the double-layer
+    corrected slip mobility slip_mob @ (I/2 + D)
+    (multi_bodies_utilities.py:607-613); D matches the reference's dense
+    numba kernel formula."""
+    vertex = os.path.join(REF_DIR,
+                          "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    v = np.loadtxt(vertex, skiprows=1)[:, :3]
+    normals = v / np.linalg.norm(v, axis=1, keepdims=True)
+    lap = np.column_stack([
+        normals, np.zeros(len(v)), np.ones(len(v)),
+        np.ones(len(v)), np.full(len(v), 4 * np.pi / len(v))])
+    np.savetxt(tmp_path / "s.Laplace", lap)
+    (tmp_path / "s.clones").write_text("1\n0. 0. 3. 1. 0. 0. 0.\n")
+    inp = tmp_path / "input.dat"
+    out = str(tmp_path / "bm")
+    inp.write_text(f"""
+scheme                body_mobility
+domain                no_wall
+eta                   1.0
+blob_radius           0.416
+output_name           {out}
+structure             {vertex} s.clones s.Laplace
+""")
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--input-file", str(inp)])
+    slip_mob = np.loadtxt(out + ".body_slip_mobility.dat")
+    dl = np.loadtxt(out + ".body_slip_mobility_double_layer.dat")
+    assert dl.shape == slip_mob.shape == (6, 3 * len(v))
+
+    # oracle: the reference's loop formula (zero diagonal blocks)
+    n = len(v)
+    D = np.zeros((3 * n, 3 * n))
+    w = 4 * np.pi / n
+    for i in range(n):
+        for j in range(n):
+            r = v[i] - v[j]
+            rn = np.linalg.norm(r)
+            if rn < 1e-14:
+                continue
+            D[3 * i:3 * i + 3, 3 * j:3 * j + 3] = (
+                -3.0 / (4.0 * np.pi) * np.dot(r, normals[j]) * w
+                * np.outer(r, r) / rn**5)
+    np.testing.assert_allclose(dl, slip_mob @ (0.5 * np.eye(3 * n) + D),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_cli_user_defined_functions(tmp_path, monkeypatch):
+    """A user_defined_functions.py in the run directory overrides the
+    L5 force hooks (the reference's per-example override mechanism,
+    multi_bodies_functions.py:466-472): a constant external torque makes
+    the single sphere spin; postprocess sees every step."""
+    vertex = os.path.join(REF_DIR, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    clones = tmp_path / "one.clones"
+    clones.write_text("1\n0 0 3  1 0 0 0\n")
+    (tmp_path / "user_defined_functions.py").write_text("""
+import jax.numpy as jnp
+
+CALLS = []
+
+def body_force_torque_fn(system, state, r_blobs):
+    ft = jnp.zeros((system.num_bodies, 6), state.pos.dtype)
+    return ft.at[:, 5].set(2.0)   # constant torque about z
+
+def postprocess(system, state, step):
+    CALLS.append(step)
+    return state
+""")
+    inp = tmp_path / "input.dat"
+    out = str(tmp_path / "udf")
+    inp.write_text(f"""
+scheme                deterministic_forward_euler
+dt                    0.05
+n_steps               4
+n_save                4
+eta                   1.0
+blob_radius           0.4
+kT                    0.0
+g                     0.0
+repulsion_strength    0
+repulsion_strength_wall 0
+output_name           {out}
+structure             {vertex} {clones}
+""")
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--input-file", str(inp)])
+    import sys as _sys
+    udf_mod = _sys.modules.get("user_defined_functions")
+    _, loc, quat = scene.read_clones_file(out + ".one.00000004.clones")
+    # torque about z spins the quaternion away from identity about z
+    assert abs(quat[0, 3]) > 1e-3
+    assert abs(loc[0, 2] - 3.0) < 1e-6  # no force: no translation
+    assert udf_mod is not None and udf_mod.CALLS == [0, 1, 2, 3]

@@ -67,3 +67,38 @@ structure             {vertex} {clones}
     assert system.eta == 1.3
     assert state.pos.shape == (2, 3)
     assert np.allclose(np.asarray(state.pos)[1], [2, 0, 1.5])
+
+
+def test_blob_blob_force_implementation_default_is_off(tmp_path):
+    """The reference defaults blob_blob_force_implementation=None -> zero
+    blob-blob forces (read_input.py:69, multi_bodies_functions.py:260);
+    naming any backend enables the one XLA implementation."""
+    import jax.numpy as jnp
+
+    from rigidmultiblobswall_tpu.io import input_file as im
+    from rigidmultiblobswall_tpu.models import kinematics as kin
+    from rigidmultiblobswall_tpu.models import solvers
+
+    (tmp_path / "b.vertex").write_text("1\n0. 0. 0.\n")
+    (tmp_path / "b.clones").write_text("2\n0 0 2 1 0 0 0\n0.9 0 2 1 0 0 0\n")
+    base = """
+g                    0.0
+blob_radius          0.5
+repulsion_strength   1.0
+debye_length         0.5
+repulsion_strength_wall 0.0
+structure            b.vertex b.clones
+"""
+    (tmp_path / "off.dat").write_text(base)
+    (tmp_path / "on.dat").write_text(
+        "blob_blob_force_implementation  python\n" + base)
+    ft = {}
+    for name in ("off", "on"):
+        cfg = im.read_input(tmp_path / f"{name}.dat")
+        system, state = im.build_system(cfg, base_dir=str(tmp_path))
+        r = kin.blob_positions(system, state)
+        ft[name] = np.asarray(
+            solvers.force_torque_calculator(system, state, r))
+    assert np.allclose(ft["off"], 0.0)
+    assert abs(ft["on"][0, 0]) > 1e-3          # overlapping pair repels in x
+    assert np.allclose(ft["on"][0, :3], -ft["on"][1, :3])

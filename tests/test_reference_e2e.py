@@ -184,3 +184,20 @@ def test_articulated_chain_matches_reference(tmp_path):
     err_q = np.abs(q_ref - sign * q_our).max()
     assert err_pos < 1e-5, f"position mismatch {err_pos:.3e}"
     assert err_q < 1e-5, f"orientation mismatch {err_q:.3e}"
+
+
+def test_squirmer_slip_matches_reference(tmp_path):
+    """Slip-driven swimmer (the reference's squirmer example): a
+    prescribed surface slip rotated to the lab frame every step must
+    propel the body identically in both codes (slip pipeline:
+    multi_bodies.py:170-174 vs BodyType.slip_ref)."""
+    ex = os.path.join(REF, "examples/squirmer")
+    vertex = os.path.join(REF, "Structures/shell_N_42_Rg_0_8913_Rh_1.vertex")
+    slip = os.path.join(ex, "squirmer.slip")
+    clones = str(tmp_path / "squirmer.clones")
+    with open(clones, "w") as f:
+        f.write("1\n0 0 3 0.707106781 0 0.707106781 0\n")
+    _compare_trajectories(
+        tmp_path, "deterministic_forward_euler",
+        [[vertex, clones, slip]], "squirmer", n_steps=3, dt=0.01,
+        extra="g 0.0")
