@@ -136,6 +136,7 @@ def bench_rollers():
     scheme = os.environ.get("BENCH_ROLLER_SCHEME",
                             "stochastic_adams_bashforth_rollers")
     sus = rollers.RollerSuspension(
+        mesh=_maybe_mesh(),
         num_rollers=N_ROLLERS, eta=1.0, blob_radius=0.5, kT=0.05, g=0.2,
         domain="single_wall", repulsion_strength=0.2, debye_length=0.2,
         repulsion_strength_wall=0.2, debye_length_wall=0.2,
@@ -189,41 +190,41 @@ def bench_rollers():
     }))
 
 
+def _maybe_mesh():
+    """All attached chips join a 1-D mesh (parallel/mesh.py): the spectral
+    engine shards near-field cells + gridding planes and distributes the
+    FFT; the direct engines row-shard the pair sweep. BENCH_MESH=0 forces
+    single-device; on one chip this is a no-op."""
+    if os.environ.get("BENCH_MESH", "1") == "0" or jax.device_count() <= 1:
+        return None
+    from rigidmultiblobswall_tpu.parallel.mesh import make_mesh
+    return make_mesh()
+
+
 def main():
     if BENCH_PATH == "rollers":
         bench_rollers()
         return
     system, state = build(periodic=(BENCH_PATH == "spectral"))
+    mesh = _maybe_mesh()
+    if mesh is not None:
+        import dataclasses
+        system = dataclasses.replace(system, mesh=mesh)
+        print(f"mesh: {tuple(mesh.shape.items())}", file=sys.stderr)
     n_blobs = system.num_blobs
     if BENCH_PATH == "spectral":
         # bucket-dropped particles would silently lose their far-field
-        # contribution: grow the gridding capacity until none drop
-        import dataclasses
-
+        # contribution: grow the gridding capacity until none drop; size
+        # the force-cell capacity from the ACTUAL occupancy (+25% drift
+        # margin) — overflow would silently weaken the repulsion
         from rigidmultiblobswall_tpu.models import kinematics, saddle
+        from rigidmultiblobswall_tpu.ops import forces as force_ops
 
         system = saddle.auto_spectral_capacities(
             system, state, log=lambda m: print(m, file=sys.stderr))
-        r_blobs = kinematics.blob_positions(system, state)
-
-        # force-cell capacity from the ACTUAL occupancy (silent source
-        # drops would weaken the repulsion): max count per force cell,
-        # +25% drift margin over the few benchmarked steps, lane-rounded
-        rb = np.asarray(r_blobs)
-        rc_f = system.blob_blob_cutoff
-        L3 = np.asarray(system.periodic_length)
-        dims_f = np.minimum((L3 // rc_f).astype(int),
-                            system.blob_blob_grid_dim)
-        cell_f = (np.floor((rb % L3) / (L3 / dims_f)).astype(int)
-                  % dims_f)
-        cid_f = (cell_f[:, 0] * dims_f[1] + cell_f[:, 1]) * dims_f[2] \
-            + cell_f[:, 2]
-        occ = np.bincount(cid_f).max()
-        cap_f = int(-(-int(occ * 1.25) // 8) * 8)
-        print(f"force cells: dims={tuple(dims_f)} max_occ={occ} "
-              f"capacity={cap_f}", file=sys.stderr)
-        system = dataclasses.replace(system,
-                                     blob_blob_cell_capacity=cap_f)
+        system = force_ops.auto_force_cell_capacity(
+            system, kinematics.blob_positions(system, state),
+            log=lambda m: print(m, file=sys.stderr))
     step = integrators.make_stepper(
         system, SCHEME, DT,
         lanczos_tolerance=LANCZOS_TOL, lanczos_max_iter=32,

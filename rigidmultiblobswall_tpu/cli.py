@@ -401,10 +401,16 @@ def main(argv=None):
             key = jax.random.wrap_key_data(
                 jnp.asarray(np.loadtxt(cfg.random_state, dtype=np.uint32)))
         # grow the spectral engine's fixed capacities until drop-free at
-        # the initial configuration (no-op for other domains)
+        # the initial configuration (no-op for other domains), and size
+        # the linked-cell force capacity from the actual occupancy
+        # (overflowing cells would silently weaken the repulsion)
+        from .models import kinematics as _kin
         from .models import saddle as _saddle
+        from .ops import forces as _forces
 
         system = _saddle.auto_spectral_capacities(system, state, log=print)
+        system = _forces.auto_force_cell_capacity(
+            system, _kin.blob_positions(system, state), log=print)
         gmres_maxiter = 1000
         step = integrators.make_stepper(system, cfg.scheme, cfg.dt,
                                         tolerance=cfg.solver_tolerance,
@@ -520,12 +526,13 @@ def main(argv=None):
             det_iters += int(aux.det_iterations)
             stoch_iters += int(aux.stoch_iterations)
             rejections += int(aux.rejections)
-            # a solve that consumed the full iteration budget did not
-            # reach tolerance: surface it instead of silently continuing
-            if int(aux.det_iterations) >= gmres_maxiter:
+            # a solve that stopped without reaching tolerance is surfaced
+            # instead of silently continuing (the per-solve converged flag
+            # threads up from GmresResult through MobilitySolution)
+            if not bool(np.asarray(aux.solves_converged)):
                 unconverged_steps += 1
-                print("WARNING: step %d GMRES hit maxiter=%d without "
-                      "converging" % (step_idx, gmres_maxiter),
+                print("WARNING: step %d had a GMRES solve stop before "
+                      "tolerance (maxiter=%d)" % (step_idx, gmres_maxiter),
                       file=sys.stderr)
             if cfg.options.get("save_velocities", "False") == "True":
                 velocities_log.append(np.asarray(aux.velocities))

@@ -145,6 +145,14 @@ def read_input(path) -> InputConfig:
             g("plot_concentration_field"), sep=" ")
     cfg.random_state = g("random_state")
     tmp_laplace = np.fromstring(g("background_Laplace") or "", sep=" ")
+    if tmp_laplace.size > 9:
+        # constant + gradient (3) + upper-triangular Hessian (5) = 9
+        # entries max (multi_bodies.py:120-130); the reference crashes
+        # opaquely here — fail with the offending option named instead
+        raise ValueError(
+            "background_Laplace takes at most 9 values "
+            f"(got {tmp_laplace.size}): constant, gradient (3), "
+            "upper-triangular Hessian (5)")
     cfg.background_laplace = np.hstack(
         [tmp_laplace, np.zeros(9 - tmp_laplace.size)])
     cfg.diffusion_coefficient = float(g("diffusion_coefficient") or 1.0)

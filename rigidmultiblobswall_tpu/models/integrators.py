@@ -38,6 +38,8 @@ class StepAux(NamedTuple):
     det_iterations: jax.Array   # GMRES iterations this step
     stoch_iterations: jax.Array # Lanczos iterations this step
     rejections: jax.Array       # wall-rejection retries this step
+    solves_converged: jax.Array = True  # every GMRES solve of the last
+    #                                     attempt reached tolerance
 
 
 class Carry(NamedTuple):
@@ -149,7 +151,8 @@ def _deterministic_forward_euler(system, dt, solver_kw, lanczos_kw,
     sol = solvers.solve_mobility_problem(system, state, **solver_kw)
     new_state = kin.advance(state, sol.velocities, dt)
     ok = kin.valid_configuration(system, new_state)
-    return new_state, sol.velocities, sol.iterations, jnp.asarray(0), ok
+    return (new_state, sol.velocities, sol.iterations, jnp.asarray(0), ok,
+            sol.converged)
 
 
 def _deterministic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
@@ -159,7 +162,8 @@ def _deterministic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
                      1.5 * sol.velocities - 0.5 * carry.velocities_prev)
     new_state = kin.advance(state, v_ab, dt)
     ok = kin.valid_configuration(system, new_state)
-    return new_state, sol.velocities, sol.iterations, jnp.asarray(0), ok
+    return (new_state, sol.velocities, sol.iterations, jnp.asarray(0), ok,
+            sol.converged)
 
 
 def _deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
@@ -175,7 +179,8 @@ def _deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
     new_state = kin.advance(state, sol2.velocities, dt)
     ok = ok_mid & kin.valid_configuration(system, new_state)
     return (new_state, sol2.velocities,
-            sol1.iterations + sol2.iterations, jnp.asarray(0), ok)
+            sol1.iterations + sol2.iterations, jnp.asarray(0), ok,
+            sol1.converged & sol2.converged)
 
 
 def _stochastic_EM(system, dt, solver_kw, lanczos_kw, key, state, carry):
@@ -186,7 +191,8 @@ def _stochastic_EM(system, dt, solver_kw, lanczos_kw, key, state, carry):
                                          noise_slip=noise, **solver_kw)
     new_state = kin.advance(state, sol.velocities, dt)
     ok = kin.valid_configuration(system, new_state)
-    return new_state, sol.velocities, sol.iterations, it_l, ok
+    return (new_state, sol.velocities, sol.iterations, it_l, ok,
+            sol.converged)
 
 
 def _stochastic_first_order_RFD(system, dt, solver_kw, lanczos_kw,
@@ -230,7 +236,8 @@ def _stochastic_first_order_RFD(system, dt, solver_kw, lanczos_kw,
     new_state = kin.advance(state, velocities, dt)
     ok = kin.valid_configuration(system, new_state)
     iters = sol.iterations + sol_minus.iterations + sol_drift.iterations
-    return new_state, velocities, iters, it_l, ok
+    conv = sol.converged & sol_minus.converged & sol_drift.converged
+    return new_state, velocities, iters, it_l, ok, conv
 
 
 def _stochastic_traction_EM(system, dt, solver_kw, lanczos_kw,
@@ -247,11 +254,13 @@ def _stochastic_traction_EM(system, dt, solver_kw, lanczos_kw,
 
     W_slip = jax.random.normal(k_rfd, (system.num_blobs, 3), dtype=dtype)
     r_blobs = kin.blob_positions(system, state)
-    # both sides of the RFD difference must use the SAME mobility engine
-    # (for periodic_spectral, _mobility_apply routes to the spectral
-    # plan at each configuration; mixing engines would be amplified by
-    # the 1/rf_delta in the drift term)
-    MxW = saddle._mobility_apply(system, r_blobs, None, W_slip)
+    # ONE mobility engine per step-start configuration (the carried
+    # cross-step spectral plan when present), shared by the M products,
+    # the RFD solve, the noise Lanczos and the drift-corrected solve;
+    # both sides of the RFD difference must use the SAME engine — the
+    # mismatch would be amplified by the 1/rf_delta in the drift term
+    m_dense = _get_m_dense(system, r_blobs, lanczos_kw)
+    MxW = saddle._mobility_apply(system, r_blobs, m_dense, W_slip)
     KTxW = kin.KT_mul(system, state, W_slip)
 
     # RFD displacement of the whole suspension by delta * W at blob level:
@@ -260,24 +269,31 @@ def _stochastic_traction_EM(system, dt, solver_kw, lanczos_kw,
         system, state,
         rhs=jnp.concatenate([-W_slip.ravel(),
                              jnp.zeros(6 * system.num_bodies, dtype)]),
-        pc=pc, **solver_kw)
+        pc=pc, m_dense=m_dense, **solver_kw)
     rfd_state = kin.advance(state, sol_rfd.velocities, system.rf_delta)
 
     r_rfd = kin.blob_positions(system, rfd_state)
-    M_rfd_xW = saddle._mobility_apply(system, r_rfd, None, W_slip)
+    # spectral plans refresh in place at the displaced configuration
+    # (position re-gathers only — the RFD displacement is tiny)
+    m_rfd = saddle.refresh_dense_mobility(system, m_dense, r_rfd,
+                                          build=False)
+    M_rfd_xW = saddle._mobility_apply(system, r_rfd, m_rfd, W_slip)
     KT_rfd_xW = kin.KT_mul(system, rfd_state, W_slip)
 
-    noise, it_l = _noise_slip(system, state, pc, k_noise, factor, **lanczos_kw)
+    noise, it_l = _noise_slip(system, state, pc, k_noise, factor,
+                              m_dense=m_dense, **lanczos_kw)
     rand_slip = noise + kT_over_delta * (M_rfd_xW - MxW).ravel()
     rand_ft = -kT_over_delta * (KT_rfd_xW - KTxW)
 
     sol = solvers.solve_mobility_problem(system, state, pc=pc,
                                          noise_slip=rand_slip,
-                                         noise_ft=rand_ft, **solver_kw)
+                                         noise_ft=rand_ft,
+                                         m_dense=m_dense, **solver_kw)
     new_state = kin.advance(state, sol.velocities, dt)
     ok = kin.valid_configuration(system, new_state)
     iters = sol_rfd.iterations + sol.iterations
-    return new_state, sol.velocities, iters, it_l, ok
+    return (new_state, sol.velocities, iters, it_l, ok,
+            sol_rfd.converged & sol.converged)
 
 
 def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
@@ -352,7 +368,8 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
     ok = ok_pred & kin.valid_configuration(system, new_state)
     # lockstep pair counts batched sweeps once (one sweep serves both RHS)
     iters = sol_pair.iterations + sol2.iterations
-    return new_state, velocities, iters, it_l, ok
+    return (new_state, velocities, iters, it_l, ok,
+            sol_pair.converged & sol2.converged)
 
 
 def _dense_sqrt_mul(N, z, factor):
@@ -434,7 +451,8 @@ def _stochastic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
     iters = (sol_pair.iterations
              + sol_minus.iterations + sol_drift.iterations)
     # carry keeps only the deterministic velocity (reference :546)
-    return new_state, v_det, iters, it_l, ok
+    conv = sol_pair.converged & sol_minus.converged & sol_drift.converged
+    return new_state, v_det, iters, it_l, ok, conv
 
 
 def _deterministic_forward_euler_dense(system, dt, solver_kw, lanczos_kw,
@@ -442,7 +460,7 @@ def _deterministic_forward_euler_dense(system, dt, solver_kw, lanczos_kw,
     v, _ = solvers.solve_mobility_problem_dense(system, state)
     new_state = kin.advance(state, v, dt)
     ok = kin.valid_configuration(system, new_state)
-    return new_state, v, jnp.asarray(0), jnp.asarray(0), ok
+    return new_state, v, jnp.asarray(0), jnp.asarray(0), ok, True
 
 
 def _stochastic_first_order_RFD_dense(system, dt, solver_kw, lanczos_kw,
@@ -468,7 +486,7 @@ def _stochastic_first_order_RFD_dense(system, dt, solver_kw, lanczos_kw,
         (N_plus - N) @ force_rfd.ravel()).reshape(system.num_bodies, 6)
     new_state = kin.advance(state, v, dt)
     ok = kin.valid_configuration(system, new_state)
-    return new_state, v, jnp.asarray(0), jnp.asarray(0), ok
+    return new_state, v, jnp.asarray(0), jnp.asarray(0), ok, True
 
 
 def _dense_pieces(system, state):
@@ -537,7 +555,7 @@ def _stochastic_slip_mid_dla(system, dt, solver_kw, lanczos_kw, key, state,
 
     new_state = kin.advance(state, v_new, dt)
     ok = ok_mid & kin.valid_configuration(system, new_state)
-    return new_state, v_new, jnp.asarray(0), jnp.asarray(0), ok
+    return new_state, v_new, jnp.asarray(0), jnp.asarray(0), ok, True
 
 
 def _fixman(system, dt, solver_kw, lanczos_kw, key, state, carry):
@@ -559,7 +577,7 @@ def _fixman(system, dt, solver_kw, lanczos_kw, key, state, carry):
     v_new = v_new + (N_new @ Ninvhalf_cor).reshape(system.num_bodies, 6)
     new_state = kin.advance(state, v_new, dt)
     ok = ok_mid & kin.valid_configuration(system, new_state)
-    return new_state, v_new, jnp.asarray(0), jnp.asarray(0), ok
+    return new_state, v_new, jnp.asarray(0), jnp.asarray(0), ok, True
 
 
 def _unpc_noise(system, state, key, factor, tolerance, max_iter,
@@ -637,7 +655,8 @@ def _stochastic_GDC_RFD(system, dt, solver_kw, lanczos_kw, key, state, carry):
     ok = ok_mid & kin.valid_configuration(system, new_state)
     iters = sol_mid.iterations
     st_iters = it1 + res_rfd.iterations + it3
-    return new_state, sol_mid.velocities, iters, st_iters, ok
+    return (new_state, sol_mid.velocities, iters, st_iters, ok,
+            sol_mid.converged)
 
 
 def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
@@ -713,7 +732,8 @@ def _stochastic_slip_mid(system, dt, solver_kw, lanczos_kw, key, state,
     ok = ok_mid & kin.valid_configuration(system, new_state)
     iters = sol_pair.iterations + sol_cor.iterations
     st = noise_W1.iterations + noise_Wcor.iterations
-    return new_state, sol_cor.velocities, iters, st, ok
+    return (new_state, sol_cor.velocities, iters, st, ok,
+            sol_pair.converged & sol_cor.converged)
 
 
 def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
@@ -776,7 +796,8 @@ def _stochastic_traction_AB(system, dt, solver_kw, lanczos_kw, key, state,
     new_state = kin.advance(state, v_ab, dt)
     ok = kin.valid_configuration(system, new_state)
     iters = sol_rfd.iterations + sol_pair.iterations
-    return new_state, v_det, iters, it_l, ok
+    return (new_state, v_det, iters, it_l, ok,
+            sol_rfd.converged & sol_pair.converged)
 
 
 def _articulated_deterministic_forward_euler(system, dt, solver_kw,
@@ -798,7 +819,8 @@ def _articulated_deterministic_forward_euler(system, dt, solver_kw,
         system, moved, time=t_now + dt,
         tol=system.nonlinear_solver_tolerance)
     ok = kin.valid_configuration(system, moved)
-    return moved, sol.velocities, sol.iterations, jnp.asarray(0), ok
+    return (moved, sol.velocities, sol.iterations, jnp.asarray(0), ok,
+            sol.converged)
 
 
 def _articulated_deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
@@ -830,7 +852,7 @@ def _articulated_deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
         tol=system.nonlinear_solver_tolerance)
     ok = kin.valid_configuration(system, new)
     return (new, sol2.velocities, sol1.iterations + sol2.iterations,
-            jnp.asarray(0), ok)
+            jnp.asarray(0), ok, sol1.converged & sol2.converged)
 
 
 def _articulated_single_blob_scheme(midpoint):
@@ -847,6 +869,7 @@ def _articulated_single_blob_scheme(midpoint):
         sol = solvers.solve_mobility_problem_single_blob(
             system, state, time=t_now, **kw)
         iters = sol.iterations
+        conv = sol.converged
         if midpoint:
             mid = kin.advance(state, sol.velocities, 0.5 * dt)
             mid = art_mod.correct_center_of_mass(
@@ -858,6 +881,7 @@ def _articulated_single_blob_scheme(midpoint):
             sol = solvers.solve_mobility_problem_single_blob(
                 system, mid, time=t_now + 0.5 * dt, **kw)
             iters = iters + sol.iterations
+            conv = conv & sol.converged
         new = kin.advance(state, sol.velocities, dt)
         new = art_mod.correct_center_of_mass(system, new, state,
                                              sol.velocities, dt,
@@ -866,7 +890,7 @@ def _articulated_single_blob_scheme(midpoint):
             system, new, time=t_now + dt,
             tol=system.nonlinear_solver_tolerance)
         ok = kin.valid_configuration(system, new)
-        return new, sol.velocities, iters, jnp.asarray(0), ok
+        return new, sol.velocities, iters, jnp.asarray(0), ok, conv
 
     return scheme
 
@@ -960,23 +984,25 @@ def make_stepper(system: System, scheme: str, dt: float, *,
             def body(loop):
                 _, key, _, attempts, _ = loop
                 key, sub = jax.random.split(key)
-                new_state, velocities, det_it, st_it, ok = attempt(
+                new_state, velocities, det_it, st_it, ok, conv = attempt(
                     sub, state, inner, {_PC_CACHE_KEY: pc, **plan_kw})
-                return (new_state, key, (velocities, det_it, st_it),
+                return (new_state, key,
+                        (velocities, det_it, st_it, jnp.asarray(conv)),
                         attempts + 1, ok)
 
             zero_aux = (jnp.zeros((system.num_bodies, 6),
                                   dtype=state.pos.dtype),
-                        jnp.asarray(0), jnp.asarray(0))
+                        jnp.asarray(0), jnp.asarray(0), jnp.asarray(True))
             init = (state, key, zero_aux, jnp.asarray(0), jnp.asarray(False))
-            new_state, _, (velocities, det_it, st_it), attempts, ok = (
+            new_state, _, (velocities, det_it, st_it, conv), attempts, ok = (
                 jax.lax.while_loop(cond, body, init))
             new_inner = Carry(velocities_prev=velocities,
                               first_step=jnp.asarray(False),
                               step_idx=inner.step_idx + 1,
                               plan=plan)
             aux = StepAux(velocities=velocities, det_iterations=det_it,
-                          stoch_iterations=st_it, rejections=attempts - 1)
+                          stoch_iterations=st_it, rejections=attempts - 1,
+                          solves_converged=conv)
             return new_state, (new_inner, pc, step_idx + 1), aux
 
         return step
@@ -991,15 +1017,16 @@ def make_stepper(system: System, scheme: str, dt: float, *,
         def body(loop):
             _, key, _, attempts, _ = loop
             key, sub = jax.random.split(key)
-            new_state, velocities, det_it, st_it, ok = attempt(
+            new_state, velocities, det_it, st_it, ok, conv = attempt(
                 sub, state, carry, plan_kw)
             return (new_state, key,
-                    (velocities, det_it, st_it), attempts + 1, ok)
+                    (velocities, det_it, st_it, jnp.asarray(conv)),
+                    attempts + 1, ok)
 
         zero_aux = (jnp.zeros((system.num_bodies, 6), dtype=state.pos.dtype),
-                    jnp.asarray(0), jnp.asarray(0))
+                    jnp.asarray(0), jnp.asarray(0), jnp.asarray(True))
         init = (state, key, zero_aux, jnp.asarray(0), jnp.asarray(False))
-        new_state, _, (velocities, det_it, st_it), attempts, ok = (
+        new_state, _, (velocities, det_it, st_it, conv), attempts, ok = (
             jax.lax.while_loop(cond, body, init))
 
         new_carry = Carry(velocities_prev=velocities,
@@ -1007,7 +1034,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                           step_idx=carry.step_idx + 1,
                           plan=plan)
         aux = StepAux(velocities=velocities, det_iterations=det_it,
-                      stoch_iterations=st_it, rejections=attempts - 1)
+                      stoch_iterations=st_it, rejections=attempts - 1,
+                      solves_converged=conv)
         return new_state, new_carry, aux
 
     return step

@@ -139,17 +139,37 @@ def run_mcmc(system: System, state: State, key, *, n_steps, save_every=1,
         mc0, _ = jax.lax.scan(
             burn, mc0, (jax.random.split(k_burn, n_burn), flags))
 
+    # reference save cadence (many_body_MCMC.py:158-235): every step makes
+    # a move, and the post-move state is recorded when step % n_save == 0
+    # — so frame s is the state after s*save_every + 1 moves, frame 0
+    # exists for any n_steps >= 1, and ALL n_steps moves execute (the
+    # tail past the last save point still advances the chain)
+    def inner(mc, k):
+        return kernel(mc, k), None
+
+    if n_steps < 1:
+        empty = jax.tree.map(lambda x: jnp.zeros((0,) + x.shape, x.dtype),
+                             mc0.state)
+        return mc0, empty, jnp.zeros((0,), mc0.energy.dtype)
+
+    k_first, k_blocks, k_tail = jax.random.split(key, 3)
+    mc0 = kernel(mc0, k_first)
+    frame0 = (mc0.state, mc0.energy)
+
     def outer(mc, key):
-        keys = jax.random.split(key, save_every)
-
-        def inner(mc, k):
-            return kernel(mc, k), None
-
-        mc, _ = jax.lax.scan(inner, mc, keys)
+        mc, _ = jax.lax.scan(inner, mc, jax.random.split(key, save_every))
         return mc, (mc.state, mc.energy)
 
-    keys = jax.random.split(key, n_steps // save_every)
-    mc, (traj, energies) = jax.lax.scan(outer, mc0, keys)
+    n_blocks = max(n_steps - 1, 0) // save_every
+    mc, (traj, energies) = jax.lax.scan(
+        outer, mc0, jax.random.split(k_blocks, n_blocks))
+    n_tail = max(n_steps - 1, 0) % save_every
+    if n_tail:
+        mc, _ = jax.lax.scan(inner, mc, jax.random.split(k_tail, n_tail))
+    traj = jax.tree.map(
+        lambda f0, t: jnp.concatenate([f0[None], t], axis=0), frame0[0],
+        traj)
+    energies = jnp.concatenate([frame0[1][None], energies], axis=0)
     return mc, traj, energies
 
 

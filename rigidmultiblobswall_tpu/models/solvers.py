@@ -28,6 +28,7 @@ class MobilitySolution(NamedTuple):
     iterations: jax.Array
     residual_norm: jax.Array
     phi: jax.Array = None   # (C,3) articulated constraint forces
+    converged: jax.Array = True  # GMRES reached tolerance (all RHS)
 
 
 def force_torque_calculator(system: System, state: State, r_blobs):
@@ -169,7 +170,8 @@ def solve_mobility_problem(
                       U)
     return MobilitySolution(lam=lam, velocities=U,
                             iterations=result.iterations,
-                            residual_norm=result.residual_norm, phi=phi)
+                            residual_norm=result.residual_norm, phi=phi,
+                            converged=result.converged)
 
 
 def solve_mobility_problem_lockstep(
@@ -226,7 +228,8 @@ def solve_mobility_problem_lockstep(
                       U)
     return MobilitySolution(lam=lam, velocities=U,
                             iterations=result.iterations,
-                            residual_norm=result.residual_norm, phi=phi)
+                            residual_norm=result.residual_norm, phi=phi,
+                            converged=jnp.all(result.converged))
 
 
 def _single_blob_articulated_pc(system: System, state: State, time=0.0):
@@ -331,7 +334,8 @@ def solve_mobility_problem_single_blob(
     U = sol[nc3:].reshape(nb, 6)
     return MobilitySolution(lam=jnp.zeros((nb, 3), dtype=dtype),
                             velocities=U, iterations=result.iterations,
-                            residual_norm=result.residual_norm, phi=phi)
+                            residual_norm=result.residual_norm, phi=phi,
+                            converged=result.converged)
 
 
 # ---------------------------------------------------------------------------

@@ -384,6 +384,11 @@ class SpectralPlan:
     into the HLO as constants)."""
 
     positions: jax.Array      # (N, 3) wrapped into the box
+    sort_pos: jax.Array       # (N, 3) positions the cell/segment sort was
+    #                           built at: update_plan measures its drift
+    #                           budget against THESE (not the last
+    #                           refresh), so cumulative cross-step drift
+    #                           triggers the full rebuild
     # real-space: piecewise-Chebyshev radial scalars + padded cell layout
     cheb: jax.Array           # (2 pieces, 2 funcs {alpha,beta}, K) coeffs
     self_coeff: jax.Array     # scalar
@@ -419,7 +424,7 @@ class SpectralPlan:
 
 jax.tree_util.register_dataclass(
     SpectralPlan,
-    data_fields=["positions", "cheb", "self_coeff",
+    data_fields=["positions", "sort_pos", "cheb", "self_coeff",
                  "cell_table", "cell_slot", "nbr_cells", "n_dropped_cells",
                  "grid_tbl", "inv_idx", "n_dropped",
                  "src_pos", "src_ids", "tgt_xyz",
@@ -586,6 +591,7 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
 
     return SpectralPlan(
         positions=pos,
+        sort_pos=pos,
         cheb=jnp.asarray(cheb, dtype),
         self_coeff=jnp.asarray(self_c, dtype),
         cell_table=cell_table, cell_slot=cell_slot,
@@ -669,9 +675,13 @@ def update_plan(plan: SpectralPlan, positions) -> SpectralPlan:
     dtype = plan.positions.dtype
     box = jnp.asarray(p.box, dtype)
     pos_w = positions - jnp.floor(positions / box) * box
-    delta = pos_w - plan.positions
+    # drift is measured against the positions the SORT was built at
+    # (plan.sort_pos, carried unchanged through refreshes), so repeated
+    # per-step refreshes cannot accumulate past the exactness budget:
+    # once CUMULATIVE drift exceeds it, the full rebuild fires
+    delta = pos_w - plan.sort_pos
     delta = delta - jnp.round(delta / box) * box       # min-image drift
-    pos_eff = plan.positions + delta
+    pos_eff = plan.sort_pos + delta
 
     dims = plan.cell_dims
     side = np.asarray(p.box, np.float64) / np.asarray(dims)
@@ -1005,7 +1015,11 @@ def _xla_near_tile_fn(plan: SpectralPlan, forces):
         d = d - jnp.round(d / box) * box                   # min image
         r2 = jnp.sum(d * d, axis=-1)                       # (TC,cap,27,cap)
         r = jnp.sqrt(r2)
-        inside = ((r < p.r_cut)
+        # r2 > 0 matches the Pallas kernel: exactly-coincident DISTINCT
+        # blobs (a degenerate, measure-zero configuration) contribute
+        # only through the wave part on every backend, instead of
+        # diverging between near_impl choices
+        inside = ((r < p.r_cut) & (r2 > 0)
                   & (rid[:, :, None, None] != sid[:, None, :, :]))
         d = jnp.where(inside[..., None], d, 0.0)
         near = r < two_a
@@ -1375,7 +1389,9 @@ def brute_force_real(params: EwaldParams, positions, forces):
         d = pos[i] - pos
         d -= np.round(d / L) * L
         r = np.linalg.norm(d, axis=1)
-        sel = (r < params.r_cut) & (np.arange(n) != i)
+        # r > 0: coincident distinct blobs are excluded on every backend
+        # (see real_matvec_xla); they contribute via the wave part only
+        sel = (r < params.r_cut) & (np.arange(n) != i) & (r > 0)
         al = np.interp(r[sel], r_tab, a_tab)
         be = np.interp(r[sel], r_tab, b_tab)
         dd = d[sel]

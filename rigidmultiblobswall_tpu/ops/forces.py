@@ -375,6 +375,58 @@ def _neighbor_forces_pallas(r_vectors, periodic_length, dims, cap,
     return rows[cell_slot].astype(r_vectors.dtype)
 
 
+def auto_force_cell_capacity(system, r_blobs, *, margin=1.25, log=None):
+    """Size the linked-cell force capacity from the ACTUAL occupancy at
+    the given configuration (host-side, call once at startup like
+    saddle.auto_spectral_capacities): a cell holding more blobs than
+    `blob_blob_cell_capacity` silently drops them — overflow blobs lose
+    their source contributions on the generic path, and the fused Pallas
+    path drops them as targets too (their repulsion is zeroed entirely).
+    Returns a System with the capacity set to max-occupancy * margin,
+    lane-rounded; a no-op for other force methods."""
+    import dataclasses
+
+    import numpy as _np
+
+    if system.blob_blob_force_method != "neighbor_list":
+        return system
+    rb = _np.asarray(r_blobs)
+    rc = system.blob_blob_cutoff or (
+        2.0 * system.blob_radius + 30.0 * system.debye_length)
+    L3 = _np.asarray(system.periodic_length, _np.float64)
+    dims = []
+    for d in range(3):
+        if L3[d] > 0:
+            nd = int(L3[d] // rc)
+            if nd < 4:
+                return system       # falls back to the direct sweep
+            dims.append(min(nd, system.blob_blob_grid_dim))
+        else:
+            dims.append(system.blob_blob_grid_dim)
+    dims = _np.asarray(dims)
+    x = rb.copy()
+    occs = []
+    for d in range(3):
+        if L3[d] > 0:
+            x[:, d] = x[:, d] % L3[d]
+            cs = L3[d] / dims[d]
+            lo = 0.0
+        else:
+            lo = x[:, d].min()
+            cs = max((x[:, d].max() - lo) / dims[d], rc) * (1 + 1e-6)
+        occs.append(_np.clip((x[:, d] - lo) // cs, 0,
+                             dims[d] - 1).astype(int))
+    cid = (occs[0] * dims[1] + occs[1]) * dims[2] + occs[2]
+    occ = int(_np.bincount(cid).max())
+    cap = -(-int(occ * margin) // 8) * 8
+    if log is not None:
+        log(f"force cells: dims={tuple(int(v) for v in dims)} "
+            f"max_occ={occ} capacity={cap}")
+    if cap <= system.blob_blob_cell_capacity:
+        return system
+    return dataclasses.replace(system, blob_blob_cell_capacity=cap)
+
+
 def body_body_forces_torques(locations, *, repulsion_strength=0.0,
                              debye_length=1.0,
                              periodic_length=(0.0, 0.0, 0.0)):

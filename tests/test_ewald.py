@@ -402,6 +402,37 @@ def test_update_plan_rebuild_fallback_large_drift():
         np.abs(y_new)))
 
 
+def test_update_plan_cumulative_drift_triggers_rebuild():
+    """Chained refreshes (the cross-step plan carry) measure drift against
+    the SORT-time positions, not the previous refresh: many small steps
+    that each fit the per-step budget must still trigger the full rebuild
+    once the accumulated drift exceeds it, keeping the near field exact
+    for the whole run."""
+    rng = np.random.default_rng(23)
+    n = 120
+    pos = rng.uniform(0.0, BOX[0], size=(n, 3))
+    p = ewald.default_params(A, ETA, BOX, tol=1e-4)
+    plan = ewald.make_plan(p, jnp.asarray(pos))
+    side = np.asarray(BOX) / np.asarray(plan.cell_dims)
+    budget = 0.5 * np.minimum(side - p.r_cut, np.asarray(p.spacing))
+    # coherent per-step drift at ~0.4x the budget: step 3 pushes the
+    # cumulative displacement past it
+    step = 0.4 * budget.min() * np.ones(3) / np.sqrt(3.0)
+    F = jnp.asarray(rng.normal(size=(n, 3)))
+    cur = pos.copy()
+    for k in range(6):
+        cur = cur + step
+        plan = ewald.update_plan(plan, jnp.asarray(cur))
+        fresh = ewald.make_plan(p, jnp.asarray(cur))
+        rn = float(jnp.max(jnp.abs(ewald.real_matvec(plan, F)
+                                   - ewald.real_matvec(fresh, F)))
+                   / jnp.max(jnp.abs(ewald.matvec(fresh, F))))
+        assert rn < 1e-6, (k, rn)
+    # the rebuild actually fired at least once: the sort anchor moved
+    assert not bool(jnp.allclose(plan.sort_pos, jnp.asarray(
+        pos - np.floor(pos / np.asarray(BOX)) * np.asarray(BOX))))
+
+
 def test_matvec_multi_sharded_matches_singles():
     """Multi-RHS over the mesh: one distributed sweep (shared gridding and
     near-field work across b-major channels) equals the stacked

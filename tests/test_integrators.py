@@ -29,6 +29,50 @@ def test_forward_euler_matches_manual_update():
     assert int(aux.det_iterations) > 0
 
 
+def test_solves_converged_flag_surfaces_gmres_state():
+    """StepAux.solves_converged threads the GmresResult.converged flag up
+    through MobilitySolution: True at a reachable tolerance, False when
+    the iteration budget cannot reach it (VERDICT weak #7: a silently
+    non-converged solve must be distinguishable)."""
+    system, state = _sphere_system(count=4, seed=3)
+    step = integrators.make_stepper(system, "deterministic_forward_euler",
+                                    1e-3)
+    _, _, aux = step(state, jax.random.PRNGKey(0),
+                     integrators.init_carry(system))
+    assert bool(np.asarray(aux.solves_converged))
+
+    import dataclasses
+    tight = dataclasses.replace(system, solver_tolerance=1e-30)
+    step2 = integrators.make_stepper(tight, "deterministic_forward_euler",
+                                     1e-3, gmres_maxiter=3, gmres_restart=3)
+    _, _, aux2 = step2(state, jax.random.PRNGKey(0),
+                       integrators.init_carry(tight))
+    assert not bool(np.asarray(aux2.solves_converged))
+
+
+def test_auto_force_cell_capacity_grows_to_occupancy():
+    """The startup capacity sizing covers the densest cell (overflow
+    silently weakens the repulsion, ops/forces.py)."""
+    import dataclasses
+
+    from rigidmultiblobswall_tpu.ops import forces as force_ops
+
+    system, state = _sphere_system(count=2, seed=0)
+    L = 40.0
+    sys_nl = dataclasses.replace(
+        system, blob_blob_force_method="neighbor_list",
+        periodic_length=(L, L, L), domain="no_wall",
+        blob_blob_cutoff=2.0, blob_blob_grid_dim=16,
+        blob_blob_cell_capacity=8)
+    # clump many blobs into one cell
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0.2, 1.0, size=(100, 3)))
+    sized = force_ops.auto_force_cell_capacity(sys_nl, pos)
+    assert sized.blob_blob_cell_capacity >= 100
+    # non-neighbor-list systems pass through untouched
+    assert force_ops.auto_force_cell_capacity(system, pos) is system
+
+
 def test_adams_bashforth_second_step_uses_history():
     system, state = _sphere_system(count=1, seed=11)
     dt = 1e-3
