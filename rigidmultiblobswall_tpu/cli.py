@@ -431,6 +431,7 @@ def main(argv=None):
         stoch_iters = 0
         rejections = 0
         unconverged_steps = 0
+        overflow_steps = 0
 
         velocities_log = []
 
@@ -517,6 +518,26 @@ def main(argv=None):
                 save_clones(step_idx, state)
                 save_concentration_field(step_idx, state)
                 save_mobilities(step_idx, state)
+                # re-check the linked-cell force occupancy against the
+                # t=0 sizing (overflow silently weakens the repulsion)
+                if system.blob_blob_force_method == "neighbor_list":
+                    from .ops import forces as _fovf
+
+                    grown = _fovf.auto_force_cell_capacity(
+                        system, _kin.blob_positions(system, state),
+                        margin=1.0)
+                    if (grown.blob_blob_cell_capacity
+                            > system.blob_blob_cell_capacity):
+                        overflow_steps += 1
+                        print("WARNING: step %d force cells exceed "
+                              "capacity %d (need %d); forces are being "
+                              "dropped — restart with "
+                              "blob_blob_cell_capacity >= %d"
+                              % (step_idx,
+                                 system.blob_blob_cell_capacity,
+                                 grown.blob_blob_cell_capacity,
+                                 grown.blob_blob_cell_capacity),
+                              file=sys.stderr)
             if user_mod is not None and hasattr(user_mod, "preprocess"):
                 state = user_mod.preprocess(system, state, step_idx)
             key, sub = jax.random.split(key)
@@ -534,6 +555,17 @@ def main(argv=None):
                 print("WARNING: step %d had a GMRES solve stop before "
                       "tolerance (maxiter=%d)" % (step_idx, gmres_maxiter),
                       file=sys.stderr)
+            # mid-run density growth can outgrow the t=0 capacity
+            # auto-sizing: the spectral plan recounts its drops at each
+            # full rebuild and a dropped particle silently loses
+            # hydrodynamic contributions — surface it
+            ovf = int(np.asarray(getattr(aux, "capacity_overflows", 0)))
+            if ovf > 0:
+                overflow_steps += 1
+                print("WARNING: step %d spectral plan dropped %d "
+                      "entries (grow spectral_bucket_capacity / "
+                      "spectral_cell_capacity)" % (step_idx, ovf),
+                      file=sys.stderr)
             if cfg.options.get("save_velocities", "False") == "True":
                 velocities_log.append(np.asarray(aux.velocities))
         save_clones(cfg.n_steps, state)
@@ -548,6 +580,8 @@ def main(argv=None):
             f.write("stochastic_iterations_count      %d\n" % stoch_iters)
             f.write("unconverged_solve_steps          %d\n"
                     % unconverged_steps)
+            f.write("capacity_overflow_steps          %d\n"
+                    % overflow_steps)
         # PRNG reproducibility (the reference pickles np.random state,
         # multi_bodies.py:1160-1162; the JAX equivalent is the final key)
         np.savetxt(cfg.output_name + ".random_state",

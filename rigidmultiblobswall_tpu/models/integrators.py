@@ -40,6 +40,9 @@ class StepAux(NamedTuple):
     rejections: jax.Array       # wall-rejection retries this step
     solves_converged: jax.Array = True  # every GMRES solve of the last
     #                                     attempt reached tolerance
+    capacity_overflows: jax.Array = 0   # spectral plan drop counters
+    #                                     (gridding segments + near cells)
+    #                                     as of the plan's last full sort
 
 
 class Carry(NamedTuple):
@@ -148,7 +151,10 @@ def _free_mask(system, dtype):
 
 def _deterministic_forward_euler(system, dt, solver_kw, lanczos_kw,
                                  key, state, carry):
-    sol = solvers.solve_mobility_problem(system, state, **solver_kw)
+    m_dense = _get_m_dense(system, kin.blob_positions(system, state),
+                           lanczos_kw)
+    sol = solvers.solve_mobility_problem(system, state, m_dense=m_dense,
+                                         **solver_kw)
     new_state = kin.advance(state, sol.velocities, dt)
     ok = kin.valid_configuration(system, new_state)
     return (new_state, sol.velocities, sol.iterations, jnp.asarray(0), ok,
@@ -157,7 +163,10 @@ def _deterministic_forward_euler(system, dt, solver_kw, lanczos_kw,
 
 def _deterministic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
                                    key, state, carry):
-    sol = solvers.solve_mobility_problem(system, state, **solver_kw)
+    m_dense = _get_m_dense(system, kin.blob_positions(system, state),
+                           lanczos_kw)
+    sol = solvers.solve_mobility_problem(system, state, m_dense=m_dense,
+                                         **solver_kw)
     v_ab = jnp.where(carry.first_step, sol.velocities,
                      1.5 * sol.velocities - 0.5 * carry.velocities_prev)
     new_state = kin.advance(state, v_ab, dt)
@@ -169,13 +178,18 @@ def _deterministic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
 def _deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
                             key, state, carry):
     pc = _get_pc(system, state, lanczos_kw)
-    sol1 = solvers.solve_mobility_problem(system, state, pc=pc, **solver_kw)
+    m_dense = _get_m_dense(system, kin.blob_positions(system, state),
+                           lanczos_kw)
+    sol1 = solvers.solve_mobility_problem(system, state, pc=pc,
+                                          m_dense=m_dense, **solver_kw)
     mid = kin.advance(state, sol1.velocities, 0.5 * dt)
     ok_mid = kin.valid_configuration(system, mid)
+    m_mid = saddle.refresh_dense_mobility(
+        system, m_dense, kin.blob_positions(system, mid))
     x0 = jnp.concatenate([sol1.lam.ravel(), sol1.velocities.ravel(),
                           sol1.phi.ravel()])
     sol2 = solvers.solve_mobility_problem(system, mid, pc=pc, x0=x0,
-                                          **solver_kw)
+                                          m_dense=m_mid, **solver_kw)
     new_state = kin.advance(state, sol2.velocities, dt)
     ok = ok_mid & kin.valid_configuration(system, new_state)
     return (new_state, sol2.velocities,
@@ -186,9 +200,15 @@ def _deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
 def _stochastic_EM(system, dt, solver_kw, lanczos_kw, key, state, carry):
     pc = _get_pc(system, state, lanczos_kw)
     factor = jnp.sqrt(2.0 * system.kT / dt)
-    noise, it_l = _noise_slip(system, state, pc, key, factor, **lanczos_kw)
+    # ONE mobility engine per step (the carried cross-step spectral plan
+    # when present), shared by the noise Lanczos and the solve
+    m_dense = _get_m_dense(system, kin.blob_positions(system, state),
+                           lanczos_kw)
+    noise, it_l = _noise_slip(system, state, pc, key, factor,
+                              m_dense=m_dense, **lanczos_kw)
     sol = solvers.solve_mobility_problem(system, state, pc=pc,
-                                         noise_slip=noise, **solver_kw)
+                                         noise_slip=noise,
+                                         m_dense=m_dense, **solver_kw)
     new_state = kin.advance(state, sol.velocities, dt)
     ok = kin.valid_configuration(system, new_state)
     return (new_state, sol.velocities, sol.iterations, it_l, ok,
@@ -203,9 +223,16 @@ def _stochastic_first_order_RFD(system, dt, solver_kw, lanczos_kw,
     pc = _get_pc(system, state, lanczos_kw)
     k_noise, k_rfd = jax.random.split(key)
     factor = jnp.sqrt(2.0 * system.kT / dt)
-    noise, it_l = _noise_slip(system, state, pc, k_noise, factor, **lanczos_kw)
+    # ONE mobility engine per step-start configuration (the carried
+    # cross-step spectral plan when present); the +-delta/2 RFD
+    # configurations refresh it (position re-gathers only)
+    m_dense = _get_m_dense(system, kin.blob_positions(system, state),
+                           lanczos_kw)
+    noise, it_l = _noise_slip(system, state, pc, k_noise, factor,
+                              m_dense=m_dense, **lanczos_kw)
     sol = solvers.solve_mobility_problem(system, state, pc=pc,
-                                         noise_slip=noise, **solver_kw)
+                                         noise_slip=noise,
+                                         m_dense=m_dense, **solver_kw)
     velocities = sol.velocities
 
     W = jax.random.normal(k_rfd, (system.num_bodies, 6), dtype=dtype)
@@ -217,20 +244,31 @@ def _stochastic_first_order_RFD(system, dt, solver_kw, lanczos_kw,
     n3 = 3 * system.num_blobs
     rhs_rfd = jnp.concatenate([jnp.zeros(n3, dtype), -force_rfd.ravel()])
 
+    spectral = system.domain == "periodic_spectral"
     state_minus = State(pos=state.pos - 0.5 * delta * disp[:, :3],
                         quat=kin.quat.step(state.quat, W[:, 3:], -0.5 * delta))
+    m_minus = (saddle.refresh_dense_mobility(
+        system, m_dense, kin.blob_positions(system, state_minus))
+        if spectral else "auto")
     sol_minus = solvers.solve_mobility_problem(system, state_minus, pc=pc,
-                                               rhs=rhs_rfd, **solver_kw)
+                                               rhs=rhs_rfd, m_dense=m_minus,
+                                               **solver_kw)
 
     state_plus = State(pos=state.pos + 0.5 * delta * disp[:, :3],
                        quat=kin.quat.step(state.quat, W[:, 3:], 0.5 * delta))
     # residual trick: velocities_drift = N(x+)(rhs) - N(x-)(rhs) to O(delta)
-    op_plus = saddle.make_linear_operator(system, state_plus)
+    r_plus = kin.blob_positions(system, state_plus)
+    m_plus = (saddle.refresh_dense_mobility(system, m_dense, r_plus)
+              if spectral else None)
+    op_plus = saddle.make_linear_operator(system, state_plus, r_plus,
+                                          m_dense=m_plus)
     sol_minus_flat = jnp.concatenate([sol_minus.lam.ravel(),
                                       sol_minus.velocities.ravel()])
     rhs_residual = rhs_rfd - op_plus(sol_minus_flat)
     sol_drift = solvers.solve_mobility_problem(system, state_plus, pc=pc,
-                                               rhs=rhs_residual, **solver_kw)
+                                               rhs=rhs_residual,
+                                               m_dense=m_plus if spectral
+                                               else "auto", **solver_kw)
 
     velocities = velocities + (system.kT / delta) * sol_drift.velocities
     new_state = kin.advance(state, velocities, dt)
@@ -968,6 +1006,15 @@ def make_stepper(system: System, scheme: str, dt: float, *,
             system, plan, kin.blob_positions(system, state))
         return plan, {_PLAN_CACHE_KEY: plan}
 
+    def _plan_overflow(plan):
+        """Capacity-overflow count of the carried plan (recounted at
+        each full rebuild; a growing local density that outpaces the
+        t=0 auto-sizing surfaces here instead of silently dropping
+        near-field pairs / gridding contributions)."""
+        if plan is None or not hasattr(plan, "n_dropped"):
+            return jnp.asarray(0)
+        return plan.n_dropped + plan.n_dropped_cells
+
     if update_PC > 1:
         def step(state: State, key, carry):
             inner, pc, step_idx = carry
@@ -1002,7 +1049,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                               plan=plan)
             aux = StepAux(velocities=velocities, det_iterations=det_it,
                           stoch_iterations=st_it, rejections=attempts - 1,
-                          solves_converged=conv)
+                          solves_converged=conv,
+                          capacity_overflows=_plan_overflow(plan))
             return new_state, (new_inner, pc, step_idx + 1), aux
 
         return step
@@ -1035,7 +1083,8 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                           plan=plan)
         aux = StepAux(velocities=velocities, det_iterations=det_it,
                       stoch_iterations=st_it, rejections=attempts - 1,
-                      solves_converged=conv)
+                      solves_converged=conv,
+                      capacity_overflows=_plan_overflow(plan))
         return new_state, new_carry, aux
 
     return step

@@ -226,6 +226,12 @@ class EwaldParams:
         ZB >= support - 1 (a particle's window stays inside its own
         slab) and gz % (2 ZB) == 0 (an even number of blocks)."""
         gz = self.grid[2]
+        if gz % 2:
+            # the slab families tile z in pairs; an odd gz cannot satisfy
+            # gz % (2 ZB) == 0 for any ZB and would silently corrupt the
+            # gridding layout (default_params always rounds grids even)
+            raise ValueError(f"spectral grid z dimension must be even, "
+                             f"got {gz}")
         pm = max(self.support - 1, 8)
         for m in range(max(gz // (2 * pm), 1), 0, -1):
             if gz % (2 * m) == 0:

@@ -119,6 +119,10 @@ def gmres(
         used = jnp.arange(m) < j
         Rm = R[:m, :m]
         Rm = jnp.where(jnp.eye(m, dtype=bool) & ~used[None, :], 1.0, Rm)
+        # a zero USED diagonal (lucky breakdown: the Krylov space closed
+        # exactly) carries a zero g entry — unit-diagonal it so the
+        # triangular solve yields y_m = 0 instead of 0/0 = NaN
+        Rm = jnp.where(jnp.eye(m, dtype=bool) & (Rm == 0.0), 1.0, Rm)
         gm = jnp.where(used, g[:m], 0.0)
         ym = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
         y = y + V[:m].T @ ym
@@ -265,6 +269,12 @@ def gmres_lockstep(
         Rm = R[:, :m, :m]
         eye = jnp.eye(m, dtype=bool) & ~used[None, :]
         Rm = jnp.where(eye[None], 1.0, Rm)
+        # zero USED diagonals happen per-column: an identically-zero RHS
+        # column (its whole Arnoldi process is zeros while the healthy
+        # columns drive j forward) or a lucky breakdown; their g entries
+        # are zero, so unit-diagonaling yields the correct y_m = 0
+        # instead of 0/0 = NaN poisoning the column
+        Rm = jnp.where(jnp.eye(m, dtype=bool)[None] & (Rm == 0.0), 1.0, Rm)
         gm = jnp.where(used[None], g[:, :m], 0.0)
         ym = jax.vmap(lambda Ri, gi: jax.scipy.linalg.solve_triangular(
             Ri, gi, lower=False))(Rm, gm)

@@ -78,84 +78,6 @@ def _wall_fields(R2, Rz, zs_row):
     return f1, f2 * invR2, f3 * invR, f4 * invR, f5
 
 
-def _tt_kernel(qx_ref, qy_ref, qz_ref, rhs_ref, qsx_ref, qsy_ref, qsz_ref,
-               out_ref, acc_ref, *, col_tile, n_src_pad, wall,
-               self_interaction):
-    i = pl.program_id(0)
-    tr = qx_ref.shape[1]
-    xt = qx_ref[0, :]                    # (TR,)
-    yt = qy_ref[0, :]
-    zt = qz_ref[0, :]
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    n_col_tiles = n_src_pad // col_tile
-
-    def col_body(c, _):
-        sl = pl.ds(c * col_tile, col_tile)
-        xs = qsx_ref[0, sl]
-        ys = qsy_ref[0, sl]
-        zs = qsz_ref[0, sl]
-        rhs = rhs_ref[sl, :]             # (TC, N_COLS)
-
-        dx = xt[:, None] - xs[None, :]
-        dy = yt[:, None] - ys[None, :]
-        dz = zt[:, None] - zs[None, :]
-        xy2 = dx * dx + dy * dy
-        r2 = xy2 + dz * dz
-
-        rows = i * tr + lax.broadcasted_iota(jnp.int32, (tr, col_tile), 0)
-        cols = c * col_tile + lax.broadcasted_iota(jnp.int32,
-                                                   (tr, col_tile), 1)
-        self_mask = (rows == cols) if self_interaction else (
-            jnp.zeros((tr, col_tile), dtype=bool))
-
-        A, B = _core_fields(r2, self_mask)
-        fields = [A, B]
-        if wall:
-            Rz = zt[:, None] + zs[None, :]
-            R2 = xy2 + Rz * Rz
-            f1, g2, g3, g4, f5 = _wall_fields(R2, Rz, zs[None, :])
-            fields = [A, B, f1, g2, g3, g4, f5]
-
-        offs = [0, 3, 19, 22, 38, 42, 46, 47] if wall else [0, 3, 19]
-        for k, f in enumerate(fields):
-            lo, hi = offs[k], offs[k + 1]
-            acc_ref[:, lo:hi] += jnp.dot(
-                f, rhs[:, lo:hi], preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST)
-        return 0
-
-    lax.fori_loop(0, n_col_tiles, col_body, 0)
-
-    # rank-1 assembly with target coordinates
-    acc = acc_ref[...]
-    qt = jnp.stack([xt, yt, zt], axis=1)  # (TR,3)
-
-    def rank1(Y):
-        # columns: [F(3), s(1), G[a,b] at 4+3a+b (9), p(3)]
-        qdotYF = xt * Y[:, 0] + yt * Y[:, 1] + zt * Y[:, 2]
-        scale = qdotYF - Y[:, 3]
-        outs = []
-        for a in range(3):
-            g = (xt * Y[:, 4 + 3 * a + 0] + yt * Y[:, 4 + 3 * a + 1]
-                 + zt * Y[:, 4 + 3 * a + 2])
-            outs.append(qt[:, a] * scale - g + Y[:, 13 + a])
-        return jnp.stack(outs, axis=1)
-
-    out = acc[:, 0:3] + rank1(acc[:, 3:19])
-    if wall:
-        out = out + acc[:, 19:22] + rank1(acc[:, 22:38])
-        Y3 = acc[:, 38:42]
-        out = out + qt * Y3[:, 0:1] - Y3[:, 1:4]
-        Y4 = acc[:, 42:46]
-        z_extra = (xt * Y4[:, 0] + yt * Y4[:, 1] + zt * Y4[:, 2]
-                   - Y4[:, 3] + acc[:, 46])
-        out = out + jnp.stack(
-            [jnp.zeros_like(z_extra), jnp.zeros_like(z_extra), z_extra],
-            axis=1)
-    out_ref[...] = out
-
-
 def _dense_kernel(qx_ref, qy_ref, qz_ref, qsx_ref, qsy_ref, qsz_ref,
                   out_ref, *, wall, self_interaction):
     i = pl.program_id(0)
@@ -416,80 +338,3 @@ def symm_planes_matvec(planes, vec, *, tile=256, interpret=False):
         interpret=interpret,
     )(i_map, j_map, planes, vT)
     return out[:, :n].T
-
-
-def tt_matvec_pallas(q_src, q_tgt, vec, zs, *, wall, self_interaction,
-                     row_tile=256, col_tile=512, interpret=False):
-    """Fused TT product in normalized units (prefactor applied by caller).
-    q_src/q_tgt (N,3) float32, vec (Ns,3). Returns (Nt,3)."""
-    from . import mobility_sfm
-
-    dtype = jnp.float32
-    n_src = q_src.shape[0]
-    n_tgt = q_tgt.shape[0]
-    F = vec.reshape(n_src, 3).astype(dtype)
-    q_src = q_src.astype(dtype)
-    q_tgt = q_tgt.astype(dtype)
-
-    # build the concatenated RHS columns (N_COLS)
-    rhs_core = mobility_sfm._rank1_rhs(q_src, F)
-    parts = [F, rhs_core]
-    if wall:
-        q_img = q_src * jnp.asarray([1.0, 1.0, -1.0], dtype)
-        rhs_wall2 = mobility_sfm._rank1_rhs(q_img, F)
-        fz = F[:, 2:3]
-        st = jnp.sum(q_img * F, axis=-1, keepdims=True)
-        parts += [F, rhs_wall2,
-                  jnp.concatenate([fz, fz * q_img], axis=1),
-                  jnp.concatenate([F, st], axis=1), fz]
-    rhs = jnp.concatenate(parts, axis=1)
-    n_cols = rhs.shape[1]
-
-    col_tile = min(col_tile, max(128, 1 << (n_src - 1).bit_length()))
-    row_tile = min(row_tile, max(8, 1 << (n_tgt - 1).bit_length()))
-    n_src_pad = -(-n_src // col_tile) * col_tile
-    n_tgt_pad = -(-n_tgt // row_tile) * row_tile
-
-    def pad_to(x, n, fill):
-        return jnp.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1),
-                       constant_values=fill)
-
-    # pad sources with z=1, zero RHS (no contribution)
-    qsx = pad_to(q_src[:, 0], n_src_pad, 0.0)[None, :]
-    qsy = pad_to(q_src[:, 1], n_src_pad, 0.0)[None, :]
-    qsz = pad_to(q_src[:, 2], n_src_pad, 1.0)[None, :]
-    rhs = pad_to(rhs, n_src_pad, 0.0)
-    qtx = pad_to(q_tgt[:, 0], n_tgt_pad, 0.0)[None, :]
-    qty = pad_to(q_tgt[:, 1], n_tgt_pad, 0.0)[None, :]
-    qtz = pad_to(q_tgt[:, 2], n_tgt_pad, 1.0)[None, :]
-
-    grid = (n_tgt_pad // row_tile,)
-    kernel = functools.partial(_tt_kernel, col_tile=col_tile,
-                               n_src_pad=n_src_pad, wall=wall,
-                               self_interaction=self_interaction)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, row_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_src_pad, n_cols), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_src_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_src_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_src_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((row_tile, 3), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tgt_pad, 3), dtype),
-        scratch_shapes=[pltpu.VMEM((row_tile, n_cols), jnp.float32)],
-        interpret=interpret,
-    )(qtx, qty, qtz, rhs, qsx, qsy, qsz)
-    return out[:n_tgt]

@@ -3,7 +3,8 @@
 One kernel template evaluates the 3x3 RPY/Blake pair blocks *directly* on
 the VPU and contracts them against the source vector in-register, with a
 per-lane accumulator reduced once per row tile. This replaces both the
-SFM rank-1 MXU formulation (ops/mobility_pallas.tt_matvec_pallas) and the
+SFM rank-1 MXU formulation (ops/mobility_sfm; its fused Pallas variant
+was removed once this engine superseded it) and the
 generic XLA tile engine for the hot products:
 
 - the SFM form was MXU-dot-bound (7 column-group dots per tile, each lane-
@@ -83,30 +84,13 @@ def _cross_coeff(r2, invr, zero):
 
 def _wall_tt_g(R2, Rz, zs):
     """Wall TT scalar set folded onto raw (dx, dy, Rz) products:
-    m_ab += f1 delta_ab + g2 e_a e_b + (g3, g4, f5 z-row/col terms); see
-    mobility_pallas._wall_fields. zs broadcasts as the source height."""
-    invR = lax.rsqrt(R2)
-    invR2 = invR * invR
-    invR3 = invR * invR2
-    invR5 = invR3 * invR2
-    ez = Rz * invR
-    ez2 = ez * ez
-    h_hat = zs / Rz
-    hh = h_hat * (1.0 - h_hat)
+    m_ab += f1 delta_ab + g2 e_a e_b + (g3, g4, f5 z-row/col terms).
+    ONE implementation shared with the dense builder — a wall-correction
+    fix lands in both kernels (plain jnp, traces fine inside Pallas).
+    zs broadcasts as the source height."""
+    from .mobility_pallas import _wall_fields
 
-    f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
-           + 2.0 * (1.0 - 3.0 * ez2) * invR3
-           - 2.0 * (1.0 - 5.0 * ez2) * invR5) / 3.0
-    f2 = -(3.0 * (1.0 - 6.0 * hh * ez2) * invR
-           - 6.0 * (1.0 - 5.0 * ez2) * invR3
-           + 10.0 * (1.0 - 7.0 * ez2) * invR5) / 3.0
-    f3 = ez * (3.0 * h_hat * (1.0 - 6.0 * (1.0 - h_hat) * ez2) * invR
-               - 6.0 * (1.0 - 5.0 * ez2) * invR3
-               + 10.0 * (2.0 - 7.0 * ez2) * invR5) * 2.0 / 3.0
-    f4 = ez * (3.0 * h_hat * invR - 10.0 * invR5) * 2.0 / 3.0
-    f5 = -(3.0 * h_hat * h_hat * ez2 * invR + 3.0 * ez2 * invR3
-           + (2.0 - 15.0 * ez2) * invR5) * 4.0 / 3.0
-    return f1, f2 * invR2, f3 * invR, f4 * invR, f5
+    return _wall_fields(R2, Rz, zs)
 
 
 def _wall_rr_g(R2, Rz):

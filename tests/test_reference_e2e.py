@@ -133,6 +133,46 @@ def test_multibody_shells_adams_bashforth_matches_reference(tmp_path):
         assert it_our <= 3 * it_ref
 
 
+def test_shells_deterministic_midpoint_matches_reference(tmp_path):
+    """Two-solve midpoint scheme (quaternion_integrator_multi_bodies.py
+    :188): the half-step re-solve and its warm start must not change the
+    trajectory vs the reference."""
+    vertex = os.path.join(REF, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    clones = str(tmp_path / "shells.clones")
+    with open(clones, "w") as f:
+        f.write("2\n0 0 1.8 1 0 0 0\n1.9 0.3 2.1 0.9238795 0 0.3826834 0\n")
+    _compare_trajectories(tmp_path, "deterministic_midpoint",
+                          [[vertex, clones]], "shells", n_steps=4, dt=0.005)
+
+
+def test_slip_trapz_zero_kT_matches_reference(tmp_path):
+    """The recommended stochastic scheme (stochastic_Slip_Trapz,
+    :925-1045) in its deterministic kT=0 limit: all three solves, the
+    RFD plumbing and the trapezoidal average run in both codes with zero
+    noise amplitude — trajectories must agree."""
+    vertex = os.path.join(REF, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    clones = str(tmp_path / "shells.clones")
+    with open(clones, "w") as f:
+        f.write("2\n0 0 1.8 1 0 0 0\n1.9 0 2.0 1 0 0 0\n")
+    _compare_trajectories(tmp_path, "stochastic_Slip_Trapz",
+                          [[vertex, clones]], "shells", n_steps=3, dt=0.005,
+                          atol=2e-6)
+
+
+def test_body_body_yukawa_force_matches_reference(tmp_path):
+    """Body-body Yukawa force path (multi_bodies_functions.py:359-408,
+    enabled by body_body_force_torque_implementation): the body-level
+    pair force must push two shells apart identically."""
+    vertex = os.path.join(REF, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    clones = str(tmp_path / "shells.clones")
+    with open(clones, "w") as f:
+        f.write("2\n0 0 2.0 1 0 0 0\n2.3 0 2.0 1 0 0 0\n")
+    _compare_trajectories(
+        tmp_path, "deterministic_forward_euler",
+        [[vertex, clones]], "shells", n_steps=3, dt=0.01,
+        extra="repulsion_strength_wall 0.0\ng 0.0")
+
+
 def test_prescribed_obstacle_matches_reference(tmp_path):
     """A free shell next to a fixed obstacle shell (prescribed
     kinematics path, multi_bodies.py:1266-1301)."""

@@ -216,3 +216,26 @@ def test_gmres_lockstep_matches_single_rhs():
                            restart=25, maxiter=200, M=Mfn)
     assert bool(res_w.converged.all())
     assert int(res_w.iterations) <= int(res.iterations)
+
+
+def test_gmres_lockstep_zero_rhs_column():
+    """An identically-zero RHS column returns x = 0 and converged (a
+    pure-diffusion run stacks a zero deterministic RHS next to the
+    stochastic one); the healthy columns are unaffected. The zero
+    column's Arnoldi diagonal is all zeros — without the unit-diagonal
+    guard the padded triangular solve emits 0/0 = NaN."""
+    n = 48
+    rng = np.random.default_rng(11)
+    A = np.eye(n) * 4.0 + 0.3 * rng.normal(size=(n, n))
+    b1 = rng.normal(size=n)
+    B = jnp.asarray(np.stack([np.zeros(n), b1]))
+    mv = lambda x: x @ jnp.asarray(A).T
+    res = gmres_lockstep(mv, B, tol=1e-10, restart=20, maxiter=100)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    assert np.allclose(np.asarray(res.x[0]), 0.0)
+    assert bool(res.converged.all()), np.asarray(res.residual_norm)
+    assert np.linalg.norm(np.asarray(res.x[1]) - np.linalg.solve(A, b1)) \
+        < 1e-8
+    # single-RHS path: zero RHS short-circuits to x=0, converged
+    r1 = gmres(mv, jnp.zeros(n), tol=1e-10, restart=20, maxiter=100)
+    assert np.allclose(np.asarray(r1.x), 0.0) and bool(r1.converged)
