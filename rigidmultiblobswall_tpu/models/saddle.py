@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import mobility as mob
 from . import kinematics as kin
@@ -367,10 +368,17 @@ def build_block_diag_pc(system: System, state: State, time=0.0) -> BlockDiagPC:
         m_inv = jnp.einsum("cij,ckj->cik", chol_inv, chol_inv)
         K = kin.K_dense(system, state, i)  # (c, 3nb, 6)
         KtMinvK = jnp.einsum("cni,cnm,cmj->cij", K, m_inv, K)
-        # SPD and full-rank for >=3 non-collinear blobs: LU inverse is much
-        # faster than the batched-SVD pinv (serial Jacobi sweeps on TPU);
-        # degenerate small bodies keep the reference's pinv
-        if t.num_blobs >= 3:
+        # SPD and full-rank for >=3 NON-COLLINEAR blobs: LU inverse is
+        # much faster than the batched-SVD pinv (serial Jacobi sweeps on
+        # TPU). Collinear bodies (straight rods like the reference's
+        # Cylinder_N_14) cannot resolve spin about their own axis, so
+        # K^T M^{-1} K is rank-5 and MUST take the reference's pinv
+        # (body.py:194). ref_config is static, so the rank test is free.
+        cfg = np.asarray(t.ref_config, np.float64)
+        cfg = cfg - cfg.mean(axis=0)
+        sv = np.linalg.svd(cfg, compute_uv=False) if len(cfg) > 1 else [0.0]
+        collinear = len(sv) < 2 or sv[1] <= 1e-9 * max(sv[0], 1e-30)
+        if t.num_blobs >= 3 and not collinear:
             N_body = jnp.linalg.inv(KtMinvK)
         else:
             N_body = jnp.linalg.pinv(KtMinvK)

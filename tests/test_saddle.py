@@ -195,3 +195,33 @@ def test_auto_spectral_capacities_reaches_zero_drops():
     sw = dataclasses.replace(system, domain="single_wall",
                              periodic_length=(0.0, 0.0, 0.0))
     assert saddle.auto_spectral_capacities(sw, state) is sw
+
+
+def test_collinear_rod_preconditioner_finite():
+    """A straight rod of collinear blobs cannot resolve spin about its
+    own axis: K^T M^{-1} K is rank-5 and the per-body mobility MUST use
+    the reference's pinv (body.py:194). The batched-inverse fast path is
+    only valid for non-collinear bodies (regression: NaN preconditioner
+    for Cylinder_N_14-style structures)."""
+    import jax
+
+    from rigidmultiblobswall_tpu.models import saddle, solvers
+
+    n = 8
+    rod = np.stack([np.linspace(-1.0, 1.0, n),
+                    np.zeros(n), np.zeros(n)], axis=1)
+    t = BodyType(name="rod", ref_config=rod, count=2)
+    system = System(types=(t,), eta=1.0, blob_radius=0.2,
+                    domain="single_wall", solver_tolerance=1e-10)
+    state = make_state([[0.0, 0.0, 1.5], [0.0, 2.5, 1.5]],
+                       [[1.0, 0, 0, 0], [1.0, 0, 0, 0]])
+    pc = saddle.build_block_diag_pc(system, state)
+    for leaf in jax.tree.leaves(pc):
+        assert bool(jnp.all(jnp.isfinite(leaf))), "non-finite PC factor"
+    sol = solvers.solve_mobility_problem(
+        system, state, force_torque=jnp.tile(
+            jnp.asarray([0.0, 0, -1.0, 0, 0, 0]), (2, 1)))
+    v = np.asarray(sol.velocities)
+    assert np.all(np.isfinite(v))
+    assert bool(np.asarray(sol.converged))
+    assert np.all(v[:, 2] < 0)     # rods sediment downward
