@@ -78,6 +78,16 @@ def maybe_dense_mobility(system: System, r_blobs):
     GMRES/Lanczos iteration is then one MXU matmul), an ops/ewald
     SpectralPlan for domain='periodic_spectral' (O(N log N) per product),
     or None -> the matrix-free pairwise engine."""
+    if system.has_mixed_radii:
+        if system.domain == "periodic_spectral":
+            raise NotImplementedError(
+                "per-blob radii are not supported by the spectral engine; "
+                "use the pairwise domains (single_wall/no_wall/"
+                "free_surface)")
+        # per-radius products run matrix-free through the source-target
+        # kernel (mobility_radii_trans_times_force); the materialized
+        # planes and fused Pallas engines assume one blob radius
+        return None
     if system.domain == "periodic_spectral":
         from ..ops import ewald
 
@@ -192,6 +202,12 @@ def _mobility_apply(system, r_blobs, m_dense, lam):
             return mobility_pallas.symm_planes_matvec(m_dense, lam)
         return jnp.einsum("abij,jb->ia", m_dense, lam,
                           precision=jax.lax.Precision.HIGHEST)
+    if system.has_mixed_radii:
+        return mob.mobility_radii_trans_times_force(
+            r_blobs, lam.reshape(-1, 3),
+            jnp.asarray(system.blob_radii, r_blobs.dtype), system.eta,
+            domain=system.domain,
+            periodic_length=system.periodic_length)
     return mob.mobility_trans_times_force(
         r_blobs, lam, system.eta, system.blob_radius,
         **system.mobility_kwargs)
@@ -211,6 +227,11 @@ def _mobility_apply_multi(system, r_blobs, m_dense, lam):
         # one streaming pass over the planes serves the whole stack
         return jnp.einsum("abij,qjb->qia", m_dense, lam,
                           precision=jax.lax.Precision.HIGHEST)
+    if system.has_mixed_radii:
+        radii = jnp.asarray(system.blob_radii, r_blobs.dtype)
+        return jax.vmap(lambda f: mob.mobility_radii_trans_times_force(
+            r_blobs, f, radii, system.eta, domain=system.domain,
+            periodic_length=system.periodic_length))(lam)
     return mob.pairwise_matvec_multi(
         r_blobs, r_blobs, lam, system.eta, system.blob_radius,
         coupling="tt", self_interaction=True, **system.mobility_kwargs)
@@ -355,9 +376,20 @@ def build_block_diag_pc(system: System, state: State, time=0.0) -> BlockDiagPC:
         pos, _ = kin.type_arrays(system, state, i)
         r_body = rel + pos[:, None, :]
 
-        def dense_one(r):
-            return mob.dense_mobility(r, system.eta, system.blob_radius,
-                                      domain=pc_domain, coupling="tt")
+        if (t.blob_radii is not None
+                and not np.allclose(np.asarray(t.blob_radii),
+                                    system.blob_radius)):
+            radii_t = np.asarray(t.blob_radii)
+
+            def dense_one(r):
+                return mob.dense_mobility_radii(
+                    r, jnp.asarray(radii_t, r.dtype), system.eta,
+                    domain=pc_domain)
+        else:
+            def dense_one(r):
+                return mob.dense_mobility(r, system.eta,
+                                          system.blob_radius,
+                                          domain=pc_domain, coupling="tt")
 
         M = jax.vmap(dense_one)(r_body)  # (c, 3nb, 3nb)
         chol = jax.vmap(lambda m: jnp.linalg.cholesky(m, upper=True))(M)

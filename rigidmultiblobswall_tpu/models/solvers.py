@@ -345,6 +345,10 @@ def solve_mobility_problem_single_blob(
 
 def dense_blob_mobility(system: System, state: State):
     r_blobs = kin.blob_positions(system, state)
+    if system.has_mixed_radii:
+        return mob.dense_mobility_radii(
+            r_blobs, jnp.asarray(system.blob_radii, r_blobs.dtype),
+            system.eta, domain=system.domain)
     return mob.dense_mobility(r_blobs, system.eta, system.blob_radius,
                               domain=system.domain, coupling="tt")
 

@@ -197,6 +197,18 @@ class System:
         return out
 
     @property
+    def has_mixed_radii(self) -> bool:
+        """True when any type carries explicit per-blob radii different
+        from the default blob_radius: the mobility engine must then take
+        the per-radius kernels (reference radii_* backend family,
+        mobility/mobility.py:1369). Static (host-side) — radii live in
+        the scene files, never traced."""
+        return any(
+            t.blob_radii is not None
+            and not np.allclose(np.asarray(t.blob_radii), self.blob_radius)
+            for t in self.types)
+
+    @property
     def mobility_kwargs(self):
         kw = dict(domain=self.domain, periodic_length=self.periodic_length)
         if self.mesh is not None:

@@ -550,6 +550,43 @@ def mobility_radii_trans_times_force(r_vectors, vec, radii, eta, *,
         periodic_length=periodic_length, row_tile=row_tile)
 
 
+def dense_mobility_radii(r_vectors, radii, eta, *, domain="single_wall"):
+    """Dense (3n,3n) TT mobility with per-blob radii — the dense analog
+    of `mobility_radii_trans_times_force` (reference radii dense
+    builders, mobility/mobility.py:87-119, :1369-1375). Same math as
+    source_target_matvec with sources == targets (its r=0 branch is the
+    self mobility), materialized for per-body preconditioner blocks and
+    the dense-algebra utility solves. No periodic images."""
+    n = r_vectors.shape[0]
+    dtype = r_vectors.dtype
+    radii = jnp.broadcast_to(jnp.asarray(radii, dtype), (n,))
+    wall = domain in ("single_wall",)
+    free_surface = domain == "free_surface"
+    if wall:
+        damp = jnp.minimum(r_vectors[:, 2] / radii, 1.0).astype(dtype)
+        r_vectors = r_vectors.at[:, 2].set(
+            jnp.maximum(r_vectors[:, 2], radii))
+    d = r_vectors[:, None, :] - r_vectors[None, :, :]
+    at = radii[:, None]
+    bs = radii[None, :]
+    m = rpy.rpy_tt_radii(d, at, bs)
+    if wall:
+        zt = r_vectors[:, 2][:, None]
+        zs = r_vectors[:, 2][None, :]
+        m = m + rpy.wall_tt_radii(d[..., 0], d[..., 1], zt + zs,
+                                  zt, zs, at, bs)
+    elif free_surface:
+        zt = r_vectors[:, 2][:, None]
+        zs = r_vectors[:, 2][None, :]
+        d_img = d.at[..., 2].set(zt + zs)
+        refl = jnp.asarray([1.0, 1.0, -1.0], dtype=dtype)
+        m = m + rpy.rpy_tt_radii(d_img, at, bs) * refl
+    m = m / (8.0 * jnp.pi * eta)
+    if wall:
+        m = m * damp[:, None, None, None] * damp[None, :, None, None]
+    return m.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+
+
 # ---------------------------------------------------------------------------
 # Dense mobility matrices (for per-body preconditioner blocks and the
 # dense-algebra schemes). No periodic images (matches reference dense

@@ -226,6 +226,49 @@ def test_articulated_chain_matches_reference(tmp_path):
     assert err_q < 1e-5, f"orientation mismatch {err_q:.3e}"
 
 
+def test_per_blob_radii_example_hydrodynamic_radii():
+    """The examples/radii case: shells of hydrodynamic radius Rh=1 (the
+    default blob radius) and Rh=0.5 (per-blob radius column in the
+    .vertex file, mobility_radii_trans_times_force). The example is
+    constructed so an isolated shell under total weight 12 g sediments
+    at |v| = 12 g / (6 pi eta Rh) = 1/Rh exactly — the Stokes velocity
+    recovers the advertised hydrodynamic radii. (The reference's pure-
+    python radii backend crashes on shape, so the parity anchor is the
+    analytic construction, not a subprocess run.)"""
+    import jax.numpy as jnp
+
+    from rigidmultiblobswall_tpu.io import scene
+    from rigidmultiblobswall_tpu.models import solvers
+    from rigidmultiblobswall_tpu.models.system import (BodyType, System,
+                                                       make_state)
+
+    v1 = scene.read_vertex_file(os.path.join(
+        REF, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex"))
+    v2 = scene.read_vertex_file(os.path.join(
+        REF, "Structures/shell_N_12_Rg_0.3960_Rh_0.5.vertex"))
+    assert v2.shape[1] == 4                 # explicit radius column
+    eta, g, a = 0.0530516476972984, 0.083333333, 0.416420683
+    t1 = BodyType(name="big", ref_config=v1[:, :3], count=1)
+    t2 = BodyType(name="small", ref_config=v2[:, :3], count=1,
+                  blob_radii=v2[:, 3])
+    system = System(types=(t1, t2), eta=eta, blob_radius=a, g=0.0,
+                    domain="no_wall", solver_tolerance=1e-10)
+    # far apart: interactions negligible (the example puts them 1414 apart)
+    state = make_state([[0.0, 0.0, 10.0], [1000.0, 1000.0, 10.0]],
+                       [[1, 0, 0, 0], [1, 0, 0, 0]])
+    W = 12.0 * g
+    ft = jnp.asarray([[0.0, 0, -W, 0, 0, 0], [0.0, 0, -W, 0, 0, 0]])
+    sol = solvers.solve_mobility_problem(system, state, force_torque=ft)
+    v = np.asarray(sol.velocities)
+    v_stokes_1 = W / (6 * np.pi * eta * 1.0)
+    v_stokes_05 = W / (6 * np.pi * eta * 0.5)
+    assert abs(-v[0, 2] / v_stokes_1 - 1.0) < 0.01, v[0]
+    assert abs(-v[1, 2] / v_stokes_05 - 1.0) < 0.01, v[1]
+    # lateral drift and spin vanish up to the 12-blob discretization's
+    # residual anisotropy
+    assert np.abs(v[:, [0, 1, 3, 4]]).max() < 1e-5
+
+
 def test_squirmer_slip_matches_reference(tmp_path):
     """Slip-driven swimmer (the reference's squirmer example): a
     prescribed surface slip rotated to the lab frame every step must
