@@ -53,12 +53,14 @@ sys.modules["numba"] = numba
 # scipy-backed stand-in with the same signatures suffices
 qi_gmres = types.ModuleType("quaternion_integrator.gmres")
 def _scipy_gmres(A, b, x0=None, tol=1e-8, M=None, maxiter=1000,
-                 restrt=None, restart=None, callback=None, residuals=None):
+                 restrt=None, restart=None, callback=None, residuals=None,
+                 verbose=False, convergence=None, **_ignored):
     import scipy.sparse.linalg as spla
     res = spla.gmres(A, b, x0=x0, rtol=tol, atol=0.0, M=M,
                      maxiter=maxiter, restart=restrt or restart or 60,
                      callback=callback, callback_type="pr_norm")
-    return res
+    # reference quaternion_integrator/gmres.py returns (x, info, resnorms)
+    return res[0], res[1], []
 qi_gmres.gmres = _scipy_gmres
 qi_gmres.right_gmres = _scipy_gmres
 qi_gmres.presid_gmres = _scipy_gmres
@@ -85,6 +87,15 @@ _spla.gmres = _compat_gmres
 
 sys.path.insert(0, "/root/reference")
 sys.path.insert(0, "/root/reference/multi_bodies")
+
+# reference ordering bug: for *_rollers schemes multi_bodies.py:1330
+# reads multi_bodies_functions.calc_blob_blob_forces BEFORE assigning it
+# at :1387 (the rollers examples sidestep this with local driver
+# copies / user_defined_functions). Pre-assign the python backend.
+import multi_bodies_functions as _mbf  # noqa: E402
+if not hasattr(_mbf, "calc_blob_blob_forces"):
+    _mbf.calc_blob_blob_forces = _mbf.set_blob_blob_forces("python")
+
 script = sys.argv[1]
 sys.argv = [script] + sys.argv[2:]
 runpy.run_path(script, run_name="__main__")

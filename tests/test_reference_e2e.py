@@ -226,6 +226,55 @@ def test_articulated_chain_matches_reference(tmp_path):
     assert err_q < 1e-5, f"orientation mismatch {err_q:.3e}"
 
 
+def test_robot_arm_single_blob_articulated_matches_reference(tmp_path):
+    """One 15-blob robot arm (the robot_arm_sedimentation example):
+    single-blob articulated bodies driven by the grand-mobility
+    constrained solve (articulated_deterministic_forward_euler_rollers,
+    quaternion_integrator_rollers.py:737) sedimenting in unbounded
+    flow."""
+    ex = os.path.join(REF, "examples/robot_arm_sedimentation_example")
+    const_src = open(os.path.join(
+        ex, "robot_arm_N_15_Mx_10_Mz_10.const")).read()
+    blob_vertex = os.path.join(ex, "blob.vertex")
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    for d in (ref_dir, our_dir):
+        d.mkdir()
+        (d / "arm.list_vertex").write_text(
+            "".join(f"{blob_vertex}\n" for _ in range(15)))
+        (d / "arm.clones").write_text(
+            "15\n" + "".join(f"{2.5 * i} 0 0 1 0 0 0\n" for i in range(15)))
+        (d / "arm.const").write_text(const_src)
+        (d / "input.dat").write_text("""
+scheme                                   articulated_deterministic_forward_euler_rollers
+mobility_blobs_implementation            python_no_wall
+mobility_vector_prod_implementation      numba_no_wall
+domain                                   no_wall
+blob_blob_force_implementation           python
+body_body_force_torque_implementation    python
+dt                                       0.01
+n_steps                                  3
+n_save                                   1
+solver_tolerance                         1e-10
+eta                                      1.0e-3
+g                                        2.5e-2
+blob_radius                              1
+repulsion_strength                       0.0
+repulsion_strength_wall                  0.0
+save_clones                              one_file_per_step
+output_name                              out
+articulated arm.list_vertex arm.clones arm.const
+""")
+    _run_reference(str(ref_dir), "input.dat")
+    _run_ours(str(our_dir), "input.dat")
+    t_ref = _load_traj(str(ref_dir / "out"), "arm", 3)
+    t_our = _load_traj(str(our_dir / "out"), "arm", 3)
+    err_pos = np.abs(t_ref[:, :, :3] - t_our[:, :, :3]).max()
+    assert err_pos < 1e-5, f"position mismatch {err_pos:.3e}"
+    # the arm sediments: z decreases for every blob
+    assert np.all(t_our[3, :, 2] < t_our[0, :, 2])
+
+
 def test_per_blob_radii_example_hydrodynamic_radii():
     """The examples/radii case: shells of hydrodynamic radius Rh=1 (the
     default blob radius) and Rh=0.5 (per-blob radius column in the
