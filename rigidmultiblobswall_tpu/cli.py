@@ -79,7 +79,22 @@ def main(argv=None):
                 "user_defined_functions", udf)
             user_mod = importlib.util.module_from_spec(spec)
             sys.modules[spec.name] = user_mod
-            spec.loader.exec_module(user_mod)
+            try:
+                spec.loader.exec_module(user_mod)
+            except ImportError as e:
+                # a module written against the REFERENCE hook API (it
+                # imports multi_bodies_functions / numexpr / pycuda ...)
+                # cannot drive this framework's hooks — fail with the
+                # porting pointer instead of a bare traceback
+                raise SystemExit(
+                    f"error: could not load {udf}: {e}\n"
+                    "This file appears to target the reference's "
+                    "user_defined_functions API. This framework's hooks "
+                    "are plain functions named blob_force_fn / "
+                    "body_force_torque_fn / slip_fn / preprocess / "
+                    "postprocess — see doc/USAGE.md ('User-defined "
+                    "functions') for the signatures and a ported "
+                    "example.")
             import dataclasses as _dc
 
             hooks = {name: getattr(user_mod, name)
