@@ -64,10 +64,12 @@ CASES = {
             dict(n_ends=0, n_perim=0)),
     "mid": ("Cylinder_N_86_Lg_1_9384_Rg_0_1484", 0.0742,
             dict(n_ends=1, n_perim=6)),
+    "high": ("Cylinder_N_324_Lg_2_0299_Rg_0_1554", 0.0402,
+             dict(n_ends=6, n_perim=12)),
 }
 
 
-@pytest.mark.parametrize("res", ["low", "mid"])
+@pytest.mark.parametrize("res", ["low", "mid", "high"])
 def test_pair_active_rods_matches_shipped_velocities(res):
     name, a, slip_kw = CASES[res]
     vertex = os.path.join(REF, f"Structures/{name}.vertex")
