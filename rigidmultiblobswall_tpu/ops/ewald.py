@@ -94,6 +94,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import cells
+
 
 # ---------------------------------------------------------------------------
 # Host-side: closed-form RPY and the quadrature-built remainder tables
@@ -497,59 +499,25 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
     # store the resolved capacity: downstream consumers (real_matvec_*,
     # matvec_sharded) read plan.params.cell_capacity
     params = dataclasses.replace(params, cell_capacity=cap)
-    csize = box / jnp.asarray(dims, dtype)
-    c3 = jnp.clip((pos / csize).astype(jnp.int32), 0,
-                  jnp.asarray(dims, jnp.int32) - 1)
-    cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]
     n = pos.shape[0]
-    order = jnp.argsort(cid)
-    sc = cid[order]
-    slot = jnp.arange(n) - jnp.searchsorted(sc, sc, side="left")
     n_cells = nx * ny * nz
-    in_cell_cap = slot < cap
-    addr = jnp.where(in_cell_cap, sc * cap + slot, n_cells * cap)
-    cell_table = jnp.full((n_cells * cap + 1,), n, dtype=jnp.int32)
-    cell_table = cell_table.at[addr].set(order.astype(jnp.int32))
-    cell_table = cell_table[:-1]
-    # particle -> its (cell, slot) flat row in the padded layout (the
-    # collision-free inverse of cell_table); capacity-dropped -> C*cap
-    slot_of = jnp.full((n,), cap, jnp.int32).at[order].set(
-        jnp.where(in_cell_cap, slot, cap).astype(jnp.int32))
-    cell_slot = jnp.where(slot_of < cap, cid * cap + slot_of, n_cells * cap)
-    n_dropped_cells = jnp.sum(~in_cell_cap).astype(jnp.int32)
-    # static 27-neighbor table (host)
-    cc = np.stack(np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
-                              indexing="ij"), axis=-1).reshape(-1, 3)
-    o27 = np.array([(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
-                    for k in (-1, 0, 1)])
-    nb3 = (cc[:, None, :] + o27[None, :, :]) % np.array(dims)
-    nbr_cells = jnp.asarray(
-        (nb3[:, :, 0] * ny + nb3[:, :, 1]) * nz + nb3[:, :, 2],
-        jnp.int32)
+    cell_table, cell_slot, cid, n_dropped_cells = cells.cell_bin(
+        pos, box, dims, cap)
+    nbr_cells = cells.neighbor_table(dims)
 
     # ---- Pallas near-field: pre-gathered (cell, 27*cap) source layout
     src_pos = src_ids = tgt_xyz = None
     if _resolve_near_impl(params) == "pallas":
         TC = params.near_tile
-        S = -(-27 * cap // 128) * 128
+        S = cells.lane_pad_sources(cap)
         n_cells_pad = -(-n_cells // TC) * TC
-        # cell-level wrap shifts, built on device (tiny 1-D inputs only)
-        idx = jnp.arange(n_cells, dtype=jnp.int32)
-        c3_cells = jnp.stack([idx // (ny * nz), (idx // nz) % ny, idx % nz],
-                             axis=-1)                      # (C, 3)
-        o27_d = jnp.asarray(o27, jnp.int32)
-        raw = c3_cells[:, None, :] + o27_d[None, :, :]     # (C, 27, 3)
-        wrap = jnp.floor_divide(raw, jnp.asarray(dims, jnp.int32))
-        ids2 = cell_table.reshape(n_cells, cap)
-        sids = ids2[nbr_cells].reshape(n_cells, 27 * cap)  # (C, 27*cap)
-        pad_s = S - 27 * cap
-        pad_cells = n_cells_pad - n_cells
-        src_ids = jnp.pad(sids, ((0, pad_cells), (0, pad_s)),
-                          constant_values=n)
-        src_pos = _gather_src_pos(pos, src_ids, wrap, box, dims, cap,
-                                  n_cells_pad, S)
-        tgt_xyz = _gather_tgt_xyz(pos, cell_table, cap, n_cells_pad,
-                                  n_cells)
+        wrap = cells.wrap_counts(dims)
+        src_ids = cells.padded_source_ids(cell_table, nbr_cells, n, dims,
+                                          cap, n_cells_pad, S)
+        src_pos = cells.gather_src_pos(pos, src_ids, wrap, box, dims, cap,
+                                       n_cells_pad, S)
+        tgt_xyz = cells.gather_tgt_xyz(pos, cell_table, cap, n_cells_pad,
+                                       n_cells)
 
     # ---- (plane, z-block) segment layout for the z-slab gridding.
     # Each particle registers one entry per x-plane it stamps (P entries),
@@ -609,54 +577,9 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         params=params)
 
 
-def _gather_src_pos(pos, src_ids, wrap, box, dims, cap, C_pad, S):
-    """Pre-gathered near-field source positions (3, C_pad, S).
-
-    Two strategies, picked by size. The fast path gathers (3,)-vector
-    rows — but its (C_pad*S, 3) temporaries tile the size-3 minor dim to
-    the 128-lane TPU layout, a 42x padding blowup (measured 5.1 GB per
-    temporary at 196k blobs: three of them OOM a 16 GB chip when the
-    plan builds or refreshes inside jit). Past a size threshold the
-    build switches to per-COMPONENT scalar gathers: every temporary is
-    a clean 2-D (C_pad, S) array (compact, ~42 MB), at ~3x the gather
-    cost — the right trade exactly when memory, not time, binds."""
-    dtype = pos.dtype
-    nx, ny, nz = dims
-    n_cells = nx * ny * nz
-
-    def shift_comp(d):
-        sh = wrap[:, :, d].astype(dtype) * box[d]        # (C, 27)
-        sh = jnp.broadcast_to(sh[:, :, None], (n_cells, 27, cap)
-                              ).reshape(n_cells, 27 * cap)
-        return jnp.pad(sh, ((0, C_pad - n_cells), (0, S - 27 * cap)))
-
-    if C_pad * S <= (8 << 20):
-        pos_nan = jnp.concatenate(
-            [pos, jnp.full((1, 3), jnp.nan, dtype)], axis=0)
-        spos = pos_nan[src_ids]                          # (C_pad, S, 3)
-        shift = jnp.stack([shift_comp(d) for d in range(3)], axis=-1)
-        return jnp.moveaxis(spos + shift, -1, 0)         # (3, C_pad, S)
-
-    comps = []
-    for d in range(3):
-        pc = jnp.concatenate(
-            [pos[:, d], jnp.full((1,), jnp.nan, dtype)])
-        comps.append(pc[src_ids] + shift_comp(d))        # (C_pad, S)
-    return jnp.stack(comps)                              # (3, C_pad, S)
-
-
-def _gather_tgt_xyz(pos, cell_table, cap, C_pad, n_cells):
-    """Target slot positions (C_pad*cap, 3) via per-component gathers
-    (same layout rationale as _gather_src_pos)."""
-    dtype = pos.dtype
-    cols = []
-    for d in range(3):
-        pc = jnp.concatenate(
-            [pos[:, d], jnp.full((1,), jnp.nan, dtype)])
-        t = jnp.pad(pc[cell_table], (0, (C_pad - n_cells) * cap),
-                    constant_values=jnp.nan)
-        cols.append(t)
-    return jnp.stack(cols, axis=-1)                      # (C_pad*cap, 3)
+# pre-gather helpers shared with the linked-cell force sweep
+_gather_src_pos = cells.gather_src_pos
+_gather_tgt_xyz = cells.gather_tgt_xyz
 
 
 def update_plan(plan: SpectralPlan, positions) -> SpectralPlan:
@@ -702,15 +625,7 @@ def update_plan(plan: SpectralPlan, positions) -> SpectralPlan:
             nx, ny, nz = dims
             n_cells = nx * ny * nz
             cap = p.cell_capacity
-            # cell-level wrap shifts (1-D device arithmetic, tiny)
-            idx = jnp.arange(n_cells, dtype=jnp.int32)
-            c3 = jnp.stack([idx // (ny * nz), (idx // nz) % ny, idx % nz],
-                           axis=-1)
-            o27 = jnp.asarray(
-                [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
-                 for k in (-1, 0, 1)], jnp.int32)
-            raw = c3[:, None, :] + o27[None, :, :]
-            wrap = jnp.floor_divide(raw, jnp.asarray(dims, jnp.int32))
+            wrap = cells.wrap_counts(dims)
             C_pad, S = plan.src_ids.shape
             new["src_pos"] = _gather_src_pos(
                 pos_eff, plan.src_ids, wrap, box, dims, cap, C_pad, S)

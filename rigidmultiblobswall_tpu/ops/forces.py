@@ -301,6 +301,8 @@ def _neighbor_forces_pallas(r_vectors, periodic_length, dims, cap,
     TPU killer, one plan-time gather + dense VPU tiles are not).
     Fully-periodic boxes only; exact vs the generic path (the same 27-cell
     stencil defines which pairs interact)."""
+    from . import cells
+
     dtype = jnp.float32
     n = r_vectors.shape[0]
     nx, ny, nz = dims
@@ -309,49 +311,20 @@ def _neighbor_forces_pallas(r_vectors, periodic_length, dims, cap,
     pos = r_vectors.astype(dtype)
     pos = pos - jnp.floor(pos / box) * box
 
-    csize = box / jnp.asarray(dims, dtype)
-    c3 = jnp.clip((pos / csize).astype(jnp.int32), 0,
-                  jnp.asarray(dims, jnp.int32) - 1)
-    cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]
-    order = jnp.argsort(cid)
-    sc = cid[order]
-    slot = jnp.arange(n) - jnp.searchsorted(sc, sc, side="left")
-    in_cap = slot < cap
-    addr = jnp.where(in_cap, sc * cap + slot, n_cells * cap)
-    cell_table = jnp.full((n_cells * cap + 1,), n, dtype=jnp.int32)
-    cell_table = cell_table.at[addr].set(order.astype(jnp.int32))[:-1]
-    slot_of = jnp.full((n,), cap, jnp.int32).at[order].set(
-        jnp.where(in_cap, slot, cap).astype(jnp.int32))
-    cell_slot = jnp.where(slot_of < cap, cid * cap + slot_of, n_cells * cap)
-
-    # static 27-neighbor table with periodic wrap shifts
-    cc = np.stack(np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
-                              indexing="ij"), axis=-1).reshape(-1, 3)
-    o27 = np.array([(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
-                    for k in (-1, 0, 1)])
-    raw = cc[:, None, :] + o27[None, :, :]
-    nbr = jnp.asarray(
-        ((raw[:, :, 0] % nx) * ny + raw[:, :, 1] % ny) * nz
-        + raw[:, :, 2] % nz, jnp.int32)                    # (C, 27)
-    shift = jnp.asarray(raw // np.array(dims), dtype) * box  # (C, 27, 3)
-
+    # shared fixed-capacity cell layout + pre-gathered (cell, 27*cap)
+    # source positions (ops/cells.py — one implementation with the
+    # spectral near field, including its memory-aware gather strategy)
+    cell_table, cell_slot, _, _ = cells.cell_bin(pos, box, dims, cap)
+    nbr = cells.neighbor_table(dims)
     TC = min(tile_cells, n_cells)
-    S = -(-27 * cap // 128) * 128
+    S = cells.lane_pad_sources(cap)
     n_cells_pad = -(-n_cells // TC) * TC
-    ids2 = cell_table.reshape(n_cells, cap)
-    sids = ids2[nbr]                                       # (C, 27, cap)
-    pos_nan = jnp.concatenate([pos, jnp.full((1, 3), jnp.nan, dtype)],
-                              axis=0)
-    spos = pos_nan[sids] + shift[:, :, None, :]
-    spos = spos.reshape(n_cells, 27 * cap, 3)
-    pad_s = S - 27 * cap
-    pad_c = n_cells_pad - n_cells
-    spos = jnp.pad(spos, ((0, pad_c), (0, pad_s), (0, 0)),
-                   constant_values=jnp.nan)
-    src = jnp.moveaxis(spos, -1, 0)                        # (3, C_pad, S)
-    tpos = pos_nan[cell_table].reshape(n_cells, cap, 3)
-    tgt = jnp.pad(tpos, ((0, pad_c), (0, 0), (0, 0)),
-                  constant_values=jnp.nan).reshape(n_cells_pad * cap, 3)
+    wrap = cells.wrap_counts(dims)
+    src_ids = cells.padded_source_ids(cell_table, nbr, n, dims, cap,
+                                      n_cells_pad, S)
+    src = cells.gather_src_pos(pos, src_ids, wrap, box, dims, cap,
+                               n_cells_pad, S)
+    tgt = cells.gather_tgt_xyz(pos, cell_table, cap, n_cells_pad, n_cells)
 
     kernel = functools.partial(
         _nl_force_kernel, cap=cap, tc=TC,
