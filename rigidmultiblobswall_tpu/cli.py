@@ -86,15 +86,18 @@ def main(argv=None):
                 # imports multi_bodies_functions / numexpr / pycuda ...)
                 # cannot drive this framework's hooks — fail with the
                 # porting pointer instead of a bare traceback
+                hint = ""
+                if e.name in ("multi_bodies_functions", "numexpr",
+                              "pycuda", "body", "mobility"):
+                    hint = (
+                        "\nThis file appears to target the reference's "
+                        "user_defined_functions API; this framework's "
+                        "hooks are plain functions named blob_force_fn /"
+                        " body_force_torque_fn / slip_fn / preprocess / "
+                        "postprocess — see the user-extension table in "
+                        "doc/USAGE.md for the signatures.")
                 raise SystemExit(
-                    f"error: could not load {udf}: {e}\n"
-                    "This file appears to target the reference's "
-                    "user_defined_functions API. This framework's hooks "
-                    "are plain functions named blob_force_fn / "
-                    "body_force_torque_fn / slip_fn / preprocess / "
-                    "postprocess — see doc/USAGE.md ('User-defined "
-                    "functions') for the signatures and a ported "
-                    "example.")
+                    f"error: could not load {udf}: {e}{hint}")
             import dataclasses as _dc
 
             hooks = {name: getattr(user_mod, name)
@@ -533,26 +536,6 @@ def main(argv=None):
                 save_clones(step_idx, state)
                 save_concentration_field(step_idx, state)
                 save_mobilities(step_idx, state)
-                # re-check the linked-cell force occupancy against the
-                # t=0 sizing (overflow silently weakens the repulsion)
-                if system.blob_blob_force_method == "neighbor_list":
-                    from .ops import forces as _fovf
-
-                    grown = _fovf.auto_force_cell_capacity(
-                        system, _kin.blob_positions(system, state),
-                        margin=1.0)
-                    if (grown.blob_blob_cell_capacity
-                            > system.blob_blob_cell_capacity):
-                        overflow_steps += 1
-                        print("WARNING: step %d force cells exceed "
-                              "capacity %d (need %d); forces are being "
-                              "dropped — restart with "
-                              "blob_blob_cell_capacity >= %d"
-                              % (step_idx,
-                                 system.blob_blob_cell_capacity,
-                                 grown.blob_blob_cell_capacity,
-                                 grown.blob_blob_cell_capacity),
-                              file=sys.stderr)
             if user_mod is not None and hasattr(user_mod, "preprocess"):
                 state = user_mod.preprocess(system, state, step_idx)
             key, sub = jax.random.split(key)
@@ -571,16 +554,17 @@ def main(argv=None):
                       "tolerance (maxiter=%d)" % (step_idx, gmres_maxiter),
                       file=sys.stderr)
             # mid-run density growth can outgrow the t=0 capacity
-            # auto-sizing: the spectral plan recounts its drops at each
-            # full rebuild and a dropped particle silently loses
-            # hydrodynamic contributions — surface it
+            # auto-sizing: aux.capacity_overflows counts this step's
+            # spectral-plan drops (recounted at each full rebuild) plus
+            # linked-cell force overflow — a dropped particle silently
+            # loses hydrodynamic/repulsion contributions, so surface it
             ovf = int(np.asarray(getattr(aux, "capacity_overflows", 0)))
             if ovf > 0:
                 overflow_steps += 1
-                print("WARNING: step %d spectral plan dropped %d "
-                      "entries (grow spectral_bucket_capacity / "
-                      "spectral_cell_capacity)" % (step_idx, ovf),
-                      file=sys.stderr)
+                print("WARNING: step %d dropped %d entries from fixed-"
+                      "capacity layouts (grow spectral_bucket_capacity/"
+                      "spectral_cell_capacity or blob_blob_cell_capacity)"
+                      % (step_idx, ovf), file=sys.stderr)
             if cfg.options.get("save_velocities", "False") == "True":
                 velocities_log.append(np.asarray(aux.velocities))
         save_clones(cfg.n_steps, state)

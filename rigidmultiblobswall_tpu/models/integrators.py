@@ -1006,14 +1006,20 @@ def make_stepper(system: System, scheme: str, dt: float, *,
             system, plan, kin.blob_positions(system, state))
         return plan, {_PLAN_CACHE_KEY: plan}
 
-    def _plan_overflow(plan):
-        """Capacity-overflow count of the carried plan (recounted at
-        each full rebuild; a growing local density that outpaces the
-        t=0 auto-sizing surfaces here instead of silently dropping
-        near-field pairs / gridding contributions)."""
-        if plan is None or not hasattr(plan, "n_dropped"):
-            return jnp.asarray(0)
-        return plan.n_dropped + plan.n_dropped_cells
+    def _plan_overflow(plan, state):
+        """Capacity-overflow count this step: the carried spectral
+        plan's drop counters (recounted at each full rebuild) plus the
+        linked-cell force layout's overflow at the current positions —
+        a growing local density that outpaces the t=0 auto-sizing
+        surfaces here instead of silently dropping near-field pairs /
+        gridding contributions / repulsion forces."""
+        from ..ops import forces as force_ops
+
+        out = force_ops.neighbor_list_overflow(
+            system, kin.blob_positions(system, state))
+        if plan is not None and hasattr(plan, "n_dropped"):
+            out = out + plan.n_dropped + plan.n_dropped_cells
+        return out
 
     if update_PC > 1:
         def step(state: State, key, carry):
@@ -1050,7 +1056,7 @@ def make_stepper(system: System, scheme: str, dt: float, *,
             aux = StepAux(velocities=velocities, det_iterations=det_it,
                           stoch_iterations=st_it, rejections=attempts - 1,
                           solves_converged=conv,
-                          capacity_overflows=_plan_overflow(plan))
+                          capacity_overflows=_plan_overflow(plan, state))
             return new_state, (new_inner, pc, step_idx + 1), aux
 
         return step
@@ -1084,7 +1090,7 @@ def make_stepper(system: System, scheme: str, dt: float, *,
         aux = StepAux(velocities=velocities, det_iterations=det_it,
                       stoch_iterations=st_it, rejections=attempts - 1,
                       solves_converged=conv,
-                      capacity_overflows=_plan_overflow(plan))
+                      capacity_overflows=_plan_overflow(plan, state))
         return new_state, new_carry, aux
 
     return step

@@ -348,6 +348,38 @@ def _neighbor_forces_pallas(r_vectors, periodic_length, dims, cap,
     return rows[cell_slot].astype(r_vectors.dtype)
 
 
+def neighbor_list_overflow(system, r_blobs):
+    """In-jit overflow count of the linked-cell force layout at the
+    given configuration (the same binning blob_blob_forces_neighbor_list
+    performs): nonzero means blobs silently lost repulsion this step.
+    Returns int32 0 when the neighbor-list path is not in use (or the
+    box is too small and the direct sweep runs instead)."""
+    from . import cells
+
+    if system.blob_blob_force_method != "neighbor_list":
+        return jnp.asarray(0, jnp.int32)
+    rc = system.blob_blob_cutoff or (
+        2.0 * system.blob_radius + 30.0 * system.debye_length)
+    periodic_length = tuple(float(x) for x in system.periodic_length)
+    dims = []
+    for L in periodic_length:
+        if L > 0:
+            nd = int(L // rc)
+            if nd < 4:
+                return jnp.asarray(0, jnp.int32)  # direct-sweep fallback
+            dims.append(min(nd, int(system.blob_blob_grid_dim)))
+        else:
+            # open-boundary dims size cells from the data extent; the
+            # check covers the fully-periodic case — the one the Pallas
+            # path (which zeroes overflow blobs' forces entirely) runs on
+            return jnp.asarray(0, jnp.int32)
+    box = jnp.asarray(periodic_length, r_blobs.dtype)
+    pos = r_blobs - jnp.floor(r_blobs / box) * box
+    _, _, _, n_dropped = cells.cell_bin(
+        pos, box, tuple(dims), int(system.blob_blob_cell_capacity))
+    return n_dropped
+
+
 def auto_force_cell_capacity(system, r_blobs, *, margin=1.25, log=None):
     """Size the linked-cell force capacity from the ACTUAL occupancy at
     the given configuration (host-side, call once at startup like

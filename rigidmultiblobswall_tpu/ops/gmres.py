@@ -104,7 +104,11 @@ def gmres(
             sn = sn.at[j].set(s)
             gj = g[j]
             g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
-            res = jnp.abs(g[j + 1])
+            # denom == 0: A closed the Krylov space without the residual
+            # reaching zero (singular operator) — the identity rotation
+            # must NOT zero the estimate, or the outer loop would skip
+            # the true-residual check and report a wrong x as converged
+            res = jnp.where(denom > 0, jnp.abs(g[j + 1]), res)
             if verbose:
                 jax.debug.print("gmres iteration {j}, residual {r}",
                                 j=j, r=res)
@@ -119,11 +123,15 @@ def gmres(
         used = jnp.arange(m) < j
         Rm = R[:m, :m]
         Rm = jnp.where(jnp.eye(m, dtype=bool) & ~used[None, :], 1.0, Rm)
-        # a zero USED diagonal (lucky breakdown: the Krylov space closed
-        # exactly) carries a zero g entry — unit-diagonal it so the
-        # triangular solve yields y_m = 0 instead of 0/0 = NaN
-        Rm = jnp.where(jnp.eye(m, dtype=bool) & (Rm == 0.0), 1.0, Rm)
-        gm = jnp.where(used, g[:m], 0.0)
+        # a zero USED diagonal = Krylov-space breakdown (singular
+        # operator, or an identically-zero RHS in the lockstep analog):
+        # unit-diagonal it AND zero its g entry, so that direction
+        # contributes y_m = 0 (finite; no 0/0 NaN, no fabricated y_m =
+        # g_m). The residual estimate above stays nonzero in the
+        # singular case, so the solve reports converged=False
+        dz = (jnp.diagonal(Rm) == 0.0)
+        Rm = jnp.where(jnp.eye(m, dtype=bool) & dz[None, :], 1.0, Rm)
+        gm = jnp.where(used & ~dz, g[:m], 0.0)
         ym = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
         y = y + V[:m].T @ ym
         return y, j, res
@@ -257,7 +265,10 @@ def gmres_lockstep(
             sn = sn.at[:, j].set(s)
             gj = g[:, j]
             g = g.at[:, j].set(c * gj).at[:, j + 1].set(-s * gj)
-            res = jnp.abs(g[:, j + 1])
+            # per-column: a no-progress rotation (denom == 0; zero RHS
+            # column or singular operator) keeps the previous estimate
+            # instead of zeroing it (see the single-RHS comment)
+            res = jnp.where(denom > 0, jnp.abs(g[:, j + 1]), res)
             R = R.at[:, :, j].set(h)
             return (j + 1, V, R, cs, sn, g, res)
 
@@ -271,11 +282,15 @@ def gmres_lockstep(
         Rm = jnp.where(eye[None], 1.0, Rm)
         # zero USED diagonals happen per-column: an identically-zero RHS
         # column (its whole Arnoldi process is zeros while the healthy
-        # columns drive j forward) or a lucky breakdown; their g entries
-        # are zero, so unit-diagonaling yields the correct y_m = 0
-        # instead of 0/0 = NaN poisoning the column
-        Rm = jnp.where(jnp.eye(m, dtype=bool)[None] & (Rm == 0.0), 1.0, Rm)
-        gm = jnp.where(used[None], g[:, :m], 0.0)
+        # columns drive j forward) or a singular operator. Unit-diagonal
+        # them AND zero their g entries: the direction contributes
+        # y_m = 0 (no 0/0 NaN, no fabricated y_m); a genuinely singular
+        # column keeps a nonzero residual estimate and reports
+        # converged=False
+        dz = jnp.diagonal(Rm, axis1=1, axis2=2) == 0.0   # (nrhs, m)
+        Rm = jnp.where(jnp.eye(m, dtype=bool)[None] & dz[:, None, :],
+                       1.0, Rm)
+        gm = jnp.where(used[None] & ~dz, g[:, :m], 0.0)
         ym = jax.vmap(lambda Ri, gi: jax.scipy.linalg.solve_triangular(
             Ri, gi, lower=False))(Rm, gm)
         y = y + jnp.einsum("bkn,bk->bn", V[:, :m], ym,

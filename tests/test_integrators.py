@@ -73,6 +73,36 @@ def test_auto_force_cell_capacity_grows_to_occupancy():
     assert force_ops.auto_force_cell_capacity(system, pos) is system
 
 
+def test_capacity_overflows_surface_force_cell_drops():
+    """StepAux.capacity_overflows counts linked-cell force overflow at
+    the step's configuration EVERY step (a dropped blob silently loses
+    repulsion; the t=0 auto-sizing cannot see mid-run density growth)."""
+    import dataclasses
+
+    system, state = _sphere_system(count=8, seed=2)
+    L = 40.0
+    sys_nl = dataclasses.replace(
+        system, domain="no_wall", periodic_length=(L, L, L),
+        blob_blob_force_method="neighbor_list", repulsion_strength=0.1,
+        debye_length=0.2, blob_blob_cutoff=4.0, blob_blob_grid_dim=10,
+        blob_blob_cell_capacity=8)
+    # clump every body into one force cell: 8 bodies x several blobs
+    # far exceed capacity 8
+    state = state._replace(pos=jnp.asarray(
+        np.random.default_rng(0).uniform(1.0, 3.0, (8, 3))))
+    step = integrators.make_stepper(sys_nl, "deterministic_forward_euler",
+                                    1e-4)
+    _, _, aux = step(state, jax.random.PRNGKey(0),
+                     integrators.init_carry(sys_nl))
+    assert int(np.asarray(aux.capacity_overflows)) > 0
+    # roomy capacity -> no overflow reported
+    sys_ok = dataclasses.replace(sys_nl, blob_blob_cell_capacity=256)
+    _, _, aux2 = step_ok = integrators.make_stepper(
+        sys_ok, "deterministic_forward_euler", 1e-4)(
+        state, jax.random.PRNGKey(0), integrators.init_carry(sys_ok))
+    assert int(np.asarray(aux2.capacity_overflows)) == 0
+
+
 def test_adams_bashforth_second_step_uses_history():
     system, state = _sphere_system(count=1, seed=11)
     dt = 1e-3

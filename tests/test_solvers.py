@@ -239,3 +239,30 @@ def test_gmres_lockstep_zero_rhs_column():
     # single-RHS path: zero RHS short-circuits to x=0, converged
     r1 = gmres(mv, jnp.zeros(n), tol=1e-10, restart=20, maxiter=100)
     assert np.allclose(np.asarray(r1.x), 0.0) and bool(r1.converged)
+
+
+def test_gmres_singular_operator_reports_not_converged():
+    """A singular operator with RHS outside its range must come back
+    finite and converged=False — the Krylov space closes without the
+    residual reaching zero, and the no-progress Givens rotation must not
+    zero the residual estimate (that would skip the true-residual check
+    and report a fabricated solution as converged)."""
+    A = np.diag([1.0, 1.0, 0.0])
+    b = jnp.asarray([0.0, 0.0, 1.0])
+    mv = lambda x: x @ jnp.asarray(A).T
+    res = gmres(mv, b, tol=1e-10, restart=3, maxiter=12)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    assert not bool(res.converged)
+    # true residual is reported (cannot be below 1: b has a unit
+    # component in the null space)
+    assert float(res.residual_norm) > 0.5
+
+    # lockstep: the singular column reports not-converged while a
+    # healthy column in the same batch still solves correctly
+    b2 = jnp.asarray([1.0, 2.0, 0.0])
+    resL = gmres_lockstep(mv, jnp.stack([b, b2]), tol=1e-10, restart=3,
+                          maxiter=12)
+    assert np.all(np.isfinite(np.asarray(resL.x)))
+    assert not bool(resL.converged[0])
+    assert bool(resL.converged[1])
+    assert np.allclose(np.asarray(resL.x[1]), [1.0, 2.0, 0.0], atol=1e-8)
