@@ -683,11 +683,17 @@ def _stochastic_GDC_RFD(system, dt, solver_kw, lanczos_kw, key, state, carry):
     ok_mid = kin.valid_configuration(system, mid)
 
     pc_mid = saddle.build_block_diag_pc(system, mid)
+    # the carried step-start engine refreshes at the midpoint (position
+    # re-gathers only for the spectral plan; other engines rebuild)
+    m_start = _get_m_dense(system, kin.blob_positions(system, state),
+                           lanczos_kw)
+    m_mid = saddle.refresh_dense_mobility(
+        system, m_start, kin.blob_positions(system, mid))
     noise_mid, it3 = _noise_slip(system, mid, pc_mid, k_w, factor,
-                                 **lanczos_kw)
+                                 m_dense=m_mid, **lanczos_kw)
     sol_mid = solvers.solve_mobility_problem(system, mid, pc=pc_mid,
                                              noise_slip=noise_mid,
-                                             **solver_kw)
+                                             m_dense=m_mid, **solver_kw)
     correction = 1.0 + 0.5 * dt * div
     new_state = kin.advance(state, sol_mid.velocities * correction, dt)
     ok = ok_mid & kin.valid_configuration(system, new_state)
@@ -847,8 +853,10 @@ def _articulated_deterministic_forward_euler(system, dt, solver_kw,
     from . import articulated as art_mod
 
     t_now = carry.step_idx * dt
+    m_dense = _get_m_dense(system, kin.blob_positions(system, state),
+                           lanczos_kw)
     sol = solvers.solve_mobility_problem(system, state, time=t_now,
-                                         **solver_kw)
+                                         m_dense=m_dense, **solver_kw)
     moved = kin.advance(state, sol.velocities, dt)
     moved = art_mod.correct_center_of_mass(system, moved, state,
                                            sol.velocities, dt,
@@ -868,8 +876,10 @@ def _articulated_deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
     from . import articulated as art_mod
 
     t_now = carry.step_idx * dt
+    m_dense = _get_m_dense(system, kin.blob_positions(system, state),
+                           lanczos_kw)
     sol1 = solvers.solve_mobility_problem(system, state, time=t_now,
-                                          **solver_kw)
+                                          m_dense=m_dense, **solver_kw)
     mid = kin.advance(state, sol1.velocities, 0.5 * dt)
     mid = art_mod.correct_center_of_mass(system, mid, state, sol1.velocities,
                                          dt, midpoint_fraction=0.5,
@@ -880,8 +890,10 @@ def _articulated_deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
 
     x0 = jnp.concatenate([sol1.lam.ravel(), sol1.velocities.ravel(),
                           sol1.phi.ravel()])
+    m_mid = saddle.refresh_dense_mobility(
+        system, m_dense, kin.blob_positions(system, mid))
     sol2 = solvers.solve_mobility_problem(system, mid, time=t_now + 0.5 * dt,
-                                          x0=x0, **solver_kw)
+                                          x0=x0, m_dense=m_mid, **solver_kw)
     new = kin.advance(state, sol2.velocities, dt)
     new = art_mod.correct_center_of_mass(system, new, state, sol2.velocities,
                                          dt, time=t_now + dt)
