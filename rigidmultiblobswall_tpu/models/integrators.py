@@ -619,13 +619,14 @@ def _fixman(system, dt, solver_kw, lanczos_kw, key, state, carry):
 
 
 def _unpc_noise(system, state, key, factor, tolerance, max_iter,
-                check_every=1, **_ignored):
+                check_every=1, m_dense=None, **_ignored):
     """Plain M^{1/2} W (no preconditioner), used by the GDC scheme."""
     r_blobs = kin.blob_positions(system, state)
-    # for periodic_spectral, build the plan here (outside the Lanczos
-    # while_loop); None falls through to the pairwise engine
-    m_eng = (saddle.maybe_dense_mobility(system, r_blobs)
-             if system.domain == "periodic_spectral" else None)
+    # for periodic_spectral, the caller's carried plan (or a fresh build
+    # outside the Lanczos while_loop); None falls through pairwise
+    m_eng = m_dense
+    if m_eng is None and system.domain == "periodic_spectral":
+        m_eng = saddle.maybe_dense_mobility(system, r_blobs)
 
     def mtt(v):
         return saddle._mobility_apply(
@@ -648,7 +649,10 @@ def _stochastic_GDC_RFD(system, dt, solver_kw, lanczos_kw, key, state, carry):
     n3 = 3 * system.num_blobs
     zeros_b = jnp.zeros(6 * system.num_bodies, dtype)
 
-    noise_n, it1, z = _unpc_noise(system, state, k_w, factor, **lanczos_kw)
+    m_start = _get_m_dense(system, kin.blob_positions(system, state),
+                           lanczos_kw)
+    noise_n, it1, z = _unpc_noise(system, state, k_w, factor,
+                                  m_dense=m_start, **lanczos_kw)
     sol_n = saddle.apply_identity_saddle_solver(
         system, state, jnp.concatenate([-noise_n, zeros_b]))
     _, U_n, _ = saddle.split_saddle_vector(system, sol_n)
@@ -661,7 +665,10 @@ def _stochastic_GDC_RFD(system, dt, solver_kw, lanczos_kw, key, state, carry):
         quat=kin.quat.step(state.quat, W[:, 3:], system.rf_delta))
     # reuse the same z at the displaced configuration (:1126-1132)
     r_rfd = kin.blob_positions(system, rfd_state)
-    m_eng_rfd = (saddle.maybe_dense_mobility(system, r_rfd)
+    # the displaced configuration refreshes the step-start engine
+    # (position re-gathers only; the RFD displacement is tiny)
+    m_eng_rfd = (saddle.refresh_dense_mobility(system, m_start, r_rfd,
+                                               build=False)
                  if system.domain == "periodic_spectral" else None)
 
     def mtt_rfd(v):
@@ -685,8 +692,6 @@ def _stochastic_GDC_RFD(system, dt, solver_kw, lanczos_kw, key, state, carry):
     pc_mid = saddle.build_block_diag_pc(system, mid)
     # the carried step-start engine refreshes at the midpoint (position
     # re-gathers only for the spectral plan; other engines rebuild)
-    m_start = _get_m_dense(system, kin.blob_positions(system, state),
-                           lanczos_kw)
     m_mid = saddle.refresh_dense_mobility(
         system, m_start, kin.blob_positions(system, mid))
     noise_mid, it3 = _noise_slip(system, mid, pc_mid, k_w, factor,
