@@ -275,6 +275,60 @@ articulated arm.list_vertex arm.clones arm.const
     assert np.all(t_our[3, :, 2] < t_our[0, :, 2])
 
 
+@pytest.mark.parametrize("scheme", [
+    "deterministic_forward_euler_rollers",
+    # the recommended rollers scheme in its kT=0 limit (AB2 +
+    # constrained solve, zero noise/RFD amplitude)
+    "stochastic_adams_bashforth_rollers",
+])
+def test_rollers_prescribed_omega_matches_reference(tmp_path, scheme):
+    """Minimally-resolved microrollers (the examples/rollers setup):
+    4 single-blob spheres above the wall driven at prescribed angular
+    velocity — the constrained-omega torque solve M_rr T = w - M_rt F
+    (quaternion_integrator_rollers.py:905-982) and the grand-mobility
+    velocity assembly must reproduce the reference trajectory."""
+    blob_vertex = os.path.join(REF, "Structures/blob.vertex")
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    for d in (ref_dir, our_dir):
+        d.mkdir()
+        (d / "rollers.clones").write_text(
+            "4\n" + "".join(f"{1.5 * i} 0 1.2 1 0 0 0\n" for i in range(4)))
+        (d / "input.dat").write_text(f"""
+scheme                                   {scheme}
+mobility_blobs_implementation            python
+mobility_vector_prod_implementation     numba
+blob_blob_force_implementation           python
+body_body_force_torque_implementation    python
+domain                                   single_wall
+dt                                       0.01
+n_steps                                  3
+n_save                                   1
+solver_tolerance                         1e-10
+eta                                      1.0e-3
+g                                        0.0024892
+blob_radius                              0.5
+kT                                       0
+omega_one_roller                         0.0 6.28 0.0
+free_kinematics                          False
+repulsion_strength                       0.0165677856
+debye_length                             0.0656
+repulsion_strength_wall                  0.0165677856
+debye_length_wall                        0.0656
+save_clones                              one_file_per_step
+output_name                              out
+structure {blob_vertex} rollers.clones
+""")
+    _run_reference(str(ref_dir), "input.dat")
+    _run_ours(str(our_dir), "input.dat")
+    t_ref = _load_traj(str(ref_dir / "out"), "rollers", 3)
+    t_our = _load_traj(str(our_dir / "out"), "rollers", 3)
+    err = np.abs(t_ref[:, :, :3] - t_our[:, :, :3]).max()
+    assert err < 1e-6, f"position mismatch {err:.3e}"
+    # rolling near the wall: omega_y > 0 propels +x
+    assert np.all(t_our[3, :, 0] > t_our[0, :, 0])
+
+
 def test_per_blob_radii_example_hydrodynamic_radii():
     """The examples/radii case: shells of hydrodynamic radius Rh=1 (the
     default blob radius) and Rh=0.5 (per-blob radius column in the
