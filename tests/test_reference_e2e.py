@@ -159,6 +159,22 @@ def test_slip_trapz_zero_kT_matches_reference(tmp_path):
                           atol=2e-6)
 
 
+@pytest.mark.parametrize("scheme", ["stochastic_EM",
+                                    "stochastic_traction_EM"])
+def test_stochastic_schemes_zero_kT_match_reference(tmp_path, scheme):
+    """More stochastic schemes in the deterministic kT=0 limit: the EM
+    solve and the traction-level RFD plumbing
+    (quaternion_integrator_multi_bodies.py:262, :626) run with zero
+    noise amplitude in both codes."""
+    vertex = os.path.join(REF, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
+    clones = str(tmp_path / "shells.clones")
+    with open(clones, "w") as f:
+        f.write("2\n0 0 1.8 1 0 0 0\n1.9 0 2.0 1 0 0 0\n")
+    _compare_trajectories(tmp_path, scheme,
+                          [[vertex, clones]], "shells", n_steps=3, dt=0.005,
+                          atol=2e-6)
+
+
 def test_body_body_yukawa_force_matches_reference(tmp_path):
     """Body-body Yukawa force path (multi_bodies_functions.py:359-408,
     enabled by body_body_force_torque_implementation): the body-level
