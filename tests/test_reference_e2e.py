@@ -159,13 +159,20 @@ def test_slip_trapz_zero_kT_matches_reference(tmp_path):
                           atol=2e-6)
 
 
-@pytest.mark.parametrize("scheme", ["stochastic_EM",
-                                    "stochastic_traction_EM"])
+@pytest.mark.parametrize("scheme", [
+    "stochastic_EM",
+    "stochastic_traction_EM",
+    "stochastic_first_order_RFD",
+    "stochastic_adams_bashforth",
+    "stochastic_traction_AB",
+    "stochastic_GDC_RFD",
+    "stochastic_Slip_Mid",
+])
 def test_stochastic_schemes_zero_kT_match_reference(tmp_path, scheme):
-    """More stochastic schemes in the deterministic kT=0 limit: the EM
-    solve and the traction-level RFD plumbing
-    (quaternion_integrator_multi_bodies.py:262, :626) run with zero
-    noise amplitude in both codes."""
+    """The whole stochastic scheme family in its deterministic kT=0
+    limit: every solve/RFD/Lanczos plumbing path runs with zero noise
+    amplitude in both codes and the trajectories must agree
+    (quaternion_integrator_multi_bodies.py:262-1343)."""
     vertex = os.path.join(REF, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
     clones = str(tmp_path / "shells.clones")
     with open(clones, "w") as f:
