@@ -167,6 +167,10 @@ def test_slip_trapz_zero_kT_matches_reference(tmp_path):
     "stochastic_traction_AB",
     "stochastic_GDC_RFD",
     "stochastic_Slip_Mid",
+    # dense-algebra family (O(N^3) utility schemes)
+    "deterministic_forward_euler_dense_algebra",
+    "stochastic_first_order_RFD_dense_algebra",
+    "Fixman",
 ])
 def test_stochastic_schemes_zero_kT_match_reference(tmp_path, scheme):
     """The whole stochastic scheme family in its deterministic kT=0
