@@ -216,11 +216,16 @@ def test_prescribed_obstacle_matches_reference(tmp_path):
                           n_steps=3, dt=0.01, extra=extra)
 
 
-def test_articulated_chain_matches_reference(tmp_path):
-    """Articulated 3-shell chain sedimenting above the wall
-    (articulated_deterministic_forward_euler): exercises the constraint
-    blocks in the saddle solve + the nonlinear post-step projection
-    (reference articulated/articulated.py:148-520 vs our Gauss-Newton)."""
+@pytest.mark.parametrize("scheme", [
+    "articulated_deterministic_forward_euler",
+    "articulated_deterministic_midpoint",
+])
+def test_articulated_chain_matches_reference(tmp_path, scheme):
+    """Articulated 3-shell chain sedimenting above the wall: exercises
+    the constraint blocks in the saddle solve + the nonlinear post-step
+    projection (reference articulated/articulated.py:148-520 vs our
+    Gauss-Newton), FE and midpoint variants
+    (quaternion_integrator_multi_bodies.py:1638, :1690)."""
     vertex = os.path.join(REF, "Structures/shell_N_12_Rg_0_7921_Rh_1.vertex")
     for d in ("ref", "ours"):
         (tmp_path / d).mkdir(exist_ok=True)
@@ -238,8 +243,7 @@ def test_articulated_chain_matches_reference(tmp_path):
     our_dir = tmp_path / "ours"
     for d in (ref_dir, our_dir):
         (d / "input.dat").write_text(
-            _input_text("articulated_deterministic_forward_euler",
-                        structures, n_steps=3, dt=0.01,
+            _input_text(scheme, structures, n_steps=3, dt=0.01,
                         extra=extra).replace("OUTPUT", "out"))
     _run_reference(str(ref_dir), "input.dat")
     _run_ours(str(our_dir), "input.dat")
