@@ -104,6 +104,12 @@ def main(argv=None):
                      for name in ("blob_force_fn", "body_force_torque_fn",
                                   "slip_fn")
                      if hasattr(user_mod, name)}
+            if "body_force_torque_fn" in hooks:
+                # the reference's override REPLACES calc_body_body_forces_
+                # torques_python (multi_bodies_functions.py:474, examples/
+                # bacteria/user_defined_functions.py) — so the built-in
+                # Yukawa body-body force must not also apply
+                hooks["body_body_force_method"] = "none"
             if hooks:
                 system = _dc.replace(system, **hooks)
             print("Loaded user_defined_functions from", udf)

@@ -354,7 +354,11 @@ def _build_articulated_pc(system: System, state: State, per_type, time=0.0):
             CN = CN.at[:, :, cols].set(
                 jnp.einsum("cik,ckl->cil", C[:, :, cols], N_blocks[:, j]))
         CNCT = jnp.einsum("cik,cjk->cij", CN, C)
-        G = jnp.linalg.inv(CNCT)
+        # MUST be pinv (multi_bodies.py:806): redundant link sets (e.g. a
+        # weld expressed as >=2 ball joints, Structures/bacteria_active.
+        # const) make C N C^T exactly singular — inv would fill the PC
+        # with NaN and poison the whole Krylov solve.
+        G = jnp.linalg.pinv(CNCT)
         out.append(ArticulatedPC(C=C, G=G))
     return tuple(out)
 

@@ -1,7 +1,7 @@
 """Shim to run the reference driver under Python 3.12 without modifying
 /root/reference: provide the removed `imp` module and a minimal `numexpr`
 stand-in, then exec multi_bodies.py with argv."""
-import sys, types, runpy, importlib, importlib.util, importlib.machinery
+import os, sys, types, runpy, importlib, importlib.util, importlib.machinery
 
 # fake `imp` (removed in 3.12): the reference only uses imp.load_source
 imp = types.ModuleType("imp")
@@ -22,14 +22,19 @@ def find_module(name, path=None):
 imp.find_module = find_module
 sys.modules["imp"] = imp
 
-# numexpr only evaluates time-dependent constraint strings; tests do not
-# use them, but the import must succeed
+# numexpr evaluates time-dependent constraint strings
+# (constraint/constraint.py:108-119). Like the real numexpr, names must
+# resolve from the CALLER's frame (e.g. `t = time` right before
+# ne.evaluate('cos(-100*t)')), so pull the caller's locals/globals.
 ne = types.ModuleType("numexpr")
 def evaluate(expr, local_dict=None, **kw):
     import numpy as np
     env = {k: getattr(np, k) for k in ("sin","cos","tan","exp","sqrt","abs","arctan2","where","pi")}
+    frame = sys._getframe(1)
+    env.update(frame.f_globals)
+    env.update(frame.f_locals)
     env.update(local_dict or {})
-    return eval(expr, {"__builtins__": {}}, env)
+    return np.asarray(eval(expr, {"__builtins__": {}}, env))
 ne.evaluate = evaluate
 sys.modules["numexpr"] = ne
 
@@ -87,6 +92,10 @@ _spla.gmres = _compat_gmres
 
 sys.path.insert(0, "/root/reference")
 sys.path.insert(0, "/root/reference/multi_bodies")
+# running `python multi_bodies.py` from an example directory puts that
+# directory on sys.path — user_defined_functions.py import
+# (multi_bodies_functions.py:474) relies on it
+sys.path.insert(0, os.getcwd())
 
 # reference ordering bug: for *_rollers schemes multi_bodies.py:1330
 # reads multi_bodies_functions.calc_blob_blob_forces BEFORE assigning it

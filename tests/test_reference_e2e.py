@@ -418,3 +418,140 @@ def test_squirmer_slip_matches_reference(tmp_path):
         tmp_path, "deterministic_forward_euler",
         [[vertex, clones, slip]], "squirmer", n_steps=3, dt=0.01,
         extra="g 0.0")
+
+
+# ---------------------------------------------------------------------------
+# Flagellated bacteria (examples/bacteria): two-body articulated swimmer
+# with REDUNDANT links (the head-flagellum weld is expressed as multiple
+# ball joints, so C N C^T is exactly singular and the articulated PC
+# must use pinv, multi_bodies.py:806).
+
+_BACT_INPUT = """
+scheme                                   articulated_deterministic_midpoint
+mobility_blobs_implementation            python_no_wall
+mobility_vector_prod_implementation      python_no_wall
+domain                                   no_wall
+blob_blob_force_implementation           python
+dt                                       0.0025
+n_steps                                  3
+n_save                                   1
+update_PC                                1
+solver_tolerance                         1e-10
+nonlinear_solver_tolerance               1e-10
+eta                                      1e-03
+g                                        0
+blob_radius                              0.1310
+repulsion_strength                       0.01
+debye_length                             0.01310
+repulsion_strength_wall                  0
+debye_length_wall                        0.01310
+save_clones                              one_file_per_step
+output_name                              out
+"""
+
+
+def _bacteria_dir(d, const_path, clones_name, extra=""):
+    d.mkdir(exist_ok=True)
+    shell = os.path.join(REF, "Structures/shell_N_162_Rg_0_9497_Rh_1.vertex")
+    flag = os.path.join(REF, "Structures/flagellum_L_10_alpha_0.35.vertex")
+    (d / "bact.list_vertex").write_text(f"{shell}\n{flag}\n")
+    (d / clones_name).write_text("2\n0 0 3 1 0 0 0\n0 0 4.262 1 0 0 0\n")
+    (d / "input.dat").write_text(
+        _BACT_INPUT + extra
+        + f"\narticulated bact.list_vertex {clones_name} {const_path}\n")
+
+
+def _compare_bacteria(tmp_path, name, n_steps=3, atol=5e-5):
+    t_ref = _load_traj(str(tmp_path / "ref" / "out"), name, n_steps)
+    t_our = _load_traj(str(tmp_path / "ours" / "out"), name, n_steps)
+    q_ref, q_our = t_ref[:, :, 3:], t_our[:, :, 3:]
+    sign = np.sign(np.sum(q_ref * q_our, axis=-1, keepdims=True))
+    err_pos = np.abs(t_ref[:, :, :3] - t_our[:, :, :3]).max()
+    err_q = np.abs(q_ref - sign * q_our).max()
+    # per-step drift is ~3e-6: both codes solve the SINGULAR redundant-
+    # constraint saddle system to 1e-10 residual, which conditioning
+    # amplifies in the solution components
+    assert err_pos < atol, f"position mismatch {err_pos:.3e}"
+    assert err_q < atol, f"orientation mismatch {err_q:.3e}"
+    return t_our
+
+
+def test_bacteria_time_dependent_links_matches_reference(tmp_path):
+    """Constant-angular-velocity bacterium (examples/bacteria,
+    inputfile_bacteria_constant_angular_velocity.dat): the third link of
+    Structures/bacteria_active.const carries cos/sin time expressions,
+    so the constraint RHS gets the rotating links_deriv terms
+    (constraint.py:106-119) and the flagellum is DRIVEN at
+    omega_rel = 100 about the body axis."""
+    const = os.path.join(REF, "Structures/bacteria_active.const")
+    for d in ("ref", "ours"):
+        _bacteria_dir(tmp_path / d, const, "bact.clones")
+    _run_reference(str(tmp_path / "ref"), "input.dat")
+    _run_ours(str(tmp_path / "ours"), "input.dat")
+    t = _compare_bacteria(tmp_path, "bact")
+    # the drive really spins the flagellum relative to the head: the two
+    # bodies' quaternions separate from their identical start
+    assert np.abs(t[-1, 0, 3:] - t[-1, 1, 3:]).max() > 1e-3
+
+
+def test_bacteria_constant_torque_udf_matches_reference(tmp_path):
+    """Constant-torque bacterium (examples/bacteria,
+    inputfile_bacteria_constant_torque.dat): a user_defined_functions.py
+    overrides the body-body force to apply +/- R tau in the body frame
+    (head +, flagellum -, zero total) — the reference's L5 extension
+    mechanism (multi_bodies_functions.py:474) vs our CLI hook loading,
+    which must also REPLACE the built-in Yukawa body-body force."""
+    const = os.path.join(REF, "Structures/bacteria_passive.const")
+    extra = ("body_body_force_torque_implementation    python\n"
+             "omega_one_roller                         0 0 0.4643845\n")
+    for d in ("ref", "ours"):
+        _bacteria_dir(tmp_path / d, const, "bacteria_constant_torque.clones",
+                      extra=extra)
+    # reference side: monkey-patch through the documented override hook
+    (tmp_path / "ref" / "user_defined_functions.py").write_text("""
+import numpy as np
+import multi_bodies_functions
+
+
+def _constant_torque(bodies, r_vectors, *args, **kwargs):
+    ft = np.zeros((2 * len(bodies), 3))
+    tau = np.asarray(kwargs.get('omega_one_roller'))
+    sign = 1.0
+    for i, b in enumerate(bodies):
+        if b.ID == 'bacteria_constant_torque':
+            ft[2 * i + 1] = sign * np.dot(b.orientation.rotation_matrix(),
+                                          tau)
+            sign = -sign
+    return ft
+
+
+multi_bodies_functions.calc_body_body_forces_torques_python = \\
+    _constant_torque
+""")
+    # our side: the same physics through this framework's hook API
+    (tmp_path / "ours" / "user_defined_functions.py").write_text("""
+import jax.numpy as jnp
+from rigidmultiblobswall_tpu.ops import quaternion as quat
+
+TAU = (0.0, 0.0, 0.4643845)
+
+
+def body_force_torque_fn(system, state, r_blobs):
+    dtype = state.pos.dtype
+    out = jnp.zeros((system.num_bodies, 6), dtype)
+    tau = jnp.asarray(TAU, dtype)
+    sign = 1.0
+    for i, t in enumerate(system.types):
+        if not t.name.startswith("bacteria_constant_torque"):
+            continue
+        sl = system.body_slice(i)
+        R = quat.rotation_matrix(state.quat[sl])
+        out = out.at[sl, 3:6].set(sign * jnp.einsum("cij,j->ci", R, tau))
+        sign = -sign
+    return out
+""")
+    _run_reference(str(tmp_path / "ref"), "input.dat")
+    _run_ours(str(tmp_path / "ours"), "input.dat")
+    t = _compare_bacteria(tmp_path, "bacteria_constant_torque")
+    # the torque spins head and flagellum in opposite senses
+    assert np.abs(t[-1, 0, 3:] - t[-1, 1, 3:]).max() > 1e-4
