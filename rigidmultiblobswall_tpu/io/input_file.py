@@ -127,10 +127,15 @@ def read_input(path) -> InputConfig:
                      g("mobility_blobs_implementation") or ""])
     if g("domain"):
         cfg.domain = str(g("domain"))
+    elif "free_surface" in impl:
+        # before no_wall: mixed inputs (e.g. a no-wall dense-blobs PC
+        # with a free-surface product, the reference's only pure-python
+        # free-surface combination) are free-surface PHYSICS — the
+        # product implementation defines the operator, the dense blobs
+        # implementation only the preconditioner
+        cfg.domain = "free_surface"
     elif "no_wall" in impl:
         cfg.domain = "no_wall"
-    elif "free_surface" in impl:
-        cfg.domain = "free_surface"
     else:
         cfg.domain = "single_wall"
     cfg.save_clones = str(g("save_clones") or "one_file_per_step")
