@@ -187,6 +187,9 @@ def bench_rollers():
         "value": round(elapsed_ms, 3),
         "unit": "ms/step",
         "vs_baseline": round(ref_ms / elapsed_ms, 1),
+        "baseline_kind": ("env BENCH_REF_STEP_MS" if "BENCH_REF_STEP_MS"
+                          in os.environ else
+                          "measured@3072blobs,N^2-scaled estimate"),
     }))
 
 
@@ -277,6 +280,12 @@ def main():
         "value": round(elapsed_ms, 3),
         "unit": "ms/step",
         "vs_baseline": round(ref_ms / elapsed_ms, 1),
+        # honesty label (VERDICT r1 weak #4): the comparator is the
+        # reference's python backend MEASURED on this host at 3072 blobs
+        # and O(N^2)/O(N^3)-scaled to this size, not a same-N run
+        "baseline_kind": ("env BENCH_REF_STEP_MS" if "BENCH_REF_STEP_MS"
+                          in os.environ else
+                          "measured@3072blobs,N^2-scaled estimate"),
     }))
 
 
