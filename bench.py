@@ -55,6 +55,10 @@ SCHEME = os.environ.get("BENCH_SCHEME", "stochastic_Slip_Trapz")
 # (grand-mobility constrained-omega dynamics) instead of the multibody one
 BENCH_PATH = os.environ.get("BENCH_PATH", "spectral")
 N_ROLLERS = int(os.environ.get("BENCH_ROLLERS", 32768))
+# BENCH_PATH=lubrication benchmarks the lubrication-corrected microroller
+# suspension (BASELINE config 5: prescribed omega + torque cutoff,
+# stochastic trapezoidal; the reference's Uniform_Rollers driver)
+N_LUB = int(os.environ.get("BENCH_LUB_BODIES", 4096))
 # f32-appropriate defaults; override toward the reference's 1e-8 with
 # BENCH_TOL / BENCH_LANCZOS_TOL (see ACCURACY.md for the f32-vs-f64 story)
 SOLVER_TOL = float(os.environ.get("BENCH_TOL", 2e-4))
@@ -193,6 +197,83 @@ def bench_rollers():
     }))
 
 
+def bench_lubrication():
+    """Lubrication-corrected uniform microrollers (BASELINE config 5, the
+    reference's Lubrication_Examples/Uniform_Rollers/main_rollers.py):
+    N spheres near the wall driven at prescribed omega about y with a
+    torque cutoff, stochastic trapezoidal scheme — neighbor-list sparse
+    Delta_R, R_Sup-preconditioned (I + M dR) GMRES, Torque_from_Omega
+    constrained solve, Lanczos matrix roots."""
+    from rigidmultiblobswall_tpu.models import lubrication as lub
+    from rigidmultiblobswall_tpu.ops import forces
+
+    # the Uniform_Rollers physical parameters (examples/lubrication_rollers)
+    eta, a = 0.957e-3, 1.0
+    sol = lub.LubSolver(
+        num_bodies=N_LUB, eta=eta, a=a, kT=0.0041419464, dt=DT,
+        cutoff=4.5, cutoff_wall=4.5, debye_cut=1e-2, rf_delta=1e-3,
+        solver_tolerance=SOLVER_TOL, max_neighbors=12,
+        tables=lub.LubricationTables.load(lub.DEFAULT_TABLE_DIR))
+
+    def ft_calc(pos):
+        f = forces.blob_external_forces(
+            pos, g=0.0025395, blob_radius=a,
+            repulsion_strength_wall=0.0165677856, debye_length_wall=0.1)
+        f = f + forces.blob_blob_forces(
+            pos, repulsion_strength=0.0165677856, debye_length=0.1,
+            blob_radius=a)
+        return jnp.concatenate([f, jnp.zeros_like(f)], axis=1)
+
+    side = int(np.ceil(N_LUB ** 0.5))
+    idx = np.arange(N_LUB)
+    rng = np.random.default_rng(0)
+    pos0 = np.stack([(idx % side) * 2.4 * a, (idx // side) * 2.4 * a,
+                     np.full(N_LUB, 1.3 * a)], axis=1).astype(np.float32)
+    pos0[:, :2] += rng.uniform(-0.05, 0.05, size=(N_LUB, 2)) * a
+    pos0 = jnp.asarray(pos0)
+    quat0 = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (N_LUB, 1))
+
+    jit_step = jax.jit(lambda p, q, k: lub.step_trapezoidal(
+        sol, p, q, k, ft_calc, omega=25.0, cut_torque=0.2))
+    p1, q1, aux = jit_step(pos0, quat0, jax.random.PRNGKey(0))
+    jax.block_until_ready(p1)
+    diag = dict(finite=bool(np.all(np.isfinite(np.asarray(p1)))),
+                det_iters=int(aux.det_iterations),
+                stoch_iters=int(aux.stoch_iterations),
+                rejections=int(aux.rejections_wall) + int(aux.rejections_jump))
+    print("diagnostics:", diag, file=sys.stderr)
+    if not diag["finite"] or diag["det_iters"] == 0:
+        print(json.dumps({"metric": "lub_step_ms_INVALID", "value": -1,
+                          "unit": "ms/step", "vs_baseline": 0.0}))
+        return
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    p, q = pos0, quat0
+    for i in range(n_iters):
+        p, q, aux = jit_step(p, q, jax.random.PRNGKey(i + 1))
+    np.asarray(p)  # host transfer: block_until_ready does not block (axon)
+    elapsed_ms = (time.perf_counter() - t0) / n_iters * 1e3
+
+    # reference comparator (estimate): each (I + M dR) GMRES iteration and
+    # each Lanczos iteration costs one O(N^2) grand-mobility sweep on the
+    # python backend (4 coupling blocks ~= 4 tt-sweeps of 95.8 ms at 3072
+    # blobs on this host), plus the sparse dR assembly (not counted).
+    n_sweeps = 4 * (diag["det_iters"] + diag["stoch_iters"])
+    ref_ms = float(os.environ.get(
+        "BENCH_REF_STEP_MS", n_sweeps * 95.8 * (N_LUB / 3072.0) ** 2))
+    print(json.dumps({
+        "metric": f"lub_step_ms_trapezoidal_{N_LUB}spheres_"
+                  f"{jax.device_count()}chip",
+        "value": round(elapsed_ms, 3),
+        "unit": "ms/step",
+        "vs_baseline": round(ref_ms / elapsed_ms, 1),
+        "baseline_kind": ("env BENCH_REF_STEP_MS" if "BENCH_REF_STEP_MS"
+                          in os.environ else
+                          "measured@3072blobs,N^2-scaled estimate"),
+    }))
+
+
 def _maybe_mesh():
     """All attached chips join a 1-D mesh (parallel/mesh.py): the spectral
     engine shards near-field cells + gridding planes and distributes the
@@ -207,6 +288,9 @@ def _maybe_mesh():
 def main():
     if BENCH_PATH == "rollers":
         bench_rollers()
+        return
+    if BENCH_PATH == "lubrication":
+        bench_lubrication()
         return
     system, state = build(periodic=(BENCH_PATH == "spectral"))
     mesh = _maybe_mesh()
