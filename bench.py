@@ -237,12 +237,18 @@ def bench_lubrication():
         sol, p, q, k, ft_calc, omega=25.0, cut_torque=0.2))
     p1, q1, aux = jit_step(pos0, quat0, jax.random.PRNGKey(0))
     jax.block_until_ready(p1)
+    # neighbor-list capacity check: SparseDeltaR.overflow counts true
+    # neighbors dropped past max_neighbors — a denser (user-overridden)
+    # config would otherwise silently time a truncated Delta_R
+    overflow = int(jax.jit(
+        lambda p: lub.compute_blocks(sol, p).overflow)(pos0))
     diag = dict(finite=bool(np.all(np.isfinite(np.asarray(p1)))),
                 det_iters=int(aux.det_iterations),
                 stoch_iters=int(aux.stoch_iterations),
-                rejections=int(aux.rejections_wall) + int(aux.rejections_jump))
+                rejections=int(aux.rejections_wall) + int(aux.rejections_jump),
+                neighbor_overflow=overflow)
     print("diagnostics:", diag, file=sys.stderr)
-    if not diag["finite"] or diag["det_iters"] == 0:
+    if not diag["finite"] or diag["det_iters"] == 0 or overflow > 0:
         print(json.dumps({"metric": "lub_step_ms_INVALID", "value": -1,
                           "unit": "ms/step", "vs_baseline": 0.0}))
         return
@@ -250,8 +256,10 @@ def bench_lubrication():
     n_iters = 3
     t0 = time.perf_counter()
     p, q = pos0, quat0
+    auxes = []
     for i in range(n_iters):
         p, q, aux = jit_step(p, q, jax.random.PRNGKey(i + 1))
+        auxes.append(aux)  # converted after timing: int() would sync per step
     np.asarray(p)  # host transfer: block_until_ready does not block (axon)
     elapsed_ms = (time.perf_counter() - t0) / n_iters * 1e3
 
@@ -259,7 +267,10 @@ def bench_lubrication():
     # each Lanczos iteration costs one O(N^2) grand-mobility sweep on the
     # python backend (4 coupling blocks ~= 4 tt-sweeps of 95.8 ms at 3072
     # blobs on this host), plus the sparse dR assembly (not counted).
-    n_sweeps = 4 * (diag["det_iters"] + diag["stoch_iters"])
+    # Iteration counts are the per-step mean over the TIMED steps (the
+    # warmup step's counts can differ from the steady state).
+    n_sweeps = 4 * sum(int(a.det_iterations) + int(a.stoch_iterations)
+                       for a in auxes) / n_iters
     ref_ms = float(os.environ.get(
         "BENCH_REF_STEP_MS", n_sweeps * 95.8 * (N_LUB / 3072.0) ** 2))
     print(json.dumps({

@@ -45,3 +45,31 @@ def _clear_jax_caches_per_module():
     the persistent disk cache makes any re-compiles cheap."""
     yield
     jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r2 weak #7): the full suite has outgrown casual
+# verification on a 1-CPU host (test_ewald.py alone >9 min). Modules are
+# auto-marked here so `-m "not slow and not e2e"` is a <5-minute core tier;
+# individual tests can still add pytest.mark.slow/e2e themselves.
+# ---------------------------------------------------------------------------
+_SLOW_MODULES = {
+    "test_ewald", "test_integrators", "test_lubrication", "test_rollers",
+    "test_equilibrium", "test_fibers", "test_mcmc", "test_materialized",
+    "test_articulated_rollers", "test_wall_spectral",
+    # measured >35 s each on the 1-CPU bench host (round-3 module timing);
+    # moved out so the core tier stays under ~5 minutes
+    "test_tpu_accuracy", "test_source_target", "test_articulated",
+}
+_E2E_MODULES = {
+    "test_reference_e2e", "test_published_examples", "test_cli",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        if mod in _E2E_MODULES:
+            item.add_marker(pytest.mark.e2e)
