@@ -465,6 +465,53 @@ def _es_window_hat(k, R, beta, *, n_quad=2000):
     return 2.0 * simpson(integ, x=x, axis=1)
 
 
+def make_grid_layout(params: EwaldParams, pos, bucket_capacity=0):
+    """(plane, z-block) segment layout for the z-slab gridding of one
+    point set: each particle registers one entry per x-plane it stamps
+    (P entries), keyed by (plane, z-block); entries are sorted into
+    fixed-capacity segments so the capacity tracks the MEAN plane
+    population N P / (gx nzb), not a per-bucket tail. Returns
+    (grid_tbl (gx*nzb*cap_seg,), inv_idx (N, P), n_dropped). Factored
+    out of make_plan so the wall engine (ops/ewald_wall.py) builds
+    layouts for its several point sets (real+image, image, real)."""
+    n = pos.shape[0]
+    P = params.support
+    gx, gy, gz = params.grid
+    hx = params.box[0] / gx
+    hz = params.box[2] / gz
+    ZB = params.zslab
+    nzb = gz // ZB
+    G = gx * nzb
+    cap_seg = bucket_capacity
+    if cap_seg <= 0:
+        mean_seg = n * P / G
+        cap_seg = int(-(-(1.35 * mean_seg + 5.0 * math.sqrt(mean_seg)
+                          + 8.0) // 8) * 8)
+    offs = jnp.arange(P, dtype=jnp.int32) - P // 2
+    base_x = jnp.mod(jnp.round(pos[:, 0] / hx).astype(jnp.int32), gx)
+    base_z = jnp.mod(jnp.round(pos[:, 2] / hz).astype(jnp.int32), gz)
+    tblk = base_z // ZB                                       # (N,)
+    planes_of = jnp.mod(base_x[:, None] + offs[None, :], gx)  # (N, P)
+    bucket = (planes_of * nzb + tblk[:, None]).reshape(-1)    # (N*P,)
+    order = jnp.argsort(bucket)
+    sb = bucket[order]
+    slot_sorted = jnp.arange(n * P) - jnp.searchsorted(sb, sb, side="left")
+    in_cap = slot_sorted < cap_seg
+    addr = jnp.where(in_cap, sb * cap_seg + slot_sorted, G * cap_seg)
+    grid_tbl = jnp.full((G * cap_seg + 1,), n, dtype=jnp.int32)
+    grid_tbl = grid_tbl.at[addr].set((order // P).astype(jnp.int32))
+    grid_tbl = grid_tbl[:-1]
+    n_dropped = jnp.sum(~in_cap).astype(jnp.int32)
+    # inverse map: entry (p, i) -> its segment row (sentinel when dropped)
+    slot_of = jnp.full((n * P,), cap_seg, jnp.int32).at[order].set(
+        jnp.where(in_cap, slot_sorted, cap_seg).astype(jnp.int32)
+    ).reshape(n, P)
+    inv_idx = jnp.where(slot_of < cap_seg,
+                        bucket.reshape(n, P) * cap_seg + slot_of,
+                        G * cap_seg)
+    return grid_tbl, inv_idx, n_dropped
+
+
 def make_plan(params: EwaldParams, positions) -> SpectralPlan:
     """Build the reusable machinery for M v products at fixed positions
     (one plan per configuration; ~45 matvecs amortize it per step)."""
@@ -519,46 +566,9 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         tgt_xyz = cells.gather_tgt_xyz(pos, cell_table, cap, n_cells_pad,
                                        n_cells)
 
-    # ---- (plane, z-block) segment layout for the z-slab gridding.
-    # Each particle registers one entry per x-plane it stamps (P entries),
-    # keyed by (plane, z-block). Sorting entries into fixed-capacity
-    # segments absorbs the x-bucket occupancy variance that a per-bucket
-    # capacity would pay for: segment capacity tracks the MEAN plane
-    # population N P / (gx nzb), not a per-bucket tail.
-    P = params.support
-    gx, gy, gz = params.grid
-    hx = params.box[0] / gx
-    hz = params.box[2] / gz
-    ZB = params.zslab
-    nzb = gz // ZB
-    G = gx * nzb
-    cap_seg = params.bucket_capacity
-    if cap_seg <= 0:
-        mean_seg = n * P / G
-        cap_seg = int(-(-(1.35 * mean_seg + 5.0 * math.sqrt(mean_seg)
-                          + 8.0) // 8) * 8)
-    offs = jnp.arange(P, dtype=jnp.int32) - P // 2
-    base_x = jnp.mod(jnp.round(pos[:, 0] / hx).astype(jnp.int32), gx)
-    base_z = jnp.mod(jnp.round(pos[:, 2] / hz).astype(jnp.int32), gz)
-    tblk = base_z // ZB                                       # (N,)
-    planes_of = jnp.mod(base_x[:, None] + offs[None, :], gx)  # (N, P)
-    bucket = (planes_of * nzb + tblk[:, None]).reshape(-1)    # (N*P,)
-    order = jnp.argsort(bucket)
-    sb = bucket[order]
-    slot_sorted = jnp.arange(n * P) - jnp.searchsorted(sb, sb, side="left")
-    in_cap = slot_sorted < cap_seg
-    addr = jnp.where(in_cap, sb * cap_seg + slot_sorted, G * cap_seg)
-    grid_tbl = jnp.full((G * cap_seg + 1,), n, dtype=jnp.int32)
-    grid_tbl = grid_tbl.at[addr].set((order // P).astype(jnp.int32))
-    grid_tbl = grid_tbl[:-1]
-    n_dropped = jnp.sum(~in_cap).astype(jnp.int32)
-    # inverse map: entry (p, i) -> its segment row (sentinel when dropped)
-    slot_of = jnp.full((n * P,), cap_seg, jnp.int32).at[order].set(
-        jnp.where(in_cap, slot_sorted, cap_seg).astype(jnp.int32)
-    ).reshape(n, P)
-    inv_idx = jnp.where(slot_of < cap_seg,
-                        bucket.reshape(n, P) * cap_seg + slot_of,
-                        G * cap_seg)
+    # ---- (plane, z-block) segment layout for the z-slab gridding
+    grid_tbl, inv_idx, n_dropped = make_grid_layout(
+        params, pos, params.bucket_capacity)
 
     # ---- k-space kernel (assembled on device; only 1-D host inputs)
     kern, khat = _device_kernel(params, dtype)

@@ -1,0 +1,709 @@
+"""Spectral single-wall RPY mobility — the O(N log N) wall-bounded engine.
+
+The reference's flagship domain (suspensions above a no-slip wall,
+mobility/mobility.py:1018-1116) is accelerated in its ecosystem by an
+external wall-Stokeslet FMM (mobility/mobility_fmm.f90:10-25) and the
+DPStokes spectral backend (empty submodule). This module is the
+TPU-native answer: a doubly-periodic-xy / open-z spectral Ewald method
+built from three pieces (all derived in this repo, see
+tools/gen_wall_channels.py):
+
+1. **Image sources.** The Swan-Brady wall correction decomposes exactly
+   as W(R, h) = -RPY_s2(R).D + T0(R) + h T1(R) + h^2 T2(R) (R = image
+   displacement, h = source height, D = diag(1,1,-1)). The image
+   Stokeslet rides the EXISTING sinc^2 spectral channel as extra
+   sources with strength -D f at the image points; T0..T2 are three
+   additional gridded channels with strengths h^m f whose k-space
+   multipliers are rational (generated `mult_terms`).
+
+2. **Aperiodic z by zero padding + polish modes.** The z axis is not
+   physically periodic: the FFT box is padded (z_pad_factor x the data
+   extent), which makes the kernel periodization error e^{-k_par *
+   margin} — negligible for all but the smallest in-plane modes. Those
+   "polish" columns (including k_par = 0, which carries the Couette
+   mean flow) are cut out of the FFT multiplier and applied EXACTLY as
+   dense z-Toeplitz convolutions built from continuous-k_z quadrature
+   (ops/wall_kernels.build_polish_kernels), with analytic finite parts
+   at k = 0.
+
+3. **Near field.** The same Hasimoto split as the periodic engine: the
+   real-real (and image-Stokeslet) remainder reuses the quadrature
+   Chebyshev tables of ops/ewald.py; the T_m channels subtract their
+   screened counterparts via the closed-form radial generators g4, g2
+   (ops/wall_kernels.img_cheb_tables) inside the same fixed-capacity
+   cell sweep, evaluated in blob-radius units for f32 conditioning.
+
+Overlap regularization matches the reference (mobility/mobility.py:
+52-119): blob heights are shifted to z >= a and the product is damped
+B^T M(z_eff) B; the apply_* wrappers fold this in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import cells, ewald, wall_kernels
+from . import _wall_channels_gen as gen
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class WallParams:
+    """Static configuration of the wall engine for one
+    (box_xy, slab, a, eta, accuracy)."""
+
+    a: float
+    eta: float
+    box_xy: Tuple[float, float]
+    z_hi: float                # top of the real-particle slab
+    xi: float
+    r_cut: float
+    grid: Tuple[int, int, int]  # (gx, gy, gz) of the PADDED z box
+    z0: float                  # physical z of grid plane 0 (negative)
+    support: int = 9
+    es_beta_factor: float = 0.98
+    oversample: float = 1.5
+    n_table: int = 2048
+    cell_capacity: int = 0
+    bucket_capacity: int = 0
+    plane_batch: int = 4
+    precision: str = "highest"
+    cell_tile: int = 8
+    n_cheb: int = 0
+    near_impl: str = "auto"
+    near_tile: int = 8
+    z_pad_factor: float = 2.0
+    tol: float = 1e-4
+
+    @property
+    def spacing(self):
+        gx, gy, gz = self.grid
+        Lx, Ly = self.box_xy
+        return (Lx / gx, Ly / gy, self.lz_box / gz)
+
+    @property
+    def lz_box(self) -> float:
+        """Padded z period; hz is chosen so gz * hz = z_pad_factor * LD
+        exactly at build time — stored via grid + data extent."""
+        return self.grid[2] * self._hz
+
+    @property
+    def _hz(self) -> float:
+        # hz is fixed at construction: LD = -2 z0 (data is centered on 0)
+        return self.z_pad_factor * (-2.0 * self.z0) / self.grid[2]
+
+    @property
+    def data_extent(self) -> float:
+        return -2.0 * self.z0
+
+    @property
+    def es_beta(self):
+        return (self.es_beta_factor * math.pi * self.support
+                * (1.0 - 0.5 / self.oversample))
+
+    def grid_params(self) -> ewald.EwaldParams:
+        """An EwaldParams view of the padded box (geometry fields only)
+        so the z-slab gridding machinery of ops/ewald.py is reused
+        verbatim for spreading/interpolation."""
+        return ewald.EwaldParams(
+            a=self.a, eta=self.eta,
+            box=(self.box_xy[0], self.box_xy[1], self.lz_box),
+            xi=self.xi, r_cut=self.r_cut, grid=self.grid,
+            support=self.support, es_beta_factor=self.es_beta_factor,
+            oversample=self.oversample, n_table=self.n_table,
+            cell_capacity=max(self.cell_capacity, 1),
+            bucket_capacity=self.bucket_capacity,
+            plane_batch=self.plane_batch, precision=self.precision,
+            cell_tile=self.cell_tile, n_cheb=self.n_cheb,
+            near_impl=self.near_impl, near_tile=self.near_tile,
+            tol=self.tol)
+
+
+def default_wall_params(a, eta, box_xy, z_hi, *, tol=1e-4,
+                        r_cut_factor=None, support=None, oversample=1.5,
+                        grid_max=1024, z_pad_factor=2.0,
+                        **kw) -> WallParams:
+    """Parameter heuristics, mirroring ewald.default_params with two
+    wall-specific changes: (a) the split margin s is enlarged (the
+    T1/T2 remainders carry polynomial s-prefactors from their extra
+    derivatives), (b) the z grid covers the padded slab
+    [z0, z0 + z_pad_factor * LD], LD = 2 (z_hi + window)."""
+    if support is None:
+        support = int(min(max(math.ceil(
+            (5.5 - math.log(0.3 * tol)) / 1.81), 6), 14))
+    s = math.sqrt(max(-math.log(tol * 2e-4), 6.0))
+    Lx, Ly = (float(b) for b in box_xy)
+    r_cut = (r_cut_factor if r_cut_factor is not None else 6.0) * a
+    r_cut = min(r_cut, 0.45 * min(Lx, Ly))
+
+    def _axes(rc):
+        k_max = 2.0 * s * s / rc
+        h = math.pi / (oversample * k_max)
+        gx = max(ewald._round_up_even(Lx / h), 8)
+        gy = max(ewald._round_up_even(Ly / h), 8)
+        return gx, gy
+
+    gx, gy = _axes(r_cut)
+    if grid_max and max(gx, gy) > grid_max:
+        r_cut = min(r_cut * max(gx, gy) / float(grid_max),
+                    0.45 * min(Lx, Ly))
+        gx, gy = _axes(r_cut)
+    xi = s / r_cut
+    hx = Lx / gx
+    # z geometry: data extent covers sources AND their windows
+    wz = 0.5 * support * hx + 2 * hx
+    LD = 2.0 * (float(z_hi) + wz)
+    gz = max(ewald._round_up_even(z_pad_factor * LD / hx), 8)
+    z0 = -0.5 * LD
+    return WallParams(a=float(a), eta=float(eta), box_xy=(Lx, Ly),
+                      z_hi=float(z_hi), xi=xi, r_cut=r_cut,
+                      grid=(gx, gy, gz), z0=z0, support=int(support),
+                      oversample=float(oversample),
+                      z_pad_factor=float(z_pad_factor), tol=float(tol),
+                      **kw)
+
+
+# ---------------------------------------------------------------------------
+# Host-side cached pieces
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _host_cheb_rpy(params: WallParams):
+    """RPY remainder piecewise-Chebyshev (reuses the periodic engine's
+    builder at the wall params' (a, eta, xi, r_cut))."""
+    return ewald._host_cheb(params.grid_params())
+
+
+@functools.lru_cache(maxsize=16)
+def _host_img_cheb(params: WallParams):
+    """Scaled radial tables for the image-channel remainder."""
+    r_lo = 1.8
+    r_hi = params.r_cut / params.a
+    return wall_kernels.img_cheb_tables(params.xi * params.a, r_lo, r_hi,
+                                        n_cheb=params.n_cheb,
+                                        tol=0.02 * params.tol)
+
+
+@functools.lru_cache(maxsize=16)
+def _host_whats(params: WallParams):
+    gp = params.grid_params()
+    P = params.support
+    beta = params.es_beta
+    ks = _axis_freqs(params)
+    return tuple(ewald._es_window_hat(np.abs(kd), 0.5 * P * hd, beta)
+                 for kd, hd in zip(ks, params.spacing))
+
+
+def _axis_freqs(params: WallParams):
+    gx, gy, gz = params.grid
+    hx, hy, hz = params.spacing
+    return [2.0 * np.pi * np.fft.fftfreq(gx, d=hx),
+            2.0 * np.pi * np.fft.rfftfreq(gy, d=hy),
+            2.0 * np.pi * np.fft.fftfreq(gz, d=hz)]
+
+
+@functools.lru_cache(maxsize=16)
+def _host_polish(params: WallParams):
+    """Polish mode set + circular Toeplitz kernel FFTs (host, cached
+    per params — position independent)."""
+    gx, gy, gz = params.grid
+    hx, hy, hz = params.spacing
+    kx, ky, kz = _axis_freqs(params)
+    margin = params.lz_box - params.data_extent
+    idx, kxky = wall_kernels.polish_mode_set(gx, len(ky), kx, ky, margin,
+                                             params.tol)
+    whats = _host_whats(params)
+    wx_of = np.interp(np.abs(kxky[:, 0]), np.sort(np.abs(kx)),
+                      None) if False else None
+    # exact window transforms at each mode (no interpolation)
+    wx = ewald._es_window_hat(np.abs(kxky[:, 0]), 0.5 * params.support * hx,
+                              params.es_beta)
+    wy = ewald._es_window_hat(np.abs(kxky[:, 1]), 0.5 * params.support * hy,
+                              params.es_beta)
+    # circular delta layout: index d -> displacement delta_z
+    circ = np.arange(2 * gz)
+    circ = np.where(circ < gz, circ, circ - 2 * gz)      # [0..gz-1, -gz..-1]
+    dzg = circ * hz
+    kern = wall_kernels.build_polish_kernels(
+        kxky, dzg, a=params.a, eta=params.eta, xi=params.xi,
+        hx=hx, hy=hy, hz=hz, support=params.support,
+        es_beta=params.es_beta, what_x=wx, what_y=wy, tol=params.tol)
+    kfft = np.fft.fft(kern, axis=-1)                     # (P,4,3,3,2gz)
+    mask = np.ones(gx * len(ky), bool)
+    mask[idx] = False                                    # False AT polish
+    return idx, kfft, mask
+
+
+# ---------------------------------------------------------------------------
+# The plan
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class WallPlan:
+    """Reusable machinery for wall-mobility products at fixed positions.
+    Positions are stored GRID-SHIFTED: pos_all = (x, y, z - z0) for the
+    combined real+image set (first n_real rows = real particles)."""
+
+    pos_all: jax.Array        # (2N, 3) grid coords, xy-wrapped
+    heights: jax.Array        # (N,) physical z of the real particles
+    # near field (cells over the combined set)
+    cheb: jax.Array           # RPY remainder (2, 2, K)
+    self_coeff: jax.Array
+    img_cheb: jax.Array       # (10, K2) scaled radial series
+    cell_table: jax.Array
+    cell_slot: jax.Array      # (2N,) — first N rows read for output
+    nbr_cells: jax.Array
+    n_dropped_cells: jax.Array
+    cell_dims: Tuple[int, int, int]
+    # Pallas near-field pre-gathered layout (None on the XLA path)
+    src_pos: jax.Array | None
+    src_ids: jax.Array | None
+    tgt_xyz: jax.Array | None
+    # gridding layouts (ewald.make_grid_layout) for the three point sets
+    tbl_all: jax.Array
+    tbl_img: jax.Array
+    tbl_real: jax.Array
+    inv_real: jax.Array
+    n_dropped_grid: jax.Array
+    n_clipped: jax.Array      # real particles clipped into [a, z_hi]
+    # polish machinery
+    polish_idx: jax.Array     # (P,) int32 flat (gx * gy2) columns
+    polish_kfft: jax.Array    # (P, 4, 3, 3, 2 gz) complex
+    polish_mask: jax.Array    # (gx * gy2,) bool, False at polish columns
+    params: WallParams
+
+    @property
+    def n_real(self) -> int:
+        return self.pos_all.shape[0] // 2
+
+    def _sub(self, tbl, pos, inv=None):
+        """Duck-typed SpectralPlan view for ewald spread/interp reuse."""
+        gp = self.params.grid_params()
+        return ewald.SpectralPlan(
+            positions=pos, sort_pos=pos, cheb=self.cheb,
+            self_coeff=self.self_coeff, cell_table=self.cell_table,
+            cell_slot=self.cell_slot, nbr_cells=self.nbr_cells,
+            n_dropped_cells=self.n_dropped_cells,
+            cell_dims=self.cell_dims, grid_tbl=tbl,
+            inv_idx=(inv if inv is not None
+                     else jnp.zeros((1, 1), jnp.int32)),
+            n_dropped=self.n_dropped_grid, src_pos=None, src_ids=None,
+            tgt_xyz=None, kernel=jnp.zeros(()), khat=jnp.zeros(()),
+            params=gp)
+
+
+jax.tree_util.register_dataclass(
+    WallPlan,
+    data_fields=["pos_all", "heights", "cheb", "self_coeff", "img_cheb",
+                 "cell_table", "cell_slot", "nbr_cells",
+                 "n_dropped_cells", "src_pos", "src_ids", "tgt_xyz",
+                 "tbl_all", "tbl_img", "tbl_real", "inv_real",
+                 "n_dropped_grid", "n_clipped", "polish_idx",
+                 "polish_kfft", "polish_mask"],
+    meta_fields=["cell_dims", "params"])
+
+
+def make_wall_plan(params: WallParams, positions) -> WallPlan:
+    """Build the plan at (N, 3) PHYSICAL blob positions (wall at z=0).
+    Heights are shift-regularized to z >= a (reference
+    mobility/mobility.py:52-66); the damping part of the regularization
+    lives in the apply wrappers."""
+    dtype = positions.dtype
+    p = params
+    Lx, Ly = p.box_xy
+    box2 = jnp.asarray([Lx, Ly], dtype)
+    xy = positions[:, :2]
+    xy = xy - jnp.floor(xy / box2) * box2
+    z_raw = positions[:, 2]
+    z = jnp.clip(z_raw, p.a, p.z_hi)
+    n_clipped = jnp.sum((z_raw < p.a) | (z_raw > p.z_hi)).astype(jnp.int32)
+    n = positions.shape[0]
+
+    pos_real = jnp.concatenate([xy, (z - p.z0)[:, None]], axis=1)
+    pos_img = jnp.concatenate([xy, (-z - p.z0)[:, None]], axis=1)
+    pos_all = jnp.concatenate([pos_real, pos_img], axis=0)
+
+    # ---- near-field cells over the combined set
+    box3 = jnp.asarray([Lx, Ly, p.lz_box], dtype)
+    dims = tuple(max(int(L // p.r_cut), 1)
+                 for L in (Lx, Ly, p.lz_box))
+    if min(dims[:2]) < 4 or dims[2] < 3:
+        raise ValueError(
+            f"wall box {(Lx, Ly, p.lz_box)} too small for r_cut "
+            f"{p.r_cut}: need >= 4 xy cells and >= 3 z cells")
+    cap = p.cell_capacity
+    if cap <= 0:
+        mean_occ = 2 * n / np.prod(dims)
+        cap = int(min(max(
+            -(-(mean_occ + 4.0 * math.sqrt(max(mean_occ, 1.0))) // 8) * 8,
+            16), 160))
+    params = dataclasses.replace(p, cell_capacity=int(cap))
+    p = params
+    cell_table, cell_slot, _cid, n_dropped_cells = cells.cell_bin(
+        pos_all, box3, dims, cap)
+    nbr_cells = cells.neighbor_table(dims)
+
+    src_pos = src_ids = tgt_xyz = None
+    if ewald._resolve_near_impl(p.grid_params()) == "pallas":
+        TC = p.near_tile
+        S = cells.lane_pad_sources(cap)
+        n_cells = int(np.prod(dims))
+        n_cells_pad = -(-n_cells // TC) * TC
+        wrap = cells.wrap_counts(dims)
+        src_ids = cells.padded_source_ids(cell_table, nbr_cells, 2 * n,
+                                          dims, cap, n_cells_pad, S)
+        src_pos = cells.gather_src_pos(pos_all, src_ids, wrap, box3, dims,
+                                       cap, n_cells_pad, S)
+        tgt_xyz = cells.gather_tgt_xyz(pos_all, cell_table, cap,
+                                       n_cells_pad, n_cells)
+
+    # ---- gridding layouts
+    gp = p.grid_params()
+    tbl_all, _inv_a, d_all = ewald.make_grid_layout(gp, pos_all,
+                                                    p.bucket_capacity)
+    cap_seg = tbl_all.shape[0] // (p.grid[0] * (p.grid[2] // gp.zslab))
+    tbl_img, _inv_i, d_img = ewald.make_grid_layout(gp, pos_img, cap_seg)
+    tbl_real, inv_real, d_real = ewald.make_grid_layout(gp, pos_real,
+                                                        cap_seg)
+
+    # ---- host tables
+    cheb, self_c = _host_cheb_rpy(p)
+    img_cheb, _, _ = _host_img_cheb(p)
+    pol_idx, pol_kfft, pol_mask = _host_polish(p)
+    cdt = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+
+    return WallPlan(
+        pos_all=pos_all, heights=z,
+        cheb=jnp.asarray(cheb, dtype), self_coeff=jnp.asarray(self_c, dtype),
+        img_cheb=jnp.asarray(img_cheb, dtype),
+        cell_table=cell_table, cell_slot=cell_slot, nbr_cells=nbr_cells,
+        n_dropped_cells=n_dropped_cells, cell_dims=dims,
+        src_pos=src_pos, src_ids=src_ids, tgt_xyz=tgt_xyz,
+        tbl_all=tbl_all, tbl_img=tbl_img, tbl_real=tbl_real,
+        inv_real=inv_real,
+        n_dropped_grid=d_all + d_img + d_real, n_clipped=n_clipped,
+        polish_idx=jnp.asarray(pol_idx),
+        polish_kfft=jnp.asarray(pol_kfft, cdt),
+        polish_mask=jnp.asarray(pol_mask),
+        params=p)
+
+
+# ---------------------------------------------------------------------------
+# Near field (XLA cell sweep; Pallas variant in wall_near_pallas)
+# ---------------------------------------------------------------------------
+
+
+def _clenshaw_multi(coeffs, t):
+    """Stacked Chebyshev series: coeffs (F, K) -> list of F values."""
+    outs = []
+    for f in range(coeffs.shape[0]):
+        b1 = jnp.zeros_like(t)
+        b2 = jnp.zeros_like(t)
+        for c in coeffs[f, :0:-1]:
+            b1, b2 = 2.0 * t * b1 - b2 + c, b1
+        outs.append(t * b1 - b2 + coeffs[f, 0])
+    return outs
+
+
+def near_matvec_xla(plan: WallPlan, forces):
+    """Near-field sweep: RPY remainder over all pairs of the combined
+    set (mirrored strengths at image rows) + the screened image-channel
+    remainder for (real target <- image source) pairs. forces (N, C)
+    with C = 3B b-major; returns (N, C)."""
+    p = plan.params
+    n = plan.n_real
+    dtype = plan.pos_all.dtype
+    f = forces.reshape(n, -1)
+    nc = f.shape[1]
+    B = nc // 3
+    mirror = jnp.asarray([1.0, 1.0, -1.0] * B, dtype)
+    f_all = jnp.concatenate([f, -f * mirror], axis=0)       # (2N, C)
+    # raw strengths at image rows only (image-channel remainder inputs)
+    f_raw = jnp.concatenate([jnp.zeros_like(f), f], axis=0)
+
+    box3 = jnp.asarray([p.box_xy[0], p.box_xy[1], p.lz_box], dtype)
+    cap = p.cell_capacity
+    n_cells = plan.nbr_cells.shape[0]
+    pos_pad = jnp.concatenate(
+        [plan.pos_all, jnp.full((1, 3), jnp.nan, dtype)], axis=0)
+    fa_pad = jnp.concatenate([f_all, jnp.zeros((1, nc), dtype)], axis=0)
+    fr_pad = jnp.concatenate([f_raw, jnp.zeros((1, nc), dtype)], axis=0)
+    ids = plan.cell_table.reshape(n_cells, cap)
+    pos_c = pos_pad[ids]
+    fa_c = fa_pad[ids]
+    fr_c = fr_pad[ids]
+
+    TC = min(p.cell_tile, n_cells)
+    n_pad_c = -(-n_cells // TC) * TC
+    pad_c = n_pad_c - n_cells
+    if pad_c:
+        pos_c = jnp.concatenate(
+            [pos_c, jnp.full((pad_c, cap, 3), jnp.nan, dtype)], axis=0)
+        fa_c = jnp.concatenate(
+            [fa_c, jnp.zeros((pad_c, cap, nc), dtype)], axis=0)
+        fr_c = jnp.concatenate(
+            [fr_c, jnp.zeros((pad_c, cap, nc), dtype)], axis=0)
+    ids_pad = (jnp.concatenate(
+        [ids, jnp.full((pad_c, cap), 2 * n, jnp.int32)]) if pad_c else ids)
+    nbr_pad = (jnp.concatenate(
+        [plan.nbr_cells, jnp.zeros((pad_c, 27), jnp.int32)])
+        if pad_c else plan.nbr_cells)
+
+    two_a = 2.0 * p.a
+    mids = jnp.asarray([0.5 * two_a, 0.5 * (two_a + p.r_cut)], dtype)
+    halfs = jnp.asarray([0.5 * two_a, 0.5 * (p.r_cut - two_a)], dtype)
+    inv_a = 1.0 / p.a
+    # image radial series domain (scaled)
+    _, ir_lo, ir_hi = _host_img_cheb(p)
+    z0 = p.z0
+    pref_img = 1.0 / (8.0 * jnp.pi * p.eta * p.a)
+
+    def tile_fn(c0):
+        rp = lax.dynamic_slice_in_dim(pos_c, c0, TC, 0)    # (TC, cap, 3)
+        rid = lax.dynamic_slice_in_dim(ids_pad, c0, TC, 0)
+        nb = lax.dynamic_slice_in_dim(nbr_pad, c0, TC, 0)
+        ps = pos_c[nb]                                     # (TC,27,cap,3)
+        fas = fa_c[nb]
+        frs = fr_c[nb]
+        sid = ids_pad[nb]
+        d = rp[:, :, None, None, :] - ps[:, None, :, :, :]
+        d = d - jnp.round(d / box3) * box3
+        r2 = jnp.sum(d * d, axis=-1)
+        r = jnp.sqrt(r2)
+        inside = ((r < p.r_cut) & (r2 > 0)
+                  & (rid[:, :, None, None] != sid[:, None, :, :]))
+        d = jnp.where(inside[..., None], d, 0.0)
+        # ---- RPY remainder (mirrored strengths)
+        near = r < two_a
+        t0 = jnp.clip((r - mids[0]) / halfs[0], -1.0, 1.0)
+        t1 = jnp.clip((r - mids[1]) / halfs[1], -1.0, 1.0)
+        al = jnp.where(near, ewald._clenshaw(plan.cheb[0, 0], t0),
+                       ewald._clenshaw(plan.cheb[1, 0], t1))
+        be = jnp.where(near, ewald._clenshaw(plan.cheb[0, 1], t0),
+                       ewald._clenshaw(plan.cheb[1, 1], t1))
+        al = jnp.where(inside, al, 0.0)
+        bfac = jnp.where(inside, be / jnp.where(inside, r2, 1.0), 0.0)
+        fs3 = fas.reshape(*fas.shape[:-1], B, 3)
+        ddotf = jnp.sum(d[..., None, :] * fs3[:, None], axis=-1)
+        contrib = (al[..., None, None] * fs3[:, None]
+                   + (bfac[..., None] * ddotf)[..., None] * d[..., None, :])
+        # ---- image-channel remainder: target real & source image.
+        # Source is an image iff its grid z sits below the wall plane
+        # (z' + z0 < 0); NaN pads compare False.
+        src_z_phys = ps[..., 2] + z0                       # (TC,27,cap)
+        tgt_z_phys = rp[..., 2] + z0                       # (TC,cap)
+        is_pair = (inside & (src_z_phys < 0.0)[:, None, :, :]
+                   & (tgt_z_phys > 0.0)[:, :, None, None])
+        # sanitize NaN pads / non-pairs BEFORE img_terms: 0 * NaN = NaN
+        hsrc = jnp.where(is_pair, -src_z_phys[:, None, :, :] * inv_a, 1.0)
+        rs = jnp.clip(jnp.where(is_pair, r, ir_hi * p.a) * inv_a,
+                      ir_lo, ir_hi)
+        ti = (2.0 * rs - (ir_hi + ir_lo)) / (ir_hi - ir_lo)
+        cvals = _clenshaw_multi(plan.img_cheb, ti)         # 10 arrays
+        dxs = d[..., 0] * inv_a
+        dys = d[..., 1] * inv_a
+        rzs = d[..., 2] * inv_a
+        fr3 = frs.reshape(*frs.shape[:-1], B, 3)
+        outs = []
+        for b in range(B):
+            fxb = fr3[..., b, 0][:, None]
+            fyb = fr3[..., b, 1][:, None]
+            fzb = fr3[..., b, 2][:, None]
+            ux, uy, uz = gen.img_terms(
+                dxs, dys, rzs, hsrc, fxb, fyb, fzb, 1.0, *cvals)
+            m = jnp.where(is_pair, pref_img, 0.0)
+            outs.append(jnp.stack([ux * m, uy * m, uz * m], axis=-1))
+        img = jnp.stack(outs, axis=-2)                     # (...,B,3)
+        out = jnp.sum(contrib + img, axis=(2, 3))          # (TC,cap,B,3)
+        return out.reshape(TC, cap, nc)
+
+    out_c = lax.map(tile_fn, jnp.arange(0, n_pad_c, TC))
+    rows = out_c.reshape(n_pad_c * cap, nc)[:n_cells * cap]
+    rows = jnp.concatenate([rows, jnp.zeros((1, nc), rows.dtype)], axis=0)
+    return (rows[plan.cell_slot[:n]].astype(dtype)
+            + plan.self_coeff * f.astype(dtype))
+
+
+# ---------------------------------------------------------------------------
+# Wave field
+# ---------------------------------------------------------------------------
+
+
+def _wave_arrays(plan: WallPlan, dtype):
+    """On-the-fly k-space arrays over (gx, gy2, gz): RPY kernel (with
+    normalization + polish masking), khat, and the channel bases F4, F2
+    (normalized, masked, 1/(8 pi eta) applied)."""
+    p = plan.params
+    kx, ky, kz = _axis_freqs(p)
+    whats = _host_whats(p)
+    KX = jnp.asarray(kx, dtype)[:, None, None]
+    KY = jnp.asarray(ky, dtype)[None, :, None]
+    KZ = jnp.asarray(kz, dtype)[None, None, :]
+    k2 = KX * KX + KY * KY + KZ * KZ
+    k2s = jnp.where(k2 > 0, k2, 1.0)
+    k = jnp.sqrt(k2s)
+    phi = (1.0 + k2 / (4 * p.xi ** 2)) * jnp.exp(-k2 / (4 * p.xi ** 2))
+    sinc = jnp.sin(k * p.a) / (k * p.a)
+    h3 = float(np.prod(p.spacing))
+    w2 = [jnp.asarray(w, dtype) ** 2 for w in whats]
+    norm = h3 / (w2[0][:, None, None] * w2[1][None, :, None]
+                 * w2[2][None, None, :])
+    gx, gy, gz = p.grid
+    gy2 = gy // 2 + 1
+    mask = plan.polish_mask.reshape(gx, gy2, 1).astype(dtype)
+    kern = (sinc ** 2 * phi / (p.eta * k2s)) * norm * mask
+    kern = jnp.where(k2 > 0, kern, 0.0)
+    khat = jnp.stack([KX / k, KY / k, KZ / k * jnp.ones_like(kern)])
+    khat = jnp.where(k2 > 0, khat, 0.0)
+    base = phi * norm * mask / (8.0 * jnp.pi * p.eta)
+    F4 = base * (-8.0 * jnp.pi) / (k2s * k2s)
+    F4 = jnp.where(k2 > 0, F4, 0.0)
+    F2 = base * (4.0 * jnp.pi) / k2s
+    F2 = jnp.where(k2 > 0, F2, 0.0)
+    return KX, KY, KZ, kern, khat, F4, F2
+
+
+def wave_matvec(plan: WallPlan, forces):
+    """Wave-side product: spread (real+image merged channel and the
+    three h^m image channels), rfft2 + z-FFT, multiplier application,
+    polish-column dense z-convolutions, inverse transforms, interp at
+    the real particles. forces (N, C), C = 3B."""
+    p = plan.params
+    n = plan.n_real
+    dtype = plan.pos_all.dtype
+    f = forces.reshape(n, -1)
+    nc = f.shape[1]
+    B = nc // 3
+    gx, gy, gz = p.grid
+    gy2 = gy // 2 + 1
+
+    mirror = jnp.asarray([1.0, 1.0, -1.0] * B, dtype)
+    f_all = jnp.concatenate([f, -f * mirror], axis=0)
+    h = plan.heights[:, None]
+    f_img = jnp.concatenate([f, h * f, (h * h) * f], axis=1)  # (N, 9B)
+
+    sub_all = plan._sub(plan.tbl_all, plan.pos_all)
+    sub_img = plan._sub(plan.tbl_img, plan.pos_all[n:])
+    g_all = ewald.spread(sub_all, f_all)                 # (3B, gx, gy, gz)
+    g_img = ewald.spread(sub_img, f_img)                 # (9B, ...)
+
+    Gxy_all = jnp.fft.rfft2(g_all, axes=(1, 2))          # (3B,gx,gy2,gz)
+    Gxy_img = jnp.fft.rfft2(g_img, axes=(1, 2))
+
+    # polish profiles BEFORE the z transform
+    pi = plan.polish_idx
+    prof_all = Gxy_all.reshape(3 * B, gx * gy2, gz)[:, pi]   # (3B,P,gz)
+    prof_img = Gxy_img.reshape(9 * B, gx * gy2, gz)[:, pi]
+
+    Gk_all = jnp.fft.fft(Gxy_all, axis=3)
+    Gk_img = jnp.fft.fft(Gxy_img, axis=3)
+
+    KX, KY, KZ, kern, khat, F4, F2 = _wave_arrays(plan, dtype)
+    uk = []
+    for b in range(B):
+        c = Gk_all[3 * b:3 * b + 3]
+        kdotc = jnp.sum(khat * c, axis=0, keepdims=True)
+        u = kern[None] * (c - khat * kdotc)
+        ci = [Gk_img[9 * b + q] for q in range(9)]
+        ux, uy, uz = gen.mult_terms(KX, KY, KZ, F4, F2, p.a * p.a, *ci)
+        uk.append(u + jnp.stack([ux, uy, uz]))
+    Uk = jnp.concatenate(uk, axis=0)                     # (3B,gx,gy2,gz)
+    Uxy = jnp.fft.ifft(Uk, axis=3)
+
+    # ---- polish columns: dense z-convolutions via circular FFT
+    # input channel groups per RHS: [merged(3), T0(3), T1(3), T2(3)]
+    pa = prof_all.reshape(B, 3, -1, gz)
+    pim = prof_img.reshape(3, B, 3, -1, gz)              # (m, B, 3, P, gz)
+    pin = jnp.concatenate([pa[:, None], jnp.moveaxis(pim, 0, 1)], axis=1)
+    pin_f = jnp.fft.fft(pin, n=2 * gz, axis=-1)          # (B,4,3,P,2gz)
+    kf = plan.polish_kfft                                # (P,4,3,3,2gz)
+    out_f = jnp.einsum("pcijL,bcjpL->bipL", kf, pin_f)
+    pout = jnp.fft.ifft(out_f, axis=-1)[..., :gz]        # (B,3,P,gz)
+    pout = pout.reshape(3 * B, -1, gz)
+    Uxy = Uxy.reshape(3 * B, gx * gy2, gz).at[:, pi].add(pout)
+    Uxy = Uxy.reshape(3 * B, gx, gy2, gz)
+
+    U = jnp.fft.irfft2(Uxy, s=(gx, gy), axes=(1, 2))     # (3B,gx,gy,gz)
+    sub_real = plan._sub(plan.tbl_real, plan.pos_all[:n], plan.inv_real)
+    return ewald.interpolate(sub_real, U.astype(dtype))
+
+
+def matvec(plan: WallPlan, forces, mesh=None, axis_name="blobs"):
+    """Full single-wall RPY product M f, (N, 3) -> (N, 3) (or (N, 3B)
+    stacked b-major). Heights regularized/damped by the apply wrappers
+    in ops/mobility.py; mesh is currently accepted for API parity and
+    runs replicated."""
+    del mesh, axis_name
+    n = plan.n_real
+    f2 = forces.reshape(n, -1)
+    out = near_matvec_xla(plan, f2) + wave_matvec(plan, f2)
+    return out.reshape(forces.shape)
+
+
+def matvec_multi(plan: WallPlan, forces, mesh=None, axis_name="blobs"):
+    """(B, N, 3) stacked products in one engine sweep."""
+    B, n = forces.shape[0], forces.shape[1]
+    if B == 1:
+        return matvec(plan, forces[0], mesh=mesh)[None]
+    f = jnp.moveaxis(forces, 0, 1).reshape(n, 3 * B)
+    out = matvec(plan, f, mesh=mesh)
+    return jnp.moveaxis(out.reshape(n, B, 3), 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force oracle (tests): converged direct image-box sum
+# ---------------------------------------------------------------------------
+
+
+def brute_force_wall(positions, forces, a, eta, box_xy, n_img=30):
+    """Direct xy-periodic wall mobility: sum RPY + Swan-Brady wall
+    blocks over (2 n_img + 1)^2 image boxes (numpy, f64). The combined
+    real+image kernel decays like 1/rho^3 in-plane, so the lattice sum
+    converges absolutely; n_img ~ 30+ reaches ~1e-4 of the self scale
+    on small boxes (tests pair it with Richardson extrapolation)."""
+    import jax as _jax
+
+    pos = np.asarray(positions, np.float64)
+    f = np.asarray(forces, np.float64).reshape(-1, 3)
+    n = pos.shape[0]
+    Lx, Ly = box_xy
+    from . import rpy
+
+    u = np.zeros_like(f)
+    shifts = [(ix * Lx, iy * Ly)
+              for ix in range(-n_img, n_img + 1)
+              for iy in range(-n_img, n_img + 1)]
+    shifts = np.asarray(shifts)                    # (S, 2)
+    pos_j = pos[None, :, :] + np.concatenate(
+        [shifts, np.zeros((len(shifts), 1))], axis=1)[:, None, :]
+    # pairwise over all shifted sources, scaled units
+    for i in range(n):
+        d = (pos[i][None, None, :] - pos_j) / a    # (S, n, 3)
+        r2 = np.sum(d * d, axis=-1)
+        self_mask = np.zeros(r2.shape, bool)
+        # self = same particle in the HOME box only
+        home = np.all(shifts == 0.0, axis=1)
+        self_mask[home] = (np.arange(n) == i)[None, :]
+        m = np.asarray(rpy.rpy_tt(jnp.asarray(d), jnp.asarray(self_mask)))
+        hz_t = pos[i, 2] / a
+        hz_s = pos_j[..., 2] / a
+        w = np.asarray(rpy.wall_tt(
+            jnp.asarray(d[..., 0]), jnp.asarray(d[..., 1]),
+            jnp.asarray(hz_t + hz_s), jnp.asarray(hz_s),
+            jnp.asarray(self_mask)))
+        u[i] = np.einsum("snij,nj->i", m + w, f) / (8 * np.pi * eta * a)
+    return u
