@@ -46,7 +46,7 @@ from rigidmultiblobswall_tpu.models.system import BodyType, System, make_state
 # 87 GB; runs matrix-free on ops/pair_kernels.py at the VPU roofline).
 N_BODIES = int(os.environ.get(
     "BENCH_BODIES",
-    8192 if os.environ.get("BENCH_PATH", "spectral") == "spectral"
+    8192 if os.environ.get("BENCH_PATH", "spectral").startswith("spectral")
     else 4096))
 N_BLOBS_PER = 12
 DT = 1e-3
@@ -74,9 +74,44 @@ def shell_vertices(n=12, radius=0.5):
                               np.cos(phi)], axis=1)
 
 
-def build(periodic=False):
+def build(path="multibody"):
     t = BodyType(name="shell12", ref_config=shell_vertices(N_BLOBS_PER, 0.5),
                  count=N_BODIES)
+    periodic = path == "spectral"
+    if path == "spectral_wall":
+        # the reference's flagship geometry: a quasi-2D suspension above
+        # the wall (rollers/sedimented layers), two body layers thick, on
+        # the O(N log N) doubly-periodic wall engine (ops/ewald_wall.py)
+        n_layers = int(os.environ.get("BENCH_WALL_LAYERS", 2))
+        side = int(np.ceil((N_BODIES / n_layers) ** 0.5))
+        spacing = 1.6
+        L = side * spacing
+        system = System(
+            types=(t,), eta=1.0, blob_radius=0.131, kT=0.05, g=0.1,
+            domain="single_wall_spectral", periodic_length=(L, L, 0.0),
+            spectral_tol=float(os.environ.get("BENCH_SPECTRAL_TOL", 1e-4)),
+            spectral_grid_max=int(os.environ.get("BENCH_GRID_MAX", 1024)),
+            spectral_bucket_capacity=int(
+                os.environ.get("BENCH_BUCKET_CAP", 0)),
+            repulsion_strength=0.2, debye_length=0.2,
+            repulsion_strength_wall=0.2, debye_length_wall=0.2,
+            blob_blob_force_method="neighbor_list",
+            blob_blob_cutoff=2 * 0.131 + 12 * 0.2,
+            blob_blob_grid_dim=32, blob_blob_cell_capacity=96,
+            solver_tolerance=SOLVER_TOL,
+        )
+        idx = np.arange(N_BODIES)
+        pos = np.stack([
+            (idx % side) * spacing,
+            ((idx // side) % side) * spacing,
+            2.0 + (idx // (side * side)) * spacing,
+        ], axis=1).astype(np.float32)
+        rng = np.random.default_rng(0)
+        pos[:, :2] += rng.uniform(-0.25, 0.25,
+                                  size=(N_BODIES, 2)).astype(np.float32)
+        quat = rng.normal(size=(N_BODIES, 4)).astype(np.float32)
+        quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+        return system, make_state(pos, quat)
     side = int(np.ceil(N_BODIES ** (1 / 3)))
     spacing = 1.6
     if periodic:
@@ -303,14 +338,14 @@ def main():
     if BENCH_PATH == "lubrication":
         bench_lubrication()
         return
-    system, state = build(periodic=(BENCH_PATH == "spectral"))
+    system, state = build(BENCH_PATH)
     mesh = _maybe_mesh()
     if mesh is not None:
         import dataclasses
         system = dataclasses.replace(system, mesh=mesh)
         print(f"mesh: {tuple(mesh.shape.items())}", file=sys.stderr)
     n_blobs = system.num_blobs
-    if BENCH_PATH == "spectral":
+    if BENCH_PATH in ("spectral", "spectral_wall"):
         # bucket-dropped particles would silently lose their far-field
         # contribution: grow the gridding capacity until none drop; size
         # the force-cell capacity from the ACTUAL occupancy (+25% drift
@@ -370,7 +405,8 @@ def main():
         "BENCH_REF_STEP_MS", ref_3072_ms * (n_blobs / 3072.0) ** 2))
     print(json.dumps({
         "metric": (f"brownian_step_ms_{SCHEME}"
-                   + ("_spectral" if BENCH_PATH == "spectral" else "")
+                   + {"spectral": "_spectral",
+                      "spectral_wall": "_spectral_wall"}.get(BENCH_PATH, "")
                    + f"_{n_blobs}blobs_{n_dev}chip"),
         "value": round(elapsed_ms, 3),
         "unit": "ms/step",

@@ -59,7 +59,7 @@ class Carry(NamedTuple):
 
 def init_carry(system: System, dtype=jnp.float64, state=None) -> Carry:
     plan = None
-    if state is not None and system.domain == "periodic_spectral":
+    if state is not None and saddle.is_spectral(system):
         plan = saddle.maybe_dense_mobility(
             system, kin.blob_positions(system, state))
     return Carry(
@@ -244,7 +244,7 @@ def _stochastic_first_order_RFD(system, dt, solver_kw, lanczos_kw,
     n3 = 3 * system.num_blobs
     rhs_rfd = jnp.concatenate([jnp.zeros(n3, dtype), -force_rfd.ravel()])
 
-    spectral = system.domain == "periodic_spectral"
+    spectral = saddle.is_spectral(system)
     state_minus = State(pos=state.pos - 0.5 * delta * disp[:, :3],
                         quat=kin.quat.step(state.quat, W[:, 3:], -0.5 * delta))
     m_minus = (saddle.refresh_dense_mobility(
@@ -459,7 +459,7 @@ def _stochastic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
     # +-delta/2 engines: spectral plans refresh cheaply; the materialized
     # dense path keeps its previous scoped "auto" rebuilds (holding three
     # plane sets live at once would break the memory budget)
-    spectral = system.domain == "periodic_spectral"
+    spectral = saddle.is_spectral(system)
     r_minus = kin.blob_positions(system, state_minus)
     m_minus = (saddle.refresh_dense_mobility(system, m_dense, r_minus)
                if spectral else "auto")
@@ -625,7 +625,7 @@ def _unpc_noise(system, state, key, factor, tolerance, max_iter,
     # for periodic_spectral, the caller's carried plan (or a fresh build
     # outside the Lanczos while_loop); None falls through pairwise
     m_eng = m_dense
-    if m_eng is None and system.domain == "periodic_spectral":
+    if m_eng is None and saddle.is_spectral(system):
         m_eng = saddle.maybe_dense_mobility(system, r_blobs)
 
     def mtt(v):
@@ -669,7 +669,7 @@ def _stochastic_GDC_RFD(system, dt, solver_kw, lanczos_kw, key, state, carry):
     # (position re-gathers only; the RFD displacement is tiny)
     m_eng_rfd = (saddle.refresh_dense_mobility(system, m_start, r_rfd,
                                                build=False)
-                 if system.domain == "periodic_spectral" else None)
+                 if saddle.is_spectral(system) else None)
 
     def mtt_rfd(v):
         return saddle._mobility_apply(
@@ -1036,6 +1036,10 @@ def make_stepper(system: System, scheme: str, dt: float, *,
             system, kin.blob_positions(system, state))
         if plan is not None and hasattr(plan, "n_dropped"):
             out = out + plan.n_dropped + plan.n_dropped_cells
+        elif plan is not None and hasattr(plan, "n_dropped_grid"):
+            # wall engine: gridding drops + cell drops + slab-top clips
+            out = (out + plan.n_dropped_grid + plan.n_dropped_cells
+                   + plan.n_clipped)
         return out
 
     if update_PC > 1:

@@ -45,6 +45,15 @@ def _full_precision(fn):
     return wrapped
 
 
+SPECTRAL_DOMAINS = ("periodic_spectral", "single_wall_spectral")
+
+
+def is_spectral(system: System) -> bool:
+    """True for the O(N log N) engines that carry a positions plan
+    (ops/ewald.SpectralPlan or ops/ewald_wall.WallPlan)."""
+    return system.domain in SPECTRAL_DOMAINS
+
+
 def num_constraints(system: System) -> int:
     from . import articulated as art_mod
 
@@ -79,9 +88,9 @@ def maybe_dense_mobility(system: System, r_blobs):
     SpectralPlan for domain='periodic_spectral' (O(N log N) per product),
     or None -> the matrix-free pairwise engine."""
     if system.has_mixed_radii:
-        if system.domain == "periodic_spectral":
+        if is_spectral(system):
             raise NotImplementedError(
-                "per-blob radii are not supported by the spectral engine; "
+                "per-blob radii are not supported by the spectral engines; "
                 "use the pairwise domains (single_wall/no_wall/"
                 "free_surface)")
         # per-radius products run matrix-free through the source-target
@@ -102,6 +111,26 @@ def maybe_dense_mobility(system: System, r_blobs):
             precision=system.spectral_precision,
             cell_capacity=system.spectral_cell_capacity)
         return ewald.make_plan(params, r_blobs)
+    if system.domain == "single_wall_spectral":
+        from ..ops import ewald_wall
+
+        if not all(L > 0 for L in system.periodic_length[:2]):
+            raise ValueError(
+                "single_wall_spectral needs periodic_length > 0 on x and "
+                "y (the wall engine is doubly-periodic in-plane)")
+        if system.spectral_wall_height <= 0:
+            raise ValueError(
+                "single_wall_spectral needs spectral_wall_height > 0 "
+                "(slab top; use saddle.auto_wall_height(system, state))")
+        params = ewald_wall.default_wall_params(
+            system.blob_radius, system.eta, system.periodic_length[:2],
+            z_hi=system.spectral_wall_height, tol=system.spectral_tol,
+            grid_max=system.spectral_grid_max,
+            bucket_capacity=system.spectral_bucket_capacity,
+            plane_batch=system.spectral_plane_batch,
+            precision=system.spectral_precision,
+            cell_capacity=system.spectral_cell_capacity)
+        return ewald_wall.make_wall_plan(params, r_blobs)
     n = r_blobs.shape[0]
     nbytes = 9 * n * n * jnp.dtype(r_blobs.dtype).itemsize
     if nbytes > MATERIALIZE_BUDGET_BYTES:
@@ -129,6 +158,28 @@ def maybe_dense_mobility(system: System, r_blobs):
         periodic_length=system.periodic_length)
 
 
+def auto_wall_height(system: System, state, *, margin=1.6, log=None):
+    """Set spectral_wall_height for a single_wall_spectral system from
+    the CURRENT maximum blob height times a drift margin. Host-side
+    (concrete state), like auto_spectral_capacities. No-op for other
+    domains or when the height is already set high enough."""
+    if system.domain != "single_wall_spectral":
+        return system
+    import dataclasses
+
+    import numpy as np
+
+    z_max = float(np.asarray(
+        kin.blob_positions(system, state)[:, 2]).max())
+    z_hi = margin * max(z_max, 2.0 * system.blob_radius)
+    if system.spectral_wall_height >= z_hi:
+        return system
+    if log is not None:
+        log(f"wall slab: z_max {z_max:.3g} -> spectral_wall_height "
+            f"{z_hi:.3g}")
+    return dataclasses.replace(system, spectral_wall_height=z_hi)
+
+
 def auto_spectral_capacities(system: System, state, *, max_rounds=5,
                              log=None):
     """Grow the spectral engine's fixed capacities until a plan at this
@@ -137,23 +188,34 @@ def auto_spectral_capacities(system: System, state, *, max_rounds=5,
     drop near-field sources — the auto heuristics size for uniform
     density, which clumped configurations (whole multiblob bodies per
     cell) can exceed. No-op for other domains."""
-    if system.domain != "periodic_spectral":
+    if not is_spectral(system):
         return system
     import dataclasses
 
+    if system.domain == "single_wall_spectral":
+        system = auto_wall_height(system, state, log=log)
     r_blobs = kin.blob_positions(system, state)
     for _ in range(max_rounds):
         plan = maybe_dense_mobility(system, r_blobs)
-        drops = (int(plan.n_dropped), int(plan.n_dropped_cells))
+        if system.domain == "single_wall_spectral":
+            drops = (int(plan.n_dropped_grid), int(plan.n_dropped_cells))
+        else:
+            drops = (int(plan.n_dropped), int(plan.n_dropped_cells))
+        cap_seg = (plan.tbl_all.shape[0]
+                   // (plan.params.grid[0]
+                       * (plan.params.grid[2]
+                          // plan.params.grid_params().zslab))
+                   if system.domain == "single_wall_spectral"
+                   else plan.cap_seg)
         if log is not None:
             log(f"spectral plan: grid={plan.params.grid} "
-                f"r_cut={plan.params.r_cut:.2f} cap_seg={plan.cap_seg} "
+                f"r_cut={plan.params.r_cut:.2f} cap_seg={cap_seg} "
                 f"cell_cap={plan.params.cell_capacity} dropped={drops}")
         if drops == (0, 0):
             return system
         updates = {}
         if drops[0]:
-            updates["spectral_bucket_capacity"] = plan.cap_seg * 3 // 2
+            updates["spectral_bucket_capacity"] = cap_seg * 3 // 2
         if drops[1]:
             # +8 (one lane group): cell overflow is a few clumped cells'
             # tail, not a density misestimate
@@ -179,6 +241,9 @@ def refresh_dense_mobility(system: System, m_dense, r_new, *, build=True):
         if isinstance(m_dense, ewald.SpectralPlan):
             return ewald.update_plan(m_dense, r_new)
         return maybe_dense_mobility(system, r_new)
+    if system.domain == "single_wall_spectral":
+        # no incremental refresh yet: the wall plan's sorts rebuild
+        return maybe_dense_mobility(system, r_new)
     return maybe_dense_mobility(system, r_new) if build else None
 
 
@@ -189,6 +254,13 @@ def _mobility_apply(system, r_blobs, m_dense, lam):
         if not isinstance(m_dense, ewald.SpectralPlan):
             m_dense = maybe_dense_mobility(system, r_blobs)
         return ewald.matvec(m_dense, lam.reshape(-1, 3), mesh=system.mesh)
+    if system.domain == "single_wall_spectral":
+        from ..ops import ewald_wall
+
+        if not isinstance(m_dense, ewald_wall.WallPlan):
+            m_dense = maybe_dense_mobility(system, r_blobs)
+        return ewald_wall.matvec(m_dense, lam.reshape(-1, 3),
+                                 mesh=system.mesh)
     if m_dense is not None:
         # m_dense: (3,3,N,N) component planes (see dense_mobility_tiled)
         lam = lam.reshape(-1, 3)
@@ -223,6 +295,12 @@ def _mobility_apply_multi(system, r_blobs, m_dense, lam):
         if not isinstance(m_dense, ewald.SpectralPlan):
             m_dense = maybe_dense_mobility(system, r_blobs)
         return ewald.matvec_multi(m_dense, lam, mesh=system.mesh)
+    if system.domain == "single_wall_spectral":
+        from ..ops import ewald_wall
+
+        if not isinstance(m_dense, ewald_wall.WallPlan):
+            m_dense = maybe_dense_mobility(system, r_blobs)
+        return ewald_wall.matvec_multi(m_dense, lam, mesh=system.mesh)
     if m_dense is not None and not isinstance(m_dense, (str,)):
         # one streaming pass over the planes serves the whole stack
         return jnp.einsum("abij,qjb->qia", m_dense, lam,
@@ -244,7 +322,7 @@ def make_linear_operator(system: System, state: State, r_blobs=None,
     rewrites (multi_bodies.py:424-471)."""
     if r_blobs is None:
         r_blobs = kin.blob_positions(system, state)
-    if m_dense is None and system.domain == "periodic_spectral":
+    if m_dense is None and is_spectral(system):
         # build the spectral plan ONCE here: XLA does not hoist
         # loop-invariant work out of while_loop bodies, so leaving it to
         # _mobility_apply would rebuild the plan every Krylov iteration
@@ -288,7 +366,7 @@ def make_lockstep_operator(system: System, state: State, r_blobs=None,
     per-RHS K/C algebra. Pairs with ops/gmres.gmres_lockstep."""
     if r_blobs is None:
         r_blobs = kin.blob_positions(system, state)
-    if m_dense is None and system.domain == "periodic_spectral":
+    if m_dense is None and is_spectral(system):
         m_dense = maybe_dense_mobility(system, r_blobs)
     single = make_linear_operator(system, state, r_blobs, time=time,
                                   m_dense=m_dense)
@@ -373,8 +451,9 @@ def build_block_diag_pc(system: System, state: State, time=0.0) -> BlockDiagPC:
     # periodic_spectral bodies precondition with the open-boundary RPY
     # blocks (the PC is near-field-dominated; images only perturb it)
     pc_domain = {"in_plane": "single_wall",
-                 "periodic_spectral": "no_wall"}.get(system.domain,
-                                                     system.domain)
+                 "periodic_spectral": "no_wall",
+                 "single_wall_spectral": "single_wall"}.get(system.domain,
+                                                            system.domain)
     for i, t in enumerate(system.types):
         rel = kin.blob_rel_positions(system, state, i)  # (c,nb,3)
         pos, _ = kin.type_arrays(system, state, i)
@@ -521,7 +600,7 @@ def make_noise_pc(system: System, state: State, pc: BlockDiagPC,
     so that L sqrt(P^T M P) z has covariance M."""
     if r_blobs is None:
         r_blobs = kin.blob_positions(system, state)
-    if m_dense is None and system.domain == "periodic_spectral":
+    if m_dense is None and is_spectral(system):
         # hoist the spectral plan out of the Lanczos while_loop (see
         # make_linear_operator)
         m_dense = maybe_dense_mobility(system, r_blobs)

@@ -79,11 +79,16 @@ class System:
     blob_radius: float = 1.0
     kT: float = 0.0
     g: float = 0.0
-    # 'no_wall' | 'single_wall' | 'in_plane' | 'periodic_spectral'
+    # 'no_wall' | 'single_wall' | 'in_plane' | 'periodic_spectral' |
+    # 'single_wall_spectral'
     # (periodic_spectral: true triply-periodic RPY via the O(N log N)
     # spectral Ewald engine, ops/ewald.py; requires periodic_length > 0
-    # on all three axes. The others treat periodic_length as the
-    # reference's pseudo-periodic +-1 image-box sweep.)
+    # on all three axes. single_wall_spectral: the O(N log N)
+    # doubly-periodic-xy / open-z wall engine, ops/ewald_wall.py;
+    # requires periodic_length > 0 on x and y plus
+    # spectral_wall_height > 0. The pairwise domains treat
+    # periodic_length as the reference's pseudo-periodic +-1 image-box
+    # sweep.)
     domain: str = "single_wall"
     periodic_length: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # accuracy target for the periodic_spectral engine (sets the Ewald
@@ -101,6 +106,10 @@ class System:
     # near-field cell-list slots per cell (0 = auto: mean occupancy +
     # 4 sigma; overflow is counted in the plan's n_dropped_cells)
     spectral_cell_capacity: int = 0
+    # single_wall_spectral slab top: the engine's z grid is static, so
+    # the maximum blob height must be declared (grow via
+    # saddle.auto_wall_height; blobs above it are clipped and counted)
+    spectral_wall_height: float = 0.0
     repulsion_strength: float = 0.0
     debye_length: float = 1.0
     repulsion_strength_wall: float = 0.0

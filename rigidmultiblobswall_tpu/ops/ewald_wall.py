@@ -260,6 +260,7 @@ class WallPlan:
 
     pos_all: jax.Array        # (2N, 3) grid coords, xy-wrapped
     heights: jax.Array        # (N,) physical z of the real particles
+    damp: jax.Array           # (N,) overlap damping B_ii = min(z/a, 1)
     # near field (cells over the combined set)
     cheb: jax.Array           # RPY remainder (2, 2, K)
     self_coeff: jax.Array
@@ -308,7 +309,7 @@ class WallPlan:
 
 jax.tree_util.register_dataclass(
     WallPlan,
-    data_fields=["pos_all", "heights", "cheb", "self_coeff", "img_cheb",
+    data_fields=["pos_all", "heights", "damp", "cheb", "self_coeff", "img_cheb",
                  "cell_table", "cell_slot", "nbr_cells",
                  "n_dropped_cells", "src_pos", "src_ids", "tgt_xyz",
                  "tbl_all", "tbl_img", "tbl_real", "inv_real",
@@ -330,7 +331,11 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
     xy = xy - jnp.floor(xy / box2) * box2
     z_raw = positions[:, 2]
     z = jnp.clip(z_raw, p.a, p.z_hi)
-    n_clipped = jnp.sum((z_raw < p.a) | (z_raw > p.z_hi)).astype(jnp.int32)
+    # bottom shifts are the reference's overlap regularization (normal
+    # physics, paired with the damping factors); only TOP clips mean the
+    # slab parameter z_hi is too low for this configuration
+    n_clipped = jnp.sum(z_raw > p.z_hi).astype(jnp.int32)
+    damp = jnp.minimum(z_raw / p.a, 1.0).astype(dtype)
     n = positions.shape[0]
 
     pos_real = jnp.concatenate([xy, (z - p.z0)[:, None]], axis=1)
@@ -371,11 +376,22 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
         tgt_xyz = cells.gather_tgt_xyz(pos_all, cell_table, cap,
                                        n_cells_pad, n_cells)
 
-    # ---- gridding layouts
+    # ---- gridding layouts. The generic mean-based segment capacity
+    # (ewald.make_grid_layout) assumes particles fill the z axis; wall
+    # configurations concentrate in the slab while the padded z-blocks
+    # stay empty, so the auto capacity uses the OCCUPIED-block mean.
     gp = p.grid_params()
-    tbl_all, _inv_a, d_all = ewald.make_grid_layout(gp, pos_all,
-                                                    p.bucket_capacity)
-    cap_seg = tbl_all.shape[0] // (p.grid[0] * (p.grid[2] // gp.zslab))
+    cap_seg = p.bucket_capacity
+    if cap_seg <= 0:
+        ZB = gp.zslab
+        hz = p.spacing[2]
+        nzb = p.grid[2] // ZB
+        nzb_occ = min(max(int(math.ceil(p.data_extent / (ZB * hz))) + 1, 1),
+                      nzb)
+        mean_seg = 2 * n * p.support / (p.grid[0] * nzb_occ)
+        cap_seg = int(-(-(1.5 * mean_seg + 5.0 * math.sqrt(mean_seg)
+                          + 16.0) // 8) * 8)
+    tbl_all, _inv_a, d_all = ewald.make_grid_layout(gp, pos_all, cap_seg)
     tbl_img, _inv_i, d_img = ewald.make_grid_layout(gp, pos_img, cap_seg)
     tbl_real, inv_real, d_real = ewald.make_grid_layout(gp, pos_real,
                                                         cap_seg)
@@ -387,7 +403,7 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
     cdt = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
 
     return WallPlan(
-        pos_all=pos_all, heights=z,
+        pos_all=pos_all, heights=z, damp=damp,
         cheb=jnp.asarray(cheb, dtype), self_coeff=jnp.asarray(self_c, dtype),
         img_cheb=jnp.asarray(img_cheb, dtype),
         cell_table=cell_table, cell_slot=cell_slot, nbr_cells=nbr_cells,
@@ -539,6 +555,174 @@ def near_matvec_xla(plan: WallPlan, forces):
 
 
 # ---------------------------------------------------------------------------
+# Near field: fused Pallas kernel (TPU hot path)
+# ---------------------------------------------------------------------------
+
+
+def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
+                      cheb, img_cheb, mids, halfs, two_a, rc2, z0, inv_a,
+                      ir_lo, ir_hi, pref_img, n_rhs=1):
+    """Fused wall near-field sweep over the combined real+image set.
+
+    Per (cap targets) x (S sources) pair tile on the VPU:
+      - RPY remainder (Chebyshev Clenshaw, piece-selected) applied to
+        MIRRORED source strengths (image rows carry -D f, computed
+        in-register from the raw strengths and the source's side);
+      - the screened image-channel remainder (generated img_terms over
+        the 10 scaled radial series) for (real target <- image source)
+        pairs, in blob-radius units.
+    All coefficients are compile-time python floats (weak-typed)."""
+    from jax.experimental import pallas as pl
+
+    K = len(cheb[0][0])
+    Ki = len(img_cheb[0])
+    inv_h0, inv_h1 = 1.0 / halfs[0], 1.0 / halfs[1]
+    mid_i = 0.5 * (ir_hi + ir_lo)
+    inv_hi = 2.0 / (ir_hi - ir_lo)
+
+    def body(t, carry):
+        r0 = t.astype(jnp.int32) * jnp.int32(cap)
+        tx = tgt_ref[pl.ds(r0, cap), 0:1]
+        ty = tgt_ref[pl.ds(r0, cap), 1:2]
+        tz = tgt_ref[pl.ds(r0, cap), 2:3]
+        sx = spos_ref[0, t, :][None, :]
+        sy = spos_ref[1, t, :][None, :]
+        sz = spos_ref[2, t, :][None, :]
+        dx = tx - sx
+        dy = ty - sy
+        dz = tz - sz
+        r2 = dx * dx + dy * dy + dz * dz
+        inside = (r2 < rc2) & (r2 > 0.0)
+        r2s = jnp.where(inside, r2, 1.0)
+        invr = lax.rsqrt(r2s)
+        r = r2s * invr
+        near = r < two_a
+        ts = jnp.where(near, (r - mids[0]) * inv_h0, (r - mids[1]) * inv_h1)
+        t2 = ts + ts
+        a1 = jnp.zeros_like(r)
+        a2 = jnp.zeros_like(r)
+        b1 = jnp.zeros_like(r)
+        b2 = jnp.zeros_like(r)
+        for k in range(K - 1, 0, -1):
+            ca = jnp.where(near, cheb[0][0][k], cheb[1][0][k])
+            cb = jnp.where(near, cheb[0][1][k], cheb[1][1][k])
+            a1, a2 = t2 * a1 - a2 + ca, a1
+            b1, b2 = t2 * b1 - b2 + cb, b1
+        al = ts * a1 - a2 + jnp.where(near, cheb[0][0][0], cheb[1][0][0])
+        be = ts * b1 - b2 + jnp.where(near, cheb[0][1][0], cheb[1][1][0])
+        al = jnp.where(inside, al, 0.0)
+        bfac = jnp.where(inside, be * invr * invr, 0.0)
+        dxm = jnp.where(inside, dx, 0.0)
+        dym = jnp.where(inside, dy, 0.0)
+        dzm = jnp.where(inside, dz, 0.0)
+
+        # image-pair classification + scaled geometry
+        src_img = (sz + z0) < 0.0
+        tgt_real = (tz + z0) > 0.0
+        is_pair = inside & src_img & tgt_real
+        pm = jnp.where(is_pair, pref_img, 0.0)
+        hsc = jnp.where(is_pair, -(sz + z0) * inv_a, 1.0)
+        rs = jnp.where(is_pair, r * inv_a, mid_i)
+        rs = jnp.minimum(jnp.maximum(rs, ir_lo), ir_hi)
+        ti = (rs - mid_i) * inv_hi
+        ti2 = ti + ti
+        cv = []
+        for fidx in range(10):
+            c1 = jnp.zeros_like(ti)
+            c2 = jnp.zeros_like(ti)
+            for k in range(Ki - 1, 0, -1):
+                c1, c2 = ti2 * c1 - c2 + img_cheb[fidx][k], c1
+            cv.append(ti * c1 - c2 + img_cheb[fidx][0])
+        dxs = dxm * inv_a
+        dys = dym * inv_a
+        rzs = dzm * inv_a
+
+        for b in range(n_rhs):
+            fx = sf_ref[3 * b + 0, t, :][None, :]
+            fy = sf_ref[3 * b + 1, t, :][None, :]
+            fz = sf_ref[3 * b + 2, t, :][None, :]
+            # mirrored strengths for the Stokeslet remainder
+            fxm = jnp.where(src_img, -fx, fx)
+            fym = jnp.where(src_img, -fy, fy)
+            g = bfac * (dxm * fxm + dym * fym + dzm * fz)
+            ox = jnp.sum(al * fxm + g * dxm, axis=1, keepdims=True)
+            oy = jnp.sum(al * fym + g * dym, axis=1, keepdims=True)
+            oz = jnp.sum(al * fz + g * dzm, axis=1, keepdims=True)
+            # image-channel remainder on RAW strengths
+            ux, uy, uz = gen.img_terms(dxs, dys, rzs, hsc, fx, fy, fz,
+                                       1.0, *cv)
+            out_ref[pl.ds(r0, cap), 3 * b + 0:3 * b + 1] = ox + jnp.sum(
+                ux * pm, axis=1, keepdims=True)
+            out_ref[pl.ds(r0, cap), 3 * b + 1:3 * b + 2] = oy + jnp.sum(
+                uy * pm, axis=1, keepdims=True)
+            out_ref[pl.ds(r0, cap), 3 * b + 2:3 * b + 3] = oz + jnp.sum(
+                uz * pm, axis=1, keepdims=True)
+        return carry
+
+    lax.fori_loop(0, tc, body, 0)
+
+
+def near_matvec_pallas(plan: WallPlan, forces):
+    """Wall near field on the plan-time pre-gathered (cell, 27*cap)
+    layout (see ewald.real_matvec_pallas for the layout rationale)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = plan.params
+    n = plan.n_real
+    cap = p.cell_capacity
+    TC = p.near_tile
+    C_pad, S = plan.src_ids.shape
+    f = forces.reshape(n, -1).astype(jnp.float32)
+    nc = f.shape[1]
+    # raw strengths duplicated at image rows; mirroring happens in-kernel
+    f_all = jnp.concatenate(
+        [f, f, jnp.zeros((1, nc), jnp.float32)], axis=0)
+    sf = f_all.T[:, plan.src_ids]                        # (nc, C_pad, S)
+
+    cheb_np, _ = _host_cheb_rpy(p)
+    cheb = tuple(tuple(tuple(float(v) for v in fn) for fn in piece)
+                 for piece in cheb_np)
+    img_np, ir_lo, ir_hi = _host_img_cheb(p)
+    img_cheb = tuple(tuple(float(v) for v in row) for row in img_np)
+    two_a = 2.0 * p.a
+    mids = (0.5 * two_a, 0.5 * (two_a + p.r_cut))
+    halfs = (0.5 * two_a, 0.5 * (p.r_cut - two_a))
+    kernel = functools.partial(
+        _wall_near_kernel, cap=cap, tc=TC, cheb=cheb, img_cheb=img_cheb,
+        mids=mids, halfs=halfs, two_a=two_a, rc2=p.r_cut * p.r_cut,
+        z0=p.z0, inv_a=1.0 / p.a, ir_lo=ir_lo, ir_hi=ir_hi,
+        pref_img=1.0 / (8.0 * math.pi * p.eta * p.a), n_rhs=nc // 3)
+    rows = pl.pallas_call(
+        kernel,
+        grid=(C_pad // TC,),
+        in_specs=[
+            pl.BlockSpec((TC * cap, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TC, S), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, TC, S), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TC * cap, nc), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C_pad * cap, nc), jnp.float32),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(plan.tgt_xyz.astype(jnp.float32),
+      plan.src_pos.astype(jnp.float32), sf)
+    dtype = plan.pos_all.dtype
+    rows = jnp.concatenate([rows, jnp.zeros((1, nc), rows.dtype)], axis=0)
+    return (rows[plan.cell_slot[:n]].astype(dtype)
+            + plan.self_coeff * f.astype(dtype))
+
+
+def near_matvec(plan: WallPlan, forces):
+    if plan.src_pos is not None:
+        return near_matvec_pallas(plan, forces)
+    return near_matvec_xla(plan, forces)
+
+
+# ---------------------------------------------------------------------------
 # Wave field
 # ---------------------------------------------------------------------------
 
@@ -618,7 +802,10 @@ def wave_matvec(plan: WallPlan, forces):
         c = Gk_all[3 * b:3 * b + 3]
         kdotc = jnp.sum(khat * c, axis=0, keepdims=True)
         u = kern[None] * (c - khat * kdotc)
-        ci = [Gk_img[9 * b + q] for q in range(9)]
+        # f_img columns are m-major then b-major: [f | h f | h^2 f],
+        # each block 3B wide (see the concatenate above)
+        ci = [Gk_img[3 * B * m + 3 * b + comp]
+              for m in range(3) for comp in range(3)]
         ux, uy, uz = gen.mult_terms(KX, KY, KZ, F4, F2, p.a * p.a, *ci)
         uk.append(u + jnp.stack([ux, uy, uz]))
     Uk = jnp.concatenate(uk, axis=0)                     # (3B,gx,gy2,gz)
@@ -644,13 +831,18 @@ def wave_matvec(plan: WallPlan, forces):
 
 def matvec(plan: WallPlan, forces, mesh=None, axis_name="blobs"):
     """Full single-wall RPY product M f, (N, 3) -> (N, 3) (or (N, 3B)
-    stacked b-major). Heights regularized/damped by the apply wrappers
-    in ops/mobility.py; mesh is currently accepted for API parity and
-    runs replicated."""
+    stacked b-major), INCLUDING the reference's overlap regularization
+    B^T M(z_eff) B (mobility/mobility.py:52-119): heights were shifted
+    to z >= a at plan build and the damping B = min(z/a, 1) is applied
+    to input strengths and output rows here. mesh is currently accepted
+    for API parity and runs replicated."""
     del mesh, axis_name
     n = plan.n_real
     f2 = forces.reshape(n, -1)
-    out = near_matvec_xla(plan, f2) + wave_matvec(plan, f2)
+    d = plan.damp[:, None]
+    f2 = f2 * d
+    out = near_matvec(plan, f2) + wave_matvec(plan, f2)
+    out = out * d
     return out.reshape(forces.shape)
 
 
