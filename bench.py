@@ -90,7 +90,11 @@ def build(path="multibody"):
             types=(t,), eta=1.0, blob_radius=0.131, kT=0.05, g=0.1,
             domain="single_wall_spectral", periodic_length=(L, L, 0.0),
             spectral_tol=float(os.environ.get("BENCH_SPECTRAL_TOL", 1e-4)),
-            spectral_grid_max=int(os.environ.get("BENCH_GRID_MAX", 1024)),
+            # xy-grid cap: as in the periodic engine it trades FFT
+            # volume against near-field cutoff; 512 keeps the wall grid
+            # (512 x 512 x ~100 after z padding) near the periodic
+            # engine's 256^3 volume on one 16 GB chip
+            spectral_grid_max=int(os.environ.get("BENCH_GRID_MAX", 512)),
             spectral_bucket_capacity=int(
                 os.environ.get("BENCH_BUCKET_CAP", 0)),
             repulsion_strength=0.2, debye_length=0.2,
@@ -101,10 +105,13 @@ def build(path="multibody"):
             solver_tolerance=SOLVER_TOL,
         )
         idx = np.arange(N_BODIES)
+        # layers close to the wall (microroller-realistic heights, a few
+        # blob radii up) — the z grid scales with the slab height, so
+        # needlessly tall configurations inflate the FFT volume
         pos = np.stack([
             (idx % side) * spacing,
             ((idx // side) % side) * spacing,
-            2.0 + (idx // (side * side)) * spacing,
+            0.8 + (idx // (side * side)) * 1.2,
         ], axis=1).astype(np.float32)
         rng = np.random.default_rng(0)
         pos[:, :2] += rng.uniform(-0.25, 0.25,

@@ -55,18 +55,32 @@ class Carry(NamedTuple):
     # budget) instead of paying the plan sorts every step. None for
     # every other engine, and when init_carry is not given a state.
     plan: object = None
+    # Krylov recycle state (ops/gmres.RecycleState) carried across steps
+    # when make_stepper(recycle_k > 0): the slow saddle modes barely
+    # change between steps, so recycled directions warm-start/deflate
+    # every solve (measured 5 -> 1 GMRES iterations,
+    # tools/deflation_experiment.py). None when disabled.
+    recycle: object = None
 
 
-def init_carry(system: System, dtype=jnp.float64, state=None) -> Carry:
+def init_carry(system: System, dtype=jnp.float64, state=None,
+               recycle_k: int = 0) -> Carry:
     plan = None
     if state is not None and saddle.is_spectral(system):
         plan = saddle.maybe_dense_mobility(
             system, kin.blob_positions(system, state))
+    rec = None
+    if recycle_k > 0:
+        from ..ops.gmres import RecycleState
+
+        rec = RecycleState.empty(recycle_k, saddle.saddle_size(system),
+                                 dtype)
     return Carry(
         velocities_prev=jnp.zeros((system.num_bodies, 6), dtype=dtype),
         first_step=jnp.asarray(True),
         step_idx=jnp.asarray(0),
         plan=plan,
+        recycle=rec,
     )
 
 
@@ -117,7 +131,8 @@ def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
 
 _PC_CACHE_KEY = "_cached_pc"
 _PLAN_CACHE_KEY = "_cached_plan"
-_CACHE_KEYS = (_PC_CACHE_KEY, _PLAN_CACHE_KEY)
+_RECYCLE_KEY = "_cached_recycle"
+_CACHE_KEYS = (_PC_CACHE_KEY, _PLAN_CACHE_KEY, _RECYCLE_KEY)
 
 
 def _get_pc(system, state, lanczos_kw):
@@ -149,30 +164,44 @@ def _free_mask(system, dtype):
 # ---------------------------------------------------------------------------
 
 
+def _det_recycle(system, state, lanczos_kw, m_dense, pc=None):
+    """Refresh the carried Krylov recycle state for a deterministic
+    solve (one batched sweep); returns the refreshed state or None."""
+    rec = lanczos_kw.get(_RECYCLE_KEY)
+    if rec is None:
+        return None
+    return solvers.refresh_recycle(system, state, rec, pc=pc,
+                                   m_dense=m_dense)
+
+
 def _deterministic_forward_euler(system, dt, solver_kw, lanczos_kw,
                                  key, state, carry):
     m_dense = _get_m_dense(system, kin.blob_positions(system, state),
                            lanczos_kw)
-    sol = solvers.solve_mobility_problem(system, state, m_dense=m_dense,
-                                         **solver_kw)
+    rec = _det_recycle(system, state, lanczos_kw, m_dense)
+    sol = solvers.solve_mobility_problem(
+        system, state, m_dense=m_dense, recycle=rec,
+        collect_recycle=rec is not None, **solver_kw)
     new_state = kin.advance(state, sol.velocities, dt)
     ok = kin.valid_configuration(system, new_state)
     return (new_state, sol.velocities, sol.iterations, jnp.asarray(0), ok,
-            sol.converged)
+            sol.converged, sol.recycle if rec is not None else None)
 
 
 def _deterministic_adams_bashforth(system, dt, solver_kw, lanczos_kw,
                                    key, state, carry):
     m_dense = _get_m_dense(system, kin.blob_positions(system, state),
                            lanczos_kw)
-    sol = solvers.solve_mobility_problem(system, state, m_dense=m_dense,
-                                         **solver_kw)
+    rec = _det_recycle(system, state, lanczos_kw, m_dense)
+    sol = solvers.solve_mobility_problem(
+        system, state, m_dense=m_dense, recycle=rec,
+        collect_recycle=rec is not None, **solver_kw)
     v_ab = jnp.where(carry.first_step, sol.velocities,
                      1.5 * sol.velocities - 0.5 * carry.velocities_prev)
     new_state = kin.advance(state, v_ab, dt)
     ok = kin.valid_configuration(system, new_state)
     return (new_state, sol.velocities, sol.iterations, jnp.asarray(0), ok,
-            sol.converged)
+            sol.converged, sol.recycle if rec is not None else None)
 
 
 def _deterministic_midpoint(system, dt, solver_kw, lanczos_kw,
@@ -355,6 +384,14 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
     noise1, it_l = _noise_slip(system, state, pc, k1, factor,
                                m_dense=m_dense, **lanczos_kw)
 
+    # carried Krylov recycle state: re-biorthonormalize once at the
+    # step-start configuration (ONE batched k-RHS sweep), then every
+    # solve of the step warm-starts/deflates with it
+    rec = lanczos_kw.get(_RECYCLE_KEY)
+    if rec is not None:
+        rec = solvers.refresh_recycle(system, state, rec, pc=pc,
+                                      m_dense=m_dense)
+
     # the rigid solve and the RFD solve share the configuration (and so
     # the operator and PC): solve both RHS in ONE lockstep Krylov loop,
     # sharing every pair sweep / gridding pass across the two columns
@@ -366,7 +403,8 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
     lock_kw = {k: v for k, v in solver_kw.items() if k != "verbose"}
     sol_pair = solvers.solve_mobility_problem_lockstep(
         system, state, rhs=jnp.stack([rhs1, rhs_rfd]), pc=pc,
-        m_dense=m_dense, **lock_kw)
+        m_dense=m_dense, recycle=rec, collect_recycle=rec is not None,
+        **lock_kw)
     sol1 = solvers.MobilitySolution(
         lam=sol_pair.lam[0], velocities=sol_pair.velocities[0],
         iterations=sol_pair.iterations,
@@ -397,17 +435,23 @@ def _stochastic_slip_trapz(system, dt, solver_kw, lanczos_kw,
     r_pred = kin.blob_positions(system, predictor)
     m_pred = saddle.refresh_dense_mobility(system, m_dense, r_pred)
     x0 = jnp.concatenate([sol1.lam.ravel(), v1.ravel(), sol1.phi.ravel()])
+    # the corrector is warm-started from the predictor AND the recycle
+    # projection; harvesting happens at the LOCKSTEP solve (the
+    # corrector's residual Krylov space is nearly empty and harvests
+    # nothing useful)
     sol2 = solvers.solve_mobility_problem(system, predictor, pc=pc,
                                           noise_slip=rand_slip_cor,
                                           noise_ft=rand_ft_cor, x0=x0,
-                                          m_dense=m_pred, **solver_kw)
+                                          m_dense=m_pred, recycle=rec,
+                                          **solver_kw)
     velocities = 0.5 * (v1 + sol2.velocities)
     new_state = kin.advance(state, velocities, dt)
     ok = ok_pred & kin.valid_configuration(system, new_state)
     # lockstep pair counts batched sweeps once (one sweep serves both RHS)
     iters = sol_pair.iterations + sol2.iterations
+    rec_out = sol_pair.recycle if sol_pair.recycle is not None else rec
     return (new_state, velocities, iters, it_l, ok,
-            sol_pair.converged & sol2.converged)
+            sol_pair.converged & sol2.converged, rec_out)
 
 
 def _dense_sqrt_mul(N, z, factor):
@@ -988,6 +1032,7 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                  gmres_maxiter: int = 1000,
                  max_rejections: int = 50,
                  update_PC: int = 1,
+                 recycle_k: int = 0,
                  verbose: bool = False) -> Callable:
     """Build step(state, key, carry) -> (state, carry, StepAux).
 
@@ -1010,7 +1055,11 @@ def make_stepper(system: System, scheme: str, dt: float, *,
 
     def attempt(key, state, carry, extra_kw=None):
         lkw = dict(lanczos_kw, **(extra_kw or {}))
-        return body_fn(system, dt, solver_kw, lkw, key, state, carry)
+        res = body_fn(system, dt, solver_kw, lkw, key, state, carry)
+        if len(res) == 6:
+            # scheme without recycle support: pass the state through
+            res = res + (lkw.get(_RECYCLE_KEY),)
+        return res
 
     def _step_plan(state, carry):
         """Refresh the carried cross-step spectral plan at this step's
@@ -1050,6 +1099,9 @@ def make_stepper(system: System, scheme: str, dt: float, *,
                 lambda: saddle.build_block_diag_pc(system, state),
                 lambda: pc)
             plan, plan_kw = _step_plan(state, inner)
+            rec_in = getattr(inner, "recycle", None)
+            if rec_in is not None:
+                plan_kw = {**plan_kw, _RECYCLE_KEY: rec_in}
 
             def cond(loop):
                 _, _, _, attempts, ok = loop
@@ -1058,22 +1110,25 @@ def make_stepper(system: System, scheme: str, dt: float, *,
             def body(loop):
                 _, key, _, attempts, _ = loop
                 key, sub = jax.random.split(key)
-                new_state, velocities, det_it, st_it, ok, conv = attempt(
-                    sub, state, inner, {_PC_CACHE_KEY: pc, **plan_kw})
+                (new_state, velocities, det_it, st_it, ok, conv,
+                 rec_out) = attempt(sub, state, inner,
+                                    {_PC_CACHE_KEY: pc, **plan_kw})
                 return (new_state, key,
-                        (velocities, det_it, st_it, jnp.asarray(conv)),
+                        (velocities, det_it, st_it, jnp.asarray(conv),
+                         rec_out),
                         attempts + 1, ok)
 
             zero_aux = (jnp.zeros((system.num_bodies, 6),
                                   dtype=state.pos.dtype),
-                        jnp.asarray(0), jnp.asarray(0), jnp.asarray(True))
+                        jnp.asarray(0), jnp.asarray(0), jnp.asarray(True),
+                        rec_in)
             init = (state, key, zero_aux, jnp.asarray(0), jnp.asarray(False))
-            new_state, _, (velocities, det_it, st_it, conv), attempts, ok = (
-                jax.lax.while_loop(cond, body, init))
+            (new_state, _, (velocities, det_it, st_it, conv, rec_new),
+             attempts, ok) = jax.lax.while_loop(cond, body, init)
             new_inner = Carry(velocities_prev=velocities,
                               first_step=jnp.asarray(False),
                               step_idx=inner.step_idx + 1,
-                              plan=plan)
+                              plan=plan, recycle=rec_new)
             aux = StepAux(velocities=velocities, det_iterations=det_it,
                           stoch_iterations=st_it, rejections=attempts - 1,
                           solves_converged=conv,
@@ -1084,6 +1139,9 @@ def make_stepper(system: System, scheme: str, dt: float, *,
 
     def step(state: State, key, carry: Carry):
         plan, plan_kw = _step_plan(state, carry)
+        rec_in = getattr(carry, "recycle", None)
+        if rec_in is not None:
+            plan_kw = {**plan_kw, _RECYCLE_KEY: rec_in}
 
         def cond(loop):
             _, _, _, attempts, ok = loop
@@ -1092,22 +1150,23 @@ def make_stepper(system: System, scheme: str, dt: float, *,
         def body(loop):
             _, key, _, attempts, _ = loop
             key, sub = jax.random.split(key)
-            new_state, velocities, det_it, st_it, ok, conv = attempt(
-                sub, state, carry, plan_kw)
+            (new_state, velocities, det_it, st_it, ok, conv,
+             rec_out) = attempt(sub, state, carry, plan_kw)
             return (new_state, key,
-                    (velocities, det_it, st_it, jnp.asarray(conv)),
+                    (velocities, det_it, st_it, jnp.asarray(conv), rec_out),
                     attempts + 1, ok)
 
         zero_aux = (jnp.zeros((system.num_bodies, 6), dtype=state.pos.dtype),
-                    jnp.asarray(0), jnp.asarray(0), jnp.asarray(True))
+                    jnp.asarray(0), jnp.asarray(0), jnp.asarray(True),
+                    rec_in)
         init = (state, key, zero_aux, jnp.asarray(0), jnp.asarray(False))
-        new_state, _, (velocities, det_it, st_it, conv), attempts, ok = (
-            jax.lax.while_loop(cond, body, init))
+        (new_state, _, (velocities, det_it, st_it, conv, rec_new),
+         attempts, ok) = jax.lax.while_loop(cond, body, init)
 
         new_carry = Carry(velocities_prev=velocities,
                           first_step=jnp.asarray(False),
                           step_idx=carry.step_idx + 1,
-                          plan=plan)
+                          plan=plan, recycle=rec_new)
         aux = StepAux(velocities=velocities, det_iterations=det_it,
                       stoch_iterations=st_it, rejections=attempts - 1,
                       solves_converged=conv,

@@ -29,6 +29,7 @@ class MobilitySolution(NamedTuple):
     residual_norm: jax.Array
     phi: jax.Array = None   # (C,3) articulated constraint forces
     converged: jax.Array = True  # GMRES reached tolerance (all RHS)
+    recycle: object = None  # updated ops/gmres.RecycleState (when asked)
 
 
 def force_torque_calculator(system: System, state: State, r_blobs):
@@ -127,13 +128,19 @@ def solve_mobility_problem(
     m_dense="auto",
     time=0.0,
     verbose: bool = False,
+    recycle=None,
+    collect_recycle: bool = False,
 ) -> MobilitySolution:
     """Preconditioned GMRES solve of the saddle system
     (quaternion_integrator_multi_bodies.py:1441-1547).
 
     m_dense: 'auto' materializes the blob mobility when it fits the memory
     budget so each GMRES iteration is one MXU matmul; None forces the
-    matrix-free pairwise engine; or pass a prebuilt (3N,3N) matrix."""
+    matrix-free pairwise engine; or pass a prebuilt (3N,3N) matrix.
+    recycle: ops/gmres.RecycleState for GCRO deflation (slow modes
+    projected out, solution corrected through the recycle directions);
+    collect_recycle additionally harvests an updated state from this
+    solve's Krylov data (returned in .recycle)."""
     r_blobs = kin.blob_positions(system, state)
     if isinstance(m_dense, str) and m_dense == "auto":
         m_dense = saddle.maybe_dense_mobility(system, r_blobs)
@@ -157,9 +164,18 @@ def solve_mobility_problem(
     # system actually handed to GMRES
     if x0 is not None:
         x0 = x0 / safe_norm
-    result = gmres(operator, rhs_unit, x0=x0, tol=tol, restart=restart,
-                   maxiter=maxiter, verbose=verbose,
-                   M=lambda v: saddle.apply_block_diag_pc(system, pc, v))
+    rec_new = None
+    if recycle is not None:
+        from ..ops.gmres import gmres_deflated
+
+        result, rec_new = gmres_deflated(
+            operator, rhs_unit, recycle, x0=x0, tol=tol, restart=restart,
+            maxiter=maxiter, collect_basis=collect_recycle,
+            M=lambda v: saddle.apply_block_diag_pc(system, pc, v))
+    else:
+        result = gmres(operator, rhs_unit, x0=x0, tol=tol, restart=restart,
+                       maxiter=maxiter, verbose=verbose,
+                       M=lambda v: saddle.apply_block_diag_pc(system, pc, v))
     sol = result.x * rhs_norm
     lam, U, phi = saddle.split_saddle_vector(system, sol)
 
@@ -171,7 +187,7 @@ def solve_mobility_problem(
     return MobilitySolution(lam=lam, velocities=U,
                             iterations=result.iterations,
                             residual_norm=result.residual_norm, phi=phi,
-                            converged=result.converged)
+                            converged=result.converged, recycle=rec_new)
 
 
 def solve_mobility_problem_lockstep(
@@ -186,6 +202,8 @@ def solve_mobility_problem_lockstep(
     maxiter: int = 1000,
     m_dense="auto",
     time=0.0,
+    recycle=None,
+    collect_recycle: bool = False,
 ) -> MobilitySolution:
     """Solve the saddle system for a STACK of right-hand sides (nrhs, n)
     at ONE configuration, sharing every pair sweep / gridding pass across
@@ -214,8 +232,22 @@ def solve_mobility_problem_lockstep(
         x0 = x0 / safe_norm[:, None]
 
     pc_apply = jax.vmap(lambda v: saddle.apply_block_diag_pc(system, pc, v))
-    result = gmres_lockstep(operator, rhs_unit, x0=x0, tol=tol,
-                            restart=restart, maxiter=maxiter, M=pc_apply)
+    rec_new = None
+    if recycle is not None and collect_recycle:
+        from ..ops import gmres as gmres_mod
+
+        result, (Vb, Hraw, j_used) = gmres_lockstep(
+            operator, rhs_unit, x0=x0, tol=tol, restart=restart,
+            maxiter=maxiter, M=pc_apply, recycle=recycle,
+            collect_basis=True)
+        k = recycle.U.shape[0]
+        Bp0 = jnp.zeros((Hraw.shape[1], k), Hraw.dtype)
+        rec_new = gmres_mod.harvest_recycle(recycle, Vb, Hraw, Bp0,
+                                            j_used, k)
+    else:
+        result = gmres_lockstep(operator, rhs_unit, x0=x0, tol=tol,
+                                restart=restart, maxiter=maxiter,
+                                M=pc_apply, recycle=recycle)
     sol = result.x * rhs_norm[:, None]
     lam, U, phi = jax.vmap(
         lambda v: saddle.split_saddle_vector(system, v))(sol)
@@ -229,7 +261,8 @@ def solve_mobility_problem_lockstep(
     return MobilitySolution(lam=lam, velocities=U,
                             iterations=result.iterations,
                             residual_norm=result.residual_norm, phi=phi,
-                            converged=jnp.all(result.converged))
+                            converged=jnp.all(result.converged),
+                            recycle=rec_new)
 
 
 def _single_blob_articulated_pc(system: System, state: State, time=0.0):
@@ -408,3 +441,21 @@ def solve_resistance(system: System, state: State, velocities, slip=None):
     rhs = (KU + slip.reshape(-1, 3)).ravel()
     lam = jnp.linalg.solve(M, rhs)
     return kin.KT_mul(system, state, lam.reshape(-1, 3))
+
+
+def refresh_recycle(system: System, state: State, rec, *, pc=None,
+                    m_dense="auto", time=0.0):
+    """Re-biorthonormalize a RecycleState at this configuration with ONE
+    batched lockstep sweep (the k columns share the engine's pair and
+    gridding work). See ops/gmres.refresh_recycle."""
+    from ..ops import gmres as gmres_mod
+
+    r_blobs = kin.blob_positions(system, state)
+    if isinstance(m_dense, str) and m_dense == "auto":
+        m_dense = saddle.maybe_dense_mobility(system, r_blobs)
+    if pc is None:
+        pc = saddle.build_block_diag_pc(system, state, time=time)
+    operator = saddle.make_lockstep_operator(system, state, r_blobs,
+                                             m_dense=m_dense, time=time)
+    pc_apply = jax.vmap(lambda v: saddle.apply_block_diag_pc(system, pc, v))
+    return gmres_mod.refresh_recycle(lambda Y: operator(pc_apply(Y)), rec)

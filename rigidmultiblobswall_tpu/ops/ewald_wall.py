@@ -283,7 +283,12 @@ class WallPlan:
     n_clipped: jax.Array      # real particles clipped into [a, z_hi]
     # polish machinery
     polish_idx: jax.Array     # (P,) int32 flat (gx * gy2) columns
-    polish_kfft: jax.Array    # (P, 4, 3, 3, 2 gz) complex
+    # polish Toeplitz kernel FFTs, stored as a real/imag PAIR: the axon
+    # TPU runtime cannot transfer complex arrays host<->device (complex
+    # exists only inside jitted programs); wave_matvec reassembles them
+    # with lax.complex
+    polish_kfft_re: jax.Array  # (P, 4, 3, 3, 2 gz) real
+    polish_kfft_im: jax.Array
     polish_mask: jax.Array    # (gx * gy2,) bool, False at polish columns
     params: WallParams
 
@@ -314,7 +319,7 @@ jax.tree_util.register_dataclass(
                  "n_dropped_cells", "src_pos", "src_ids", "tgt_xyz",
                  "tbl_all", "tbl_img", "tbl_real", "inv_real",
                  "n_dropped_grid", "n_clipped", "polish_idx",
-                 "polish_kfft", "polish_mask"],
+                 "polish_kfft_re", "polish_kfft_im", "polish_mask"],
     meta_fields=["cell_dims", "params"])
 
 
@@ -400,7 +405,7 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
     cheb, self_c = _host_cheb_rpy(p)
     img_cheb, _, _ = _host_img_cheb(p)
     pol_idx, pol_kfft, pol_mask = _host_polish(p)
-    cdt = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    rdt = jnp.float32 if dtype == jnp.float32 else jnp.float64
 
     return WallPlan(
         pos_all=pos_all, heights=z, damp=damp,
@@ -413,7 +418,8 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
         inv_real=inv_real,
         n_dropped_grid=d_all + d_img + d_real, n_clipped=n_clipped,
         polish_idx=jnp.asarray(pol_idx),
-        polish_kfft=jnp.asarray(pol_kfft, cdt),
+        polish_kfft_re=jnp.asarray(pol_kfft.real, rdt),
+        polish_kfft_im=jnp.asarray(pol_kfft.imag, rdt),
         polish_mask=jnp.asarray(pol_mask),
         params=p)
 
@@ -782,33 +788,48 @@ def wave_matvec(plan: WallPlan, forces):
 
     sub_all = plan._sub(plan.tbl_all, plan.pos_all)
     sub_img = plan._sub(plan.tbl_img, plan.pos_all[n:])
-    g_all = ewald.spread(sub_all, f_all)                 # (3B, gx, gy, gz)
-    g_img = ewald.spread(sub_img, f_img)                 # (9B, ...)
-
-    Gxy_all = jnp.fft.rfft2(g_all, axes=(1, 2))          # (3B,gx,gy2,gz)
-    Gxy_img = jnp.fft.rfft2(g_img, axes=(1, 2))
-
-    # polish profiles BEFORE the z transform
-    pi = plan.polish_idx
-    prof_all = Gxy_all.reshape(3 * B, gx * gy2, gz)[:, pi]   # (3B,P,gz)
-    prof_img = Gxy_img.reshape(9 * B, gx * gy2, gz)[:, pi]
-
-    Gk_all = jnp.fft.fft(Gxy_all, axis=3)
-    Gk_img = jnp.fft.fft(Gxy_img, axis=3)
 
     KX, KY, KZ, kern, khat, F4, F2 = _wave_arrays(plan, dtype)
-    uk = []
+    pi = plan.polish_idx
+    cdt = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    zero = jnp.zeros((), cdt)
+
+    # The channel groups contribute ADDITIVELY to the k-space output:
+    #   u_hat = K_rpy c_merged + sum_m T_m c_m.
+    # Each group is spread, transformed and applied separately so only
+    # one group's grid fields and complex transients are live at a time
+    # (all 12 B channels at once OOM a 16 GB chip at bench grids); the
+    # generated mult_terms constant-folds the literal-zero channels of
+    # the absent groups. The image groups re-evaluate the spreading
+    # windows (3x) — the matmul contraction, not the window evaluation,
+    # dominates at bench scale.
+    prof_rows = []                                       # polish inputs
+    Uk = jnp.zeros((3 * B, gx, gy2, gz), cdt)
+    g_all = ewald.spread(sub_all, f_all)                 # (3B, gx, gy, gz)
     for b in range(B):
-        c = Gk_all[3 * b:3 * b + 3]
-        kdotc = jnp.sum(khat * c, axis=0, keepdims=True)
-        u = kern[None] * (c - khat * kdotc)
-        # f_img columns are m-major then b-major: [f | h f | h^2 f],
-        # each block 3B wide (see the concatenate above)
-        ci = [Gk_img[3 * B * m + 3 * b + comp]
-              for m in range(3) for comp in range(3)]
-        ux, uy, uz = gen.mult_terms(KX, KY, KZ, F4, F2, p.a * p.a, *ci)
-        uk.append(u + jnp.stack([ux, uy, uz]))
-    Uk = jnp.concatenate(uk, axis=0)                     # (3B,gx,gy2,gz)
+        cxy = jnp.fft.rfft2(g_all[3 * b:3 * b + 3], axes=(1, 2))
+        # polish inputs are the PRE-z-FFT column profiles
+        prof_rows.append(cxy.reshape(3, gx * gy2, gz)[:, pi])
+        ck = jnp.fft.fft(cxy, axis=3)
+        kdotc = jnp.sum(khat * ck, axis=0, keepdims=True)
+        Uk = Uk.at[3 * b:3 * b + 3].add(kern[None] * (ck - khat * kdotc))
+    del g_all
+    prof_img_rows = [None] * (3 * B)
+    for m in range(3):
+        g_m = ewald.spread(sub_img, f_img[:, 3 * B * m:3 * B * (m + 1)])
+        for b in range(B):
+            # f_img columns are m-major then b-major: [f | h f | h^2 f]
+            cxy = jnp.fft.rfft2(g_m[3 * b:3 * b + 3], axes=(1, 2))
+            prof_img_rows[B * m + b] = cxy.reshape(3, gx * gy2, gz)[:, pi]
+            ck = jnp.fft.fft(cxy, axis=3)
+            args = [zero] * 9
+            args[3 * m:3 * m + 3] = [ck[0], ck[1], ck[2]]
+            ux, uy, uz = gen.mult_terms(KX, KY, KZ, F4, F2, p.a * p.a,
+                                        *args)
+            Uk = Uk.at[3 * b:3 * b + 3].add(jnp.stack([ux, uy, uz]))
+    # prof order: B merged groups then (m, b) image groups
+    prof_all = jnp.concatenate(prof_rows, axis=0)            # (3B, P, gz)
+    prof_img = jnp.concatenate(prof_img_rows, axis=0)        # (9B, P, gz)
     Uxy = jnp.fft.ifft(Uk, axis=3)
 
     # ---- polish columns: dense z-convolutions via circular FFT
@@ -817,7 +838,8 @@ def wave_matvec(plan: WallPlan, forces):
     pim = prof_img.reshape(3, B, 3, -1, gz)              # (m, B, 3, P, gz)
     pin = jnp.concatenate([pa[:, None], jnp.moveaxis(pim, 0, 1)], axis=1)
     pin_f = jnp.fft.fft(pin, n=2 * gz, axis=-1)          # (B,4,3,P,2gz)
-    kf = plan.polish_kfft                                # (P,4,3,3,2gz)
+    kf = lax.complex(plan.polish_kfft_re,
+                     plan.polish_kfft_im).astype(pin_f.dtype)
     out_f = jnp.einsum("pcijL,bcjpL->bipL", kf, pin_f)
     pout = jnp.fft.ifft(out_f, axis=-1)[..., :gz]        # (B,3,P,gz)
     pout = pout.reshape(3 * B, -1, gz)

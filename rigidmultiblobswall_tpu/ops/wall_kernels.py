@@ -80,7 +80,8 @@ def img_cheb_tables(xi_scaled: float, r_lo: float, r_hi: float,
     t = (2.0 * r - (r_hi + r_lo)) / (r_hi - r_lo)
     funcs = [radial_scaled("g4", n, r, xi_scaled) for n in range(N_RAD)]
     funcs += [radial_scaled("g2", n, r, xi_scaled) for n in range(N_RAD)]
-    for K in ([n_cheb] if n_cheb else (12, 16, 20, 24, 28, 32)):
+    for K in ([n_cheb] if n_cheb else (12, 16, 20, 24, 28, 32,
+                                       40, 48, 64)):
         out = np.zeros((10, K))
         err = 0.0
         for i, f in enumerate(funcs):

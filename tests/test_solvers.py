@@ -266,3 +266,48 @@ def test_gmres_singular_operator_reports_not_converged():
     assert not bool(resL.converged[0])
     assert bool(resL.converged[1])
     assert np.allclose(np.asarray(resL.x[1]), [1.0, 2.0, 0.0], atol=1e-8)
+
+
+def test_krylov_recycling_deterministic():
+    """Warm-start Krylov recycling (make_stepper(recycle_k>0)): after
+    the first step of a deterministic scheme the carried slow-mode
+    projection solves the whole system (0 further GMRES iterations),
+    without changing the trajectory (ops/gmres.RecycleState;
+    tools/deflation_experiment.py for the measurement story)."""
+    import jax
+
+    from rigidmultiblobswall_tpu.models import integrators
+
+    rng = np.random.default_rng(3)
+    shell = rng.normal(size=(8, 3))
+    shell *= 0.4 / np.linalg.norm(shell, axis=1, keepdims=True)
+    t = BodyType(name="s8", ref_config=shell, count=9)
+    # bench-like tolerance: recycling pays when the per-step operator
+    # drift sits below the solver tolerance (at much tighter tolerances
+    # the recycled projection's drift error must be re-solved and the
+    # savings vanish — recorded in SCALING.md)
+    system = System(types=(t,), eta=1.0, blob_radius=0.12, kT=0.0, g=0.3,
+                    domain="single_wall", solver_tolerance=2e-4)
+    idx = np.arange(9)
+    pos = np.stack([(idx % 3) * 1.4, (idx // 3) * 1.4,
+                    np.full(9, 1.5)], axis=1)
+    state = make_state(pos, np.tile([1.0, 0, 0, 0], (9, 1)))
+
+    trajs, iters = {}, {}
+    for K in (0, 6):
+        step = integrators.make_stepper(
+            system, "deterministic_adams_bashforth", 5e-4,
+            gmres_maxiter=200, max_rejections=2, recycle_k=K)
+        carry = integrators.init_carry(system, dtype=state.pos.dtype,
+                                       recycle_k=K)
+        s, its = state, []
+        jit_step = jax.jit(step)
+        for i in range(4):
+            s, carry, aux = jit_step(s, jax.random.PRNGKey(i), carry)
+            its.append(int(aux.det_iterations))
+        trajs[K], iters[K] = np.asarray(s.pos), its
+    assert iters[0][0] == iters[6][0]          # first step identical
+    assert sum(iters[6][1:]) < sum(iters[0][1:])   # recycled steps cheaper
+    assert iters[6][-1] <= 1                   # slow modes fully recycled
+    scale = np.abs(trajs[0] - pos).max()
+    assert np.abs(trajs[0] - trajs[6]).max() < 2e-3 * scale
