@@ -217,10 +217,15 @@ def auto_spectral_capacities(system: System, state, *, max_rounds=5,
         if drops[0]:
             updates["spectral_bucket_capacity"] = cap_seg * 3 // 2
         if drops[1]:
-            # +8 (one lane group): cell overflow is a few clumped cells'
-            # tail, not a density misestimate
-            updates["spectral_cell_capacity"] = (
-                plan.params.cell_capacity + 8)
+            # periodic engine: +8 (one lane group — overflow is a few
+            # clumped cells' tail). Wall engine: grow multiplicatively
+            # (slab layouts can misestimate the occupied-cell mean)
+            cap_now = plan.params.cell_capacity
+            if system.domain == "single_wall_spectral":
+                updates["spectral_cell_capacity"] = (
+                    -(-max(cap_now + 8, cap_now * 5 // 4) // 8) * 8)
+            else:
+                updates["spectral_cell_capacity"] = cap_now + 8
         system = dataclasses.replace(system, **updates)
     raise ValueError(
         f"spectral capacities still dropping after {max_rounds} rounds "
@@ -242,7 +247,10 @@ def refresh_dense_mobility(system: System, m_dense, r_new, *, build=True):
             return ewald.update_plan(m_dense, r_new)
         return maybe_dense_mobility(system, r_new)
     if system.domain == "single_wall_spectral":
-        # no incremental refresh yet: the wall plan's sorts rebuild
+        from ..ops import ewald_wall
+
+        if isinstance(m_dense, ewald_wall.WallPlan):
+            return ewald_wall.update_wall_plan(m_dense, r_new)
         return maybe_dense_mobility(system, r_new)
     return maybe_dense_mobility(system, r_new) if build else None
 

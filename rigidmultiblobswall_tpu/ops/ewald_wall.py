@@ -259,6 +259,9 @@ class WallPlan:
     combined real+image set (first n_real rows = real particles)."""
 
     pos_all: jax.Array        # (2N, 3) grid coords, xy-wrapped
+    sort_pos: jax.Array       # (2N, 3) positions the sorts were built at
+    #                           (update_wall_plan measures cumulative
+    #                           drift against THESE; see ewald.update_plan)
     heights: jax.Array        # (N,) physical z of the real particles
     damp: jax.Array           # (N,) overlap damping B_ii = min(z/a, 1)
     # near field (cells over the combined set)
@@ -314,7 +317,8 @@ class WallPlan:
 
 jax.tree_util.register_dataclass(
     WallPlan,
-    data_fields=["pos_all", "heights", "damp", "cheb", "self_coeff", "img_cheb",
+    data_fields=["pos_all", "sort_pos", "heights", "damp", "cheb",
+                 "self_coeff", "img_cheb",
                  "cell_table", "cell_slot", "nbr_cells",
                  "n_dropped_cells", "src_pos", "src_ids", "tgt_xyz",
                  "tbl_all", "tbl_img", "tbl_real", "inv_real",
@@ -347,24 +351,34 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
     pos_img = jnp.concatenate([xy, (-z - p.z0)[:, None]], axis=1)
     pos_all = jnp.concatenate([pos_real, pos_img], axis=0)
 
-    # ---- near-field cells over the combined set
-    box3 = jnp.asarray([Lx, Ly, p.lz_box], dtype)
-    dims = tuple(max(int(L // p.r_cut), 1)
-                 for L in (Lx, Ly, p.lz_box))
-    if min(dims[:2]) < 4 or dims[2] < 3:
+    # ---- near-field cells over the combined set. The binning volume is
+    # the DATA slab plus one empty guard layer, NOT the padded FFT box:
+    # slab configurations would otherwise leave most z-cells empty and
+    # the occupied ones overflowing any mean-based capacity. The guard
+    # layer keeps the 27-stencil's z wrap pointing at empty cells only
+    # (the padded box never wraps pairs physically).
+    csize_z = 1.001 * p.r_cut
+    nz_data = max(int(math.ceil(p.data_extent / csize_z)), 2)
+    nz_cells = nz_data + 1
+    bin_z = nz_cells * csize_z
+    box3_bin = jnp.asarray([Lx, Ly, bin_z], dtype)
+    dims = (max(int(Lx // p.r_cut), 1), max(int(Ly // p.r_cut), 1),
+            nz_cells)
+    if min(dims[:2]) < 4:
         raise ValueError(
-            f"wall box {(Lx, Ly, p.lz_box)} too small for r_cut "
-            f"{p.r_cut}: need >= 4 xy cells and >= 3 z cells")
+            f"wall box {(Lx, Ly)} too small for r_cut "
+            f"{p.r_cut}: need >= 4 xy cells")
     cap = p.cell_capacity
     if cap <= 0:
-        mean_occ = 2 * n / np.prod(dims)
+        # occupied-cell mean: the combined 2N points fill nz_data layers
+        mean_occ = 2 * n / (dims[0] * dims[1] * nz_data)
         cap = int(min(max(
             -(-(mean_occ + 4.0 * math.sqrt(max(mean_occ, 1.0))) // 8) * 8,
-            16), 160))
+            16), 256))
     params = dataclasses.replace(p, cell_capacity=int(cap))
     p = params
     cell_table, cell_slot, _cid, n_dropped_cells = cells.cell_bin(
-        pos_all, box3, dims, cap)
+        pos_all, box3_bin, dims, cap)
     nbr_cells = cells.neighbor_table(dims)
 
     src_pos = src_ids = tgt_xyz = None
@@ -376,8 +390,8 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
         wrap = cells.wrap_counts(dims)
         src_ids = cells.padded_source_ids(cell_table, nbr_cells, 2 * n,
                                           dims, cap, n_cells_pad, S)
-        src_pos = cells.gather_src_pos(pos_all, src_ids, wrap, box3, dims,
-                                       cap, n_cells_pad, S)
+        src_pos = cells.gather_src_pos(pos_all, src_ids, wrap, box3_bin,
+                                       dims, cap, n_cells_pad, S)
         tgt_xyz = cells.gather_tgt_xyz(pos_all, cell_table, cap,
                                        n_cells_pad, n_cells)
 
@@ -408,7 +422,7 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
     rdt = jnp.float32 if dtype == jnp.float32 else jnp.float64
 
     return WallPlan(
-        pos_all=pos_all, heights=z, damp=damp,
+        pos_all=pos_all, sort_pos=pos_all, heights=z, damp=damp,
         cheb=jnp.asarray(cheb, dtype), self_coeff=jnp.asarray(self_c, dtype),
         img_cheb=jnp.asarray(img_cheb, dtype),
         cell_table=cell_table, cell_slot=cell_slot, nbr_cells=nbr_cells,
@@ -558,6 +572,67 @@ def near_matvec_xla(plan: WallPlan, forces):
     rows = jnp.concatenate([rows, jnp.zeros((1, nc), rows.dtype)], axis=0)
     return (rows[plan.cell_slot[:n]].astype(dtype)
             + plan.self_coeff * f.astype(dtype))
+
+
+def update_wall_plan(plan: WallPlan, positions) -> WallPlan:
+    """Refresh the plan for a slightly-moved same-topology configuration
+    WITHOUT re-sorting (the wall analog of ewald.update_plan): keeps the
+    cell membership, gridding segment assignments and the near-field
+    slot layout, re-gathering only position data. Exactness contract as
+    in ewald.update_plan (min-image drift per particle within half the
+    cell slack and half a grid spacing, measured against the positions
+    the sorts were built at); past the budget it falls back to a FULL
+    rebuild via lax.cond, so steppers may call it unconditionally for
+    in-step companion configurations (RFD displacement, trapezoidal
+    predictor)."""
+    p = plan.params
+    dtype = plan.pos_all.dtype
+    n = plan.n_real
+    Lx, Ly = p.box_xy
+    box2 = jnp.asarray([Lx, Ly], dtype)
+    xy = positions[:, :2]
+    xy = xy - jnp.floor(xy / box2) * box2
+    z_raw = positions[:, 2]
+    z = jnp.clip(z_raw, p.a, p.z_hi)
+    n_clipped = jnp.sum(z_raw > p.z_hi).astype(jnp.int32)
+    damp = jnp.minimum(z_raw / p.a, 1.0).astype(dtype)
+    pos_real = jnp.concatenate([xy, (z - p.z0)[:, None]], axis=1)
+    pos_img = jnp.concatenate([xy, (-z - p.z0)[:, None]], axis=1)
+    pos_all = jnp.concatenate([pos_real, pos_img], axis=0)
+
+    box3 = jnp.asarray([Lx, Ly, p.lz_box], dtype)
+    delta = pos_all - plan.sort_pos
+    delta = delta - jnp.round(delta / box3) * box3
+    dims = plan.cell_dims
+    # cells are binned over (Lx, Ly, dims_z * 1.001 r_cut) — see
+    # make_wall_plan; the z side equals the bin cell height
+    side = np.asarray([Lx / dims[0], Ly / dims[1], 1.001 * p.r_cut])
+    budget = 0.5 * np.minimum(side - p.r_cut,
+                              np.asarray(p.spacing, np.float64))
+    ok = jnp.all(jnp.max(jnp.abs(delta), axis=0)
+                 <= jnp.asarray(np.maximum(budget, 0.0), dtype))
+    pos_eff = plan.sort_pos + delta
+
+    def refresh(_):
+        new = dict(pos_all=pos_eff, heights=z, damp=damp,
+                   n_clipped=n_clipped)
+        if plan.src_pos is not None:
+            n_cells = int(np.prod(dims))
+            cap = p.cell_capacity
+            wrap = cells.wrap_counts(dims)
+            C_pad, S = plan.src_ids.shape
+            box3_bin = jnp.asarray(
+                [Lx, Ly, dims[2] * 1.001 * p.r_cut], dtype)
+            new["src_pos"] = cells.gather_src_pos(
+                pos_eff, plan.src_ids, wrap, box3_bin, dims, cap, C_pad, S)
+            new["tgt_xyz"] = cells.gather_tgt_xyz(
+                pos_eff, plan.cell_table, cap, C_pad, n_cells)
+        return dataclasses.replace(plan, **new)
+
+    def rebuild(_):
+        return make_wall_plan(p, positions)
+
+    return lax.cond(ok, refresh, rebuild, None)
 
 
 # ---------------------------------------------------------------------------

@@ -304,3 +304,28 @@ def test_near_pallas_matches_xla():
     u_pm = np.asarray(ew.near_matvec_pallas(plan, fb))
     u_xm = np.asarray(ew.near_matvec_xla(plan, fb))
     assert np.abs(u_pm - u_xm).max() / scale < 2e-5
+
+
+def test_update_wall_plan_matches_rebuild():
+    """update_wall_plan (position re-gathers, no re-sorting) reproduces
+    a freshly built plan's matvec within the drift budget, and falls
+    back to a full rebuild beyond it."""
+    pos, f = _config(6)
+    params = ew.default_wall_params(A, ETA, (LBOX, LBOX), z_hi=3.5 * A,
+                                    tol=1e-4, near_impl="xla")
+    plan = ew.make_wall_plan(params, jnp.asarray(pos))
+    rng = np.random.default_rng(9)
+    # small drift: refresh path
+    pos2 = pos + 0.02 * A * rng.normal(size=pos.shape)
+    plan_r = ew.update_wall_plan(plan, jnp.asarray(pos2))
+    plan_f = ew.make_wall_plan(params, jnp.asarray(pos2))
+    u_r = np.asarray(ew.matvec(plan_r, jnp.asarray(f)))
+    u_f = np.asarray(ew.matvec(plan_f, jnp.asarray(f)))
+    assert np.abs(u_r - u_f).max() < 1e-10 * max(np.abs(u_f).max(), 1)
+    # large drift: rebuild fallback must stay exact too
+    pos3 = pos + 2.5 * A * rng.normal(size=pos.shape)
+    plan_r3 = ew.update_wall_plan(plan, jnp.asarray(pos3))
+    plan_f3 = ew.make_wall_plan(params, jnp.asarray(pos3))
+    u_r3 = np.asarray(ew.matvec(plan_r3, jnp.asarray(f)))
+    u_f3 = np.asarray(ew.matvec(plan_f3, jnp.asarray(f)))
+    assert np.abs(u_r3 - u_f3).max() < 1e-10 * max(np.abs(u_f3).max(), 1)
