@@ -268,7 +268,11 @@ def build_polish_kernels(modes_kxky, dz_grid, *, a, eta, xi, hx, hy, hz,
     swts *= (kz[1] - kz[0]) / 3.0
     exp_mat = np.exp(1j * np.outer(kz, dz_grid)) * swts[:, None]  # (nq, nd)
 
-    for ip, (kxv, kyv) in enumerate(modes_kxky):
+    a2 = a * a
+
+    def one_mode(ip, kxv, kyv):
+        """Reference per-mode path; only the k_par = 0 mode (which needs
+        the pole finite parts) takes it."""
         k2 = kxv * kxv + kyv * kyv + kz * kz
         k2s = np.where(k2 > 0, k2, 1.0)
         k = np.sqrt(k2s)
@@ -282,7 +286,6 @@ def build_polish_kernels(modes_kxky, dz_grid, *, a, eta, xi, hx, hy, hz,
         rows = np.zeros((36, n_quad), complex)   # (channel*9, nq)
         fins = np.zeros((36, nd), complex)       # finite-part additions
         kill = np.zeros(36, bool)
-        kzs = np.where(kz == 0, 1.0, kz)
         for i in range(3):
             for j in range(3):
                 row = 9 * 0 + 3 * i + j
@@ -298,7 +301,6 @@ def build_polish_kernels(modes_kxky, dz_grid, *, a, eta, xi, hx, hy, hz,
                 else:
                     ent = np.where(k2 == 0, 0.0, ent)
                 rows[row] = ent
-        a2 = a * a
         for m in range(3):
             for i in range(3):
                 for j in range(3):
@@ -318,7 +320,46 @@ def build_polish_kernels(modes_kxky, dz_grid, *, a, eta, xi, hx, hy, hz,
                     rows[row] = ent
         block = (rows @ exp_mat + fins) * (hz / (2 * np.pi))
         block[kill] = 0.0
-        out[ip] = block.reshape(4, 3, 3, nd)
+        return block.reshape(4, 3, 3, nd)
+
+    # ---- k_par > 0 modes: vectorized in chunks (flat slabs can have
+    # thousands of polish modes; the per-mode python loop took minutes)
+    kx_all = modes_kxky[:, 0]
+    ky_all = modes_kxky[:, 1]
+    k0_mask = (kx_all == 0.0) & (ky_all == 0.0)
+    for ip in np.nonzero(k0_mask)[0]:
+        out[ip] = one_mode(ip, kx_all[ip], ky_all[ip])
+    rest = np.nonzero(~k0_mask)[0]
+    KZ = kz[None, :]
+    for c0 in range(0, len(rest), 64):
+        sel = rest[c0:c0 + 64]
+        C = len(sel)
+        KX = kx_all[sel][:, None]
+        KY = ky_all[sel][:, None]
+        k2 = KX * KX + KY * KY + KZ * KZ             # (C, nq), > 0
+        k = np.sqrt(k2)
+        phi = (1.0 + k2 / (4 * xi * xi)) * np.exp(-k2 / (4 * xi * xi))
+        sinc = np.sin(k * a) / (k * a)
+        norm = hvol / (what_x[sel][:, None] ** 2
+                       * what_y[sel][:, None] ** 2 * wz[None, :] ** 2)
+        pref = sinc * sinc * phi / (eta * k2)
+        kvec = (KX + 0 * KZ, KY + 0 * KZ, 0 * KX + KZ)
+        rows = np.empty((C, 36, n_quad), complex)
+        for i in range(3):
+            for j in range(3):
+                rows[:, 3 * i + j] = pref * (
+                    (1.0 if i == j else 0.0)
+                    - kvec[i] * kvec[j] / k2) * norm
+        for m in range(3):
+            for i in range(3):
+                for j in range(3):
+                    ent = channel_entry_np(m, i, j, KX, KY, KZ, phi,
+                                           a2=a2)
+                    rows[:, 9 * (1 + m) + 3 * i + j] = (
+                        ent * norm / (8 * np.pi * eta))
+        block = np.einsum("cfq,qd->cfd", rows, exp_mat,
+                          optimize=True) * (hz / (2 * np.pi))
+        out[sel] = block.reshape(C, 4, 3, 3, nd)
     return out
 
 
