@@ -158,7 +158,7 @@ def maybe_dense_mobility(system: System, r_blobs):
         periodic_length=system.periodic_length)
 
 
-def auto_wall_height(system: System, state, *, margin=1.6, log=None):
+def auto_wall_height(system: System, state, *, margin=1.3, log=None):
     """Set spectral_wall_height for a single_wall_spectral system from
     the CURRENT maximum blob height times a drift margin. Host-side
     (concrete state), like auto_spectral_capacities. No-op for other

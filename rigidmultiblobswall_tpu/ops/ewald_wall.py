@@ -143,7 +143,11 @@ def default_wall_params(a, eta, box_xy, z_hi, *, tol=1e-4,
     if support is None:
         support = int(min(max(math.ceil(
             (5.5 - math.log(0.3 * tol)) / 1.81), 6), 14))
-    s = math.sqrt(max(-math.log(tol * 2e-4), 6.0))
+    # split margin: tol*0.02 inside the log was measured to deliver
+    # ~tol/10 matvec error on the lattice-sum oracle (the round-3
+    # original tol*2e-4 delivered tol/100 and paid ~1.35x in grid +
+    # r_cut for accuracy nobody asked for)
+    s = math.sqrt(max(-math.log(tol * 0.02), 6.0))
     Lx, Ly = (float(b) for b in box_xy)
     r_cut = (r_cut_factor if r_cut_factor is not None else 6.0) * a
     r_cut = min(r_cut, 0.45 * min(Lx, Ly))
@@ -189,7 +193,8 @@ def _host_cheb_rpy(params: WallParams):
 
 @functools.lru_cache(maxsize=16)
 def _host_img_cheb(params: WallParams):
-    """Scaled radial tables for the image-channel remainder."""
+    """Scaled two-piece radial tables for the image-channel remainder:
+    (coeffs (2, 10, K), r_lo, r_mid, r_hi)."""
     r_lo = 1.8
     r_hi = params.r_cut / params.a
     return wall_kernels.img_cheb_tables(params.xi * params.a, r_lo, r_hi,
@@ -417,7 +422,7 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
 
     # ---- host tables
     cheb, self_c = _host_cheb_rpy(p)
-    img_cheb, _, _ = _host_img_cheb(p)
+    img_cheb, _, _, _ = _host_img_cheb(p)
     pol_idx, pol_kfft, pol_mask = _host_polish(p)
     rdt = jnp.float32 if dtype == jnp.float32 else jnp.float64
 
@@ -443,15 +448,20 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
 # ---------------------------------------------------------------------------
 
 
-def _clenshaw_multi(coeffs, t):
-    """Stacked Chebyshev series: coeffs (F, K) -> list of F values."""
+def _clenshaw_multi(coeffs, t, piece):
+    """Stacked two-piece Chebyshev series: coeffs (2, F, K), t the
+    per-piece normalized coordinate, piece a bool mask (True = piece 0).
+    Returns a list of F values."""
     outs = []
-    for f in range(coeffs.shape[0]):
+    for f in range(coeffs.shape[1]):
         b1 = jnp.zeros_like(t)
         b2 = jnp.zeros_like(t)
-        for c in coeffs[f, :0:-1]:
+        K = coeffs.shape[2]
+        for k in range(K - 1, 0, -1):
+            c = jnp.where(piece, coeffs[0, f, k], coeffs[1, f, k])
             b1, b2 = 2.0 * t * b1 - b2 + c, b1
-        outs.append(t * b1 - b2 + coeffs[f, 0])
+        c0 = jnp.where(piece, coeffs[0, f, 0], coeffs[1, f, 0])
+        outs.append(t * b1 - b2 + c0)
     return outs
 
 
@@ -503,8 +513,8 @@ def near_matvec_xla(plan: WallPlan, forces):
     mids = jnp.asarray([0.5 * two_a, 0.5 * (two_a + p.r_cut)], dtype)
     halfs = jnp.asarray([0.5 * two_a, 0.5 * (p.r_cut - two_a)], dtype)
     inv_a = 1.0 / p.a
-    # image radial series domain (scaled)
-    _, ir_lo, ir_hi = _host_img_cheb(p)
+    # image radial series domain (scaled, two pieces)
+    _, ir_lo, ir_mid, ir_hi = _host_img_cheb(p)
     z0 = p.z0
     pref_img = 1.0 / (8.0 * jnp.pi * p.eta * p.a)
 
@@ -548,8 +558,11 @@ def near_matvec_xla(plan: WallPlan, forces):
         hsrc = jnp.where(is_pair, -src_z_phys[:, None, :, :] * inv_a, 1.0)
         rs = jnp.clip(jnp.where(is_pair, r, ir_hi * p.a) * inv_a,
                       ir_lo, ir_hi)
-        ti = (2.0 * rs - (ir_hi + ir_lo)) / (ir_hi - ir_lo)
-        cvals = _clenshaw_multi(plan.img_cheb, ti)         # 10 arrays
+        piece0 = rs < ir_mid
+        t0i = (2.0 * rs - (ir_mid + ir_lo)) / (ir_mid - ir_lo)
+        t1i = (2.0 * rs - (ir_hi + ir_mid)) / (ir_hi - ir_mid)
+        ti = jnp.clip(jnp.where(piece0, t0i, t1i), -1.0, 1.0)
+        cvals = _clenshaw_multi(plan.img_cheb, ti, piece0)  # 10 arrays
         dxs = d[..., 0] * inv_a
         dys = d[..., 1] * inv_a
         rzs = d[..., 2] * inv_a
@@ -642,7 +655,7 @@ def update_wall_plan(plan: WallPlan, positions) -> WallPlan:
 
 def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
                       cheb, img_cheb, mids, halfs, two_a, rc2, z0, inv_a,
-                      ir_lo, ir_hi, pref_img, n_rhs=1):
+                      ir_lo, ir_mid, ir_hi, pref_img, n_rhs=1):
     """Fused wall near-field sweep over the combined real+image set.
 
     Per (cap targets) x (S sources) pair tile on the VPU:
@@ -656,10 +669,12 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
     from jax.experimental import pallas as pl
 
     K = len(cheb[0][0])
-    Ki = len(img_cheb[0])
+    Ki = len(img_cheb[0][0])
     inv_h0, inv_h1 = 1.0 / halfs[0], 1.0 / halfs[1]
-    mid_i = 0.5 * (ir_hi + ir_lo)
-    inv_hi = 2.0 / (ir_hi - ir_lo)
+    mid_i0 = 0.5 * (ir_mid + ir_lo)
+    inv_hi0 = 2.0 / (ir_mid - ir_lo)
+    mid_i1 = 0.5 * (ir_hi + ir_mid)
+    inv_hi1 = 2.0 / (ir_hi - ir_mid)
 
     def body(t, carry):
         r0 = t.astype(jnp.int32) * jnp.int32(cap)
@@ -703,17 +718,23 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
         is_pair = inside & src_img & tgt_real
         pm = jnp.where(is_pair, pref_img, 0.0)
         hsc = jnp.where(is_pair, -(sz + z0) * inv_a, 1.0)
-        rs = jnp.where(is_pair, r * inv_a, mid_i)
+        rs = jnp.where(is_pair, r * inv_a, mid_i1)
         rs = jnp.minimum(jnp.maximum(rs, ir_lo), ir_hi)
-        ti = (rs - mid_i) * inv_hi
+        p0 = rs < ir_mid
+        ti = jnp.where(p0, (rs - mid_i0) * inv_hi0,
+                       (rs - mid_i1) * inv_hi1)
+        ti = jnp.minimum(jnp.maximum(ti, -1.0), 1.0)
         ti2 = ti + ti
         cv = []
         for fidx in range(10):
             c1 = jnp.zeros_like(ti)
             c2 = jnp.zeros_like(ti)
             for k in range(Ki - 1, 0, -1):
-                c1, c2 = ti2 * c1 - c2 + img_cheb[fidx][k], c1
-            cv.append(ti * c1 - c2 + img_cheb[fidx][0])
+                ck = jnp.where(p0, img_cheb[0][fidx][k],
+                               img_cheb[1][fidx][k])
+                c1, c2 = ti2 * c1 - c2 + ck, c1
+            c0 = jnp.where(p0, img_cheb[0][fidx][0], img_cheb[1][fidx][0])
+            cv.append(ti * c1 - c2 + c0)
         dxs = dxm * inv_a
         dys = dym * inv_a
         rzs = dzm * inv_a
@@ -764,15 +785,17 @@ def near_matvec_pallas(plan: WallPlan, forces):
     cheb_np, _ = _host_cheb_rpy(p)
     cheb = tuple(tuple(tuple(float(v) for v in fn) for fn in piece)
                  for piece in cheb_np)
-    img_np, ir_lo, ir_hi = _host_img_cheb(p)
-    img_cheb = tuple(tuple(float(v) for v in row) for row in img_np)
+    img_np, ir_lo, ir_mid, ir_hi = _host_img_cheb(p)
+    img_cheb = tuple(tuple(tuple(float(v) for v in row) for row in piece)
+                     for piece in img_np)
     two_a = 2.0 * p.a
     mids = (0.5 * two_a, 0.5 * (two_a + p.r_cut))
     halfs = (0.5 * two_a, 0.5 * (p.r_cut - two_a))
     kernel = functools.partial(
         _wall_near_kernel, cap=cap, tc=TC, cheb=cheb, img_cheb=img_cheb,
         mids=mids, halfs=halfs, two_a=two_a, rc2=p.r_cut * p.r_cut,
-        z0=p.z0, inv_a=1.0 / p.a, ir_lo=ir_lo, ir_hi=ir_hi,
+        z0=p.z0, inv_a=1.0 / p.a, ir_lo=ir_lo, ir_mid=ir_mid,
+        ir_hi=ir_hi,
         pref_img=1.0 / (8.0 * math.pi * p.eta * p.a), n_rhs=nc // 3)
     rows = pl.pallas_call(
         kernel,

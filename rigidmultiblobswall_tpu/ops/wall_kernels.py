@@ -70,30 +70,37 @@ def radial_scaled(kind, n, r_scaled, xi_scaled):
 @functools.lru_cache(maxsize=32)
 def img_cheb_tables(xi_scaled: float, r_lo: float, r_hi: float,
                     n_cheb: int = 0, tol: float = 1e-7):
-    """Chebyshev fits (one piece — the screened generators are smooth,
-    no 2a kink) of the 10 radial inputs of the generated near-field
-    apply: c4_0..c4_4 then c2_0..c2_4, over scaled radius
-    [r_lo, r_hi] (units of a). Returns (coeffs (10, K), r_lo, r_hi)."""
+    """TWO-piece Chebyshev fits of the 10 radial inputs of the generated
+    near-field apply (c4_0..c4_4 then c2_0..c2_4) over scaled radius
+    [r_lo, r_hi] (units of a). The screened generators are smooth but
+    their erfc transition near r_lo needs far more terms than the flat
+    tail; splitting keeps the in-kernel Clenshaw short (a single piece
+    needed K=64 at bench r_cut/a ~ 26 — 3x the pair flops).
+    Returns (coeffs (2, 10, K), r_lo, r_mid, r_hi)."""
     from numpy.polynomial import chebyshev as npcheb
 
-    r = np.linspace(r_lo, r_hi, 4001)
-    t = (2.0 * r - (r_hi + r_lo)) / (r_hi - r_lo)
-    funcs = [radial_scaled("g4", n, r, xi_scaled) for n in range(N_RAD)]
-    funcs += [radial_scaled("g2", n, r, xi_scaled) for n in range(N_RAD)]
-    for K in ([n_cheb] if n_cheb else (12, 16, 20, 24, 28, 32,
-                                       40, 48, 64)):
-        out = np.zeros((10, K))
+    r_mid = r_lo + 0.28 * (r_hi - r_lo)
+    edges = [(r_lo, r_mid), (r_mid, r_hi)]
+    for K in ([n_cheb] if n_cheb else (10, 12, 16, 20, 24, 28, 32)):
+        out = np.zeros((2, 10, K))
         err = 0.0
-        for i, f in enumerate(funcs):
-            out[i] = npcheb.chebfit(t, f, K - 1)
-            scale = max(np.abs(f).max(), 1e-30)
-            err = max(err, np.abs(npcheb.chebval(t, out[i]) - f).max()
-                      / scale)
+        for pidx, (lo, hi) in enumerate(edges):
+            r = np.linspace(lo, hi, 3001)
+            t = (2.0 * r - (hi + lo)) / (hi - lo)
+            funcs = [radial_scaled("g4", n, r, xi_scaled)
+                     for n in range(N_RAD)]
+            funcs += [radial_scaled("g2", n, r, xi_scaled)
+                      for n in range(N_RAD)]
+            for i, f in enumerate(funcs):
+                out[pidx, i] = npcheb.chebfit(t, f, K - 1)
+                scale = max(np.abs(f).max(), 1e-30)
+                err = max(err, np.abs(
+                    npcheb.chebval(t, out[pidx, i]) - f).max() / scale)
         if n_cheb or err < tol:
             break
     if not n_cheb and err >= tol:
         raise RuntimeError(f"img radial fit stalled at err {err}")
-    return out, float(r_lo), float(r_hi)
+    return out, float(r_lo), float(r_mid), float(r_hi)
 
 
 def img_radial_values_np(r_scaled, xi_scaled):
