@@ -655,7 +655,7 @@ def update_wall_plan(plan: WallPlan, positions) -> WallPlan:
 
 def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
                       cheb, img_cheb, mids, halfs, two_a, rc2, z0, inv_a,
-                      ir_lo, ir_mid, ir_hi, pref_img, n_rhs=1):
+                      ir_lo, ir_mid, ir_hi, pref_img, n_rhs=1, sc=512):
     """Fused wall near-field sweep over the combined real+image set.
 
     Per (cap targets) x (S sources) pair tile on the VPU:
@@ -681,84 +681,97 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
         tx = tgt_ref[pl.ds(r0, cap), 0:1]
         ty = tgt_ref[pl.ds(r0, cap), 1:2]
         tz = tgt_ref[pl.ds(r0, cap), 2:3]
-        sx = spos_ref[0, t, :][None, :]
-        sy = spos_ref[1, t, :][None, :]
-        sz = spos_ref[2, t, :][None, :]
-        dx = tx - sx
-        dy = ty - sy
-        dz = tz - sz
-        r2 = dx * dx + dy * dy + dz * dz
-        inside = (r2 < rc2) & (r2 > 0.0)
-        r2s = jnp.where(inside, r2, 1.0)
-        invr = lax.rsqrt(r2s)
-        r = r2s * invr
-        near = r < two_a
-        ts = jnp.where(near, (r - mids[0]) * inv_h0, (r - mids[1]) * inv_h1)
-        t2 = ts + ts
-        a1 = jnp.zeros_like(r)
-        a2 = jnp.zeros_like(r)
-        b1 = jnp.zeros_like(r)
-        b2 = jnp.zeros_like(r)
-        for k in range(K - 1, 0, -1):
-            ca = jnp.where(near, cheb[0][0][k], cheb[1][0][k])
-            cb = jnp.where(near, cheb[0][1][k], cheb[1][1][k])
-            a1, a2 = t2 * a1 - a2 + ca, a1
-            b1, b2 = t2 * b1 - b2 + cb, b1
-        al = ts * a1 - a2 + jnp.where(near, cheb[0][0][0], cheb[1][0][0])
-        be = ts * b1 - b2 + jnp.where(near, cheb[0][1][0], cheb[1][1][0])
-        al = jnp.where(inside, al, 0.0)
-        bfac = jnp.where(inside, be * invr * invr, 0.0)
-        dxm = jnp.where(inside, dx, 0.0)
-        dym = jnp.where(inside, dy, 0.0)
-        dzm = jnp.where(inside, dz, 0.0)
-
-        # image-pair classification + scaled geometry
-        src_img = (sz + z0) < 0.0
         tgt_real = (tz + z0) > 0.0
-        is_pair = inside & src_img & tgt_real
-        pm = jnp.where(is_pair, pref_img, 0.0)
-        hsc = jnp.where(is_pair, -(sz + z0) * inv_a, 1.0)
-        rs = jnp.where(is_pair, r * inv_a, mid_i1)
-        rs = jnp.minimum(jnp.maximum(rs, ir_lo), ir_hi)
-        p0 = rs < ir_mid
-        ti = jnp.where(p0, (rs - mid_i0) * inv_hi0,
-                       (rs - mid_i1) * inv_hi1)
-        ti = jnp.minimum(jnp.maximum(ti, -1.0), 1.0)
-        ti2 = ti + ti
-        cv = []
-        for fidx in range(10):
-            c1 = jnp.zeros_like(ti)
-            c2 = jnp.zeros_like(ti)
-            for k in range(Ki - 1, 0, -1):
-                ck = jnp.where(p0, img_cheb[0][fidx][k],
-                               img_cheb[1][fidx][k])
-                c1, c2 = ti2 * c1 - c2 + ck, c1
-            c0 = jnp.where(p0, img_cheb[0][fidx][0], img_cheb[1][fidx][0])
-            cv.append(ti * c1 - c2 + c0)
-        dxs = dxm * inv_a
-        dys = dym * inv_a
-        rzs = dzm * inv_a
 
-        for b in range(n_rhs):
-            fx = sf_ref[3 * b + 0, t, :][None, :]
-            fy = sf_ref[3 * b + 1, t, :][None, :]
-            fz = sf_ref[3 * b + 2, t, :][None, :]
-            # mirrored strengths for the Stokeslet remainder
-            fxm = jnp.where(src_img, -fx, fx)
-            fym = jnp.where(src_img, -fy, fy)
-            g = bfac * (dxm * fxm + dym * fym + dzm * fz)
-            ox = jnp.sum(al * fxm + g * dxm, axis=1, keepdims=True)
-            oy = jnp.sum(al * fym + g * dym, axis=1, keepdims=True)
-            oz = jnp.sum(al * fz + g * dzm, axis=1, keepdims=True)
-            # image-channel remainder on RAW strengths
-            ux, uy, uz = gen.img_terms(dxs, dys, rzs, hsc, fx, fy, fz,
-                                       1.0, *cv)
-            out_ref[pl.ds(r0, cap), 3 * b + 0:3 * b + 1] = ox + jnp.sum(
-                ux * pm, axis=1, keepdims=True)
-            out_ref[pl.ds(r0, cap), 3 * b + 1:3 * b + 2] = oy + jnp.sum(
-                uy * pm, axis=1, keepdims=True)
-            out_ref[pl.ds(r0, cap), 3 * b + 2:3 * b + 3] = oz + jnp.sum(
-                uz * pm, axis=1, keepdims=True)
+        # The source lanes are swept in chunks of `sc`: the generated
+        # img_terms holds ~50 live (cap, lanes) temporaries and a full-S
+        # chunk blows Mosaic's 16 MB scoped-vmem stack at bench
+        # capacities (measured 53 MB at S=2688, cap=96).
+        def chunk(ci, acc):
+            c0 = ci * jnp.int32(sc)
+            sx = spos_ref[0, t, pl.ds(c0, sc)][None, :]
+            sy = spos_ref[1, t, pl.ds(c0, sc)][None, :]
+            sz = spos_ref[2, t, pl.ds(c0, sc)][None, :]
+            dx = tx - sx
+            dy = ty - sy
+            dz = tz - sz
+            r2 = dx * dx + dy * dy + dz * dz
+            inside = (r2 < rc2) & (r2 > 0.0)
+            r2s = jnp.where(inside, r2, 1.0)
+            invr = lax.rsqrt(r2s)
+            r = r2s * invr
+            near = r < two_a
+            ts = jnp.where(near, (r - mids[0]) * inv_h0,
+                           (r - mids[1]) * inv_h1)
+            t2 = ts + ts
+            a1 = jnp.zeros_like(r)
+            a2 = jnp.zeros_like(r)
+            b1 = jnp.zeros_like(r)
+            b2 = jnp.zeros_like(r)
+            for k in range(K - 1, 0, -1):
+                ca = jnp.where(near, cheb[0][0][k], cheb[1][0][k])
+                cb = jnp.where(near, cheb[0][1][k], cheb[1][1][k])
+                a1, a2 = t2 * a1 - a2 + ca, a1
+                b1, b2 = t2 * b1 - b2 + cb, b1
+            al = ts * a1 - a2 + jnp.where(near, cheb[0][0][0],
+                                          cheb[1][0][0])
+            be = ts * b1 - b2 + jnp.where(near, cheb[0][1][0],
+                                          cheb[1][1][0])
+            al = jnp.where(inside, al, 0.0)
+            bfac = jnp.where(inside, be * invr * invr, 0.0)
+            dxm = jnp.where(inside, dx, 0.0)
+            dym = jnp.where(inside, dy, 0.0)
+            dzm = jnp.where(inside, dz, 0.0)
+
+            src_img = (sz + z0) < 0.0
+            is_pair = inside & src_img & tgt_real
+            pm = jnp.where(is_pair, pref_img, 0.0)
+            hsc = jnp.where(is_pair, -(sz + z0) * inv_a, 1.0)
+            rs = jnp.where(is_pair, r * inv_a, mid_i1)
+            rs = jnp.minimum(jnp.maximum(rs, ir_lo), ir_hi)
+            p0 = rs < ir_mid
+            ti = jnp.where(p0, (rs - mid_i0) * inv_hi0,
+                           (rs - mid_i1) * inv_hi1)
+            ti = jnp.minimum(jnp.maximum(ti, -1.0), 1.0)
+            ti2 = ti + ti
+            cv = []
+            for fidx in range(10):
+                c1 = jnp.zeros_like(ti)
+                c2 = jnp.zeros_like(ti)
+                for k in range(Ki - 1, 0, -1):
+                    ck = jnp.where(p0, img_cheb[0][fidx][k],
+                                   img_cheb[1][fidx][k])
+                    c1, c2 = ti2 * c1 - c2 + ck, c1
+                c0f = jnp.where(p0, img_cheb[0][fidx][0],
+                                img_cheb[1][fidx][0])
+                cv.append(ti * c1 - c2 + c0f)
+            dxs = dxm * inv_a
+            dys = dym * inv_a
+            rzs = dzm * inv_a
+
+            outs = []
+            for b in range(n_rhs):
+                fx = sf_ref[3 * b + 0, t, pl.ds(c0, sc)][None, :]
+                fy = sf_ref[3 * b + 1, t, pl.ds(c0, sc)][None, :]
+                fz = sf_ref[3 * b + 2, t, pl.ds(c0, sc)][None, :]
+                fxm = jnp.where(src_img, -fx, fx)
+                fym = jnp.where(src_img, -fy, fy)
+                g = bfac * (dxm * fxm + dym * fym + dzm * fz)
+                ux, uy, uz = gen.img_terms(dxs, dys, rzs, hsc, fx, fy, fz,
+                                           1.0, *cv)
+                outs.append(jnp.sum(al * fxm + g * dxm + ux * pm, axis=1,
+                                    keepdims=True))
+                outs.append(jnp.sum(al * fym + g * dym + uy * pm, axis=1,
+                                    keepdims=True))
+                outs.append(jnp.sum(al * fz + g * dzm + uz * pm, axis=1,
+                                    keepdims=True))
+            return tuple(a + o for a, o in zip(acc, outs))
+
+        acc0 = tuple(jnp.zeros((cap, 1), jnp.float32)
+                     for _ in range(3 * n_rhs))
+        acc = lax.fori_loop(0, spos_ref.shape[2] // sc, chunk, acc0)
+        for q in range(3 * n_rhs):
+            out_ref[pl.ds(r0, cap), q:q + 1] = acc[q]
         return carry
 
     lax.fori_loop(0, tc, body, 0)
@@ -791,12 +804,20 @@ def near_matvec_pallas(plan: WallPlan, forces):
     two_a = 2.0 * p.a
     mids = (0.5 * two_a, 0.5 * (two_a + p.r_cut))
     halfs = (0.5 * two_a, 0.5 * (p.r_cut - two_a))
+    # lane-chunk width: the largest multiple of 128 <= 512 dividing S
+    m128 = S // 128
+    sc = 128
+    for width in range(min(4, m128), 0, -1):
+        if m128 % width == 0:
+            sc = 128 * width
+            break
     kernel = functools.partial(
         _wall_near_kernel, cap=cap, tc=TC, cheb=cheb, img_cheb=img_cheb,
         mids=mids, halfs=halfs, two_a=two_a, rc2=p.r_cut * p.r_cut,
         z0=p.z0, inv_a=1.0 / p.a, ir_lo=ir_lo, ir_mid=ir_mid,
         ir_hi=ir_hi,
-        pref_img=1.0 / (8.0 * math.pi * p.eta * p.a), n_rhs=nc // 3)
+        pref_img=1.0 / (8.0 * math.pi * p.eta * p.a), n_rhs=nc // 3,
+        sc=sc)
     rows = pl.pallas_call(
         kernel,
         grid=(C_pad // TC,),
