@@ -790,10 +790,14 @@ def near_matvec_pallas(plan: WallPlan, forces):
     C_pad, S = plan.src_ids.shape
     f = forces.reshape(n, -1).astype(jnp.float32)
     nc = f.shape[1]
-    # raw strengths duplicated at image rows; mirroring happens in-kernel
+    # raw strengths duplicated at image rows; mirroring happens in-kernel.
+    # Per-CHANNEL scalar gathers: a vector-row gather materializes a
+    # (C_pad*S, nc) temporary whose minor dim pads 21x on TPU (measured
+    # 10.25 GB at bench capacities — the same layout trap documented in
+    # cells.gather_src_pos).
     f_all = jnp.concatenate(
         [f, f, jnp.zeros((1, nc), jnp.float32)], axis=0)
-    sf = f_all.T[:, plan.src_ids]                        # (nc, C_pad, S)
+    sf = jnp.stack([f_all[:, q][plan.src_ids] for q in range(nc)])
 
     cheb_np, _ = _host_cheb_rpy(p)
     cheb = tuple(tuple(tuple(float(v) for v in fn) for fn in piece)
@@ -959,7 +963,8 @@ def wave_matvec(plan: WallPlan, forces):
     pin_f = jnp.fft.fft(pin, n=2 * gz, axis=-1)          # (B,4,3,P,2gz)
     kf = lax.complex(plan.polish_kfft_re,
                      plan.polish_kfft_im).astype(pin_f.dtype)
-    out_f = jnp.einsum("pcijL,bcjpL->bipL", kf, pin_f)
+    out_f = jnp.einsum("pcijL,bcjpL->bipL", kf, pin_f,
+                       precision=jax.lax.Precision.HIGHEST)
     pout = jnp.fft.ifft(out_f, axis=-1)[..., :gz]        # (B,3,P,gz)
     pout = pout.reshape(3 * B, -1, gz)
     Uxy = Uxy.reshape(3 * B, gx * gy2, gz).at[:, pi].add(pout)
