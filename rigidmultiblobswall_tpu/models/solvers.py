@@ -52,7 +52,11 @@ def force_torque_calculator(system: System, state: State, r_blobs):
             periodic_length=system.periodic_length,
             cutoff=(system.blob_blob_cutoff or None),
             grid_dim=system.blob_blob_grid_dim,
-            cell_capacity=system.blob_blob_cell_capacity)
+            cell_capacity=system.blob_blob_cell_capacity,
+            # wall slabs declare a static z extent so the fused Pallas
+            # cell sweep applies despite the open z direction
+            z_extent=(system.spectral_wall_height
+                      if system.spectral_wall_height > 0 else None))
     else:
         f_blobs = f_blobs + force_ops.blob_blob_forces(
             r_blobs, repulsion_strength=system.repulsion_strength,

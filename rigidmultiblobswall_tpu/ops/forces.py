@@ -16,6 +16,7 @@ user-defined-function override seam):
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -112,7 +113,8 @@ def blob_blob_forces_neighbor_list(r_vectors, *, repulsion_strength=0.0,
                                    debye_length=1.0, blob_radius=1.0,
                                    periodic_length=(0.0, 0.0, 0.0),
                                    cutoff=None, grid_dim=16,
-                                   cell_capacity=32, row_tile=4096):
+                                   cell_capacity=32, row_tile=4096,
+                                   z_extent=None):
     """Linked-cell O(N * 27 * capacity) pair force — the TPU-native
     equivalent of the reference's kd-tree O(N) variant
     (forces_numba.py:142-241; cutoff d_max = 2a + 30 b per
@@ -153,17 +155,33 @@ def blob_blob_forces_neighbor_list(r_vectors, *, repulsion_strength=0.0,
     nx, ny, nz = dims
     n_cells = nx * ny * nz
 
-    # fully-periodic f32 boxes on TPU take the fused Pallas cell sweep:
-    # the generic path below gathers source rows PER TARGET
-    # (27*capacity gathers per blob — measured 2.5 s at 98k blobs /
-    # capacity 96), the Pallas path pre-gathers a (cell, 27*cap) source
-    # layout once and runs the pair force on the VPU (~20 ms)
-    if (all(L > 0 for L in periodic_length) and dtype == jnp.float32
-            and jax.default_backend() in ("tpu", "axon")):
+    # f32 boxes on TPU take the fused Pallas cell sweep: the generic
+    # path below gathers source rows PER TARGET (27*capacity gathers per
+    # blob — measured 2.5 s / an 8 GB padded-gather temporary at 98k
+    # blobs), the Pallas path pre-gathers a (cell, 27*cap) source layout
+    # once and runs the pair force on the VPU (~20 ms). Fully periodic
+    # boxes qualify directly; xy-periodic wall slabs qualify when the
+    # caller declares a static z extent (blobs bin into
+    # ceil(z_extent/cutoff) data cells + one empty guard cell, so the
+    # stencil's z wrap only ever touches empty cells).
+    on_tpu = (dtype == jnp.float32
+              and jax.default_backend() in ("tpu", "axon"))
+    if on_tpu and all(L > 0 for L in periodic_length):
         return _neighbor_forces_pallas(
             r_vectors, periodic_length, dims, int(cell_capacity),
             float(repulsion_strength), float(debye_length),
             float(blob_radius))
+    if (on_tpu and z_extent is not None and z_extent > 0
+            and periodic_length[0] > 0 and periodic_length[1] > 0
+            and periodic_length[2] == 0):
+        cs_z = 1.001 * rc
+        nz_w = max(int(math.ceil(float(z_extent) / cs_z)), 1) + 1
+        vbox = (periodic_length[0], periodic_length[1], nz_w * cs_z)
+        return _neighbor_forces_pallas(
+            r_vectors, vbox, (dims[0], dims[1], nz_w),
+            int(cell_capacity), float(repulsion_strength),
+            float(debye_length), float(blob_radius),
+            z_clip=(nz_w - 1) * cs_z * 0.999)
 
     # per-dim coordinates projected to the box / data extent
     cols, cells = [], []
@@ -295,7 +313,7 @@ def _nl_force_kernel(tgt_ref, spos_ref, out_ref, *, cap, tc, eps_over_b,
 
 def _neighbor_forces_pallas(r_vectors, periodic_length, dims, cap,
                             repulsion_strength, debye_length, blob_radius,
-                            tile_cells=8):
+                            tile_cells=8, z_clip=None):
     """Linked-cell pair forces on a pre-gathered (cell, 27*cap) source
     layout (the ops/ewald near-field pattern: per-pair gathers are the
     TPU killer, one plan-time gather + dense VPU tiles are not).
@@ -309,7 +327,14 @@ def _neighbor_forces_pallas(r_vectors, periodic_length, dims, cap,
     n_cells = nx * ny * nz
     box = jnp.asarray(periodic_length, dtype)
     pos = r_vectors.astype(dtype)
-    pos = pos - jnp.floor(pos / box) * box
+    if z_clip is None:
+        pos = pos - jnp.floor(pos / box) * box
+    else:
+        # wall slab: xy wraps, z clips into the data cells (the top
+        # guard cell stays empty so the stencil's z wrap is inert)
+        xy = pos[:, :2] - jnp.floor(pos[:, :2] / box[:2]) * box[:2]
+        pos = jnp.concatenate(
+            [xy, jnp.clip(pos[:, 2:3], 0.0, z_clip)], axis=1)
 
     # shared fixed-capacity cell layout + pre-gathered (cell, 27*cap)
     # source positions (ops/cells.py — one implementation with the
