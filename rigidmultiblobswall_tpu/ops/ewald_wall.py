@@ -133,7 +133,7 @@ class WallParams:
 
 def default_wall_params(a, eta, box_xy, z_hi, *, tol=1e-4,
                         r_cut_factor=None, support=None, oversample=1.5,
-                        grid_max=1024, z_pad_factor=2.0,
+                        grid_max=1024, z_pad_factor=1.8,
                         **kw) -> WallParams:
     """Parameter heuristics, mirroring ewald.default_params with two
     wall-specific changes: (a) the split margin s is enlarged (the

@@ -374,7 +374,7 @@ def polish_mode_set(gx, gy2, kx_freqs, ky_freqs, margin, tol):
     """Indices (into the (gx, gy2) rfft2 layout) of the modes whose
     padded-z wrap error e^(-k_par * margin) exceeds ~0.03 tol; always
     includes (0, 0). Returns (flat_idx (P,), kxky (P, 2))."""
-    kstar = (math.log(1.0 / max(0.03 * tol, 1e-300)) + 4.0) / max(margin,
+    kstar = (math.log(1.0 / max(0.03 * tol, 1e-300)) + 5.0) / max(margin,
                                                                   1e-30)
     kx = np.asarray(kx_freqs)[:, None]
     ky = np.asarray(ky_freqs)[None, :]

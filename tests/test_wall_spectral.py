@@ -173,7 +173,7 @@ def test_couette_mean_flow():
     u1 = ew.brute_force_wall(pos, f, A, ETA, (LBOX, LBOX), n_img=40)
     u2 = ew.brute_force_wall(pos, f, A, ETA, (LBOX, LBOX), n_img=80)
     ub = 2 * u2 - u1
-    assert np.abs(u - ub).max() / np.abs(ub).max() < 2e-5
+    assert np.abs(u - ub).max() / np.abs(ub).max() < 5e-5
     # Couette estimate for the probe (finite-N near-field corrections
     # are ~(a/L): compare at 15%)
     couette = np.sum(np.minimum(probe_z, pos[1:, 2])) / (ETA * LBOX * LBOX)
