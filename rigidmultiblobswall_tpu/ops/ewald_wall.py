@@ -291,11 +291,13 @@ class WallPlan:
     n_clipped: jax.Array      # real particles clipped into [a, z_hi]
     # polish machinery
     polish_idx: jax.Array     # (P,) int32 flat (gx * gy2) columns
-    # polish Toeplitz kernel FFTs, stored as a real/imag PAIR: the axon
-    # TPU runtime cannot transfer complex arrays host<->device (complex
-    # exists only inside jitted programs); wave_matvec reassembles them
-    # with lax.complex
-    polish_kfft_re: jax.Array  # (P, 4, 3, 3, 2 gz) real
+    # polish Toeplitz kernel FFTs, stored as a real/imag PAIR (the axon
+    # TPU runtime cannot transfer complex arrays host<->device) and FLAT
+    # in the tensor dims — a (P, 4, 3, 3, L) device constant tiles its
+    # (3, 3) minor dims to (8, 128) at 42x padding (measured 4 x 2.35 GB
+    # at bench polish counts); wave_matvec reassembles with lax.complex
+    # and reshapes in-graph
+    polish_kfft_re: jax.Array  # (P, 36, 2 gz) real
     polish_kfft_im: jax.Array
     polish_mask: jax.Array    # (gx * gy2,) bool, False at polish columns
     params: WallParams
@@ -437,8 +439,10 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
         inv_real=inv_real,
         n_dropped_grid=d_all + d_img + d_real, n_clipped=n_clipped,
         polish_idx=jnp.asarray(pol_idx),
-        polish_kfft_re=jnp.asarray(pol_kfft.real, rdt),
-        polish_kfft_im=jnp.asarray(pol_kfft.imag, rdt),
+        polish_kfft_re=jnp.asarray(
+            pol_kfft.real.reshape(len(pol_idx), 36, -1), rdt),
+        polish_kfft_im=jnp.asarray(
+            pol_kfft.imag.reshape(len(pol_idx), 36, -1), rdt),
         polish_mask=jnp.asarray(pol_mask),
         params=p)
 
@@ -963,6 +967,7 @@ def wave_matvec(plan: WallPlan, forces):
     pin_f = jnp.fft.fft(pin, n=2 * gz, axis=-1)          # (B,4,3,P,2gz)
     kf = lax.complex(plan.polish_kfft_re,
                      plan.polish_kfft_im).astype(pin_f.dtype)
+    kf = kf.reshape(kf.shape[0], 4, 3, 3, kf.shape[-1])
     out_f = jnp.einsum("pcijL,bcjpL->bipL", kf, pin_f,
                        precision=jax.lax.Precision.HIGHEST)
     pout = jnp.fft.ifft(out_f, axis=-1)[..., :gz]        # (B,3,P,gz)
