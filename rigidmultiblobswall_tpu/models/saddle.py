@@ -196,7 +196,11 @@ def auto_spectral_capacities(system: System, state, *, max_rounds=5,
         system = auto_wall_height(system, state, log=log)
     r_blobs = kin.blob_positions(system, state)
     for _ in range(max_rounds):
-        plan = maybe_dense_mobility(system, r_blobs)
+        # jit the probe build: eagerly it dispatches hundreds of small
+        # ops through the (remote) device runtime — measured minutes per
+        # probe on the axon tunnel vs seconds jitted
+        plan = jax.jit(
+            lambda r: maybe_dense_mobility(system, r))(r_blobs)
         if system.domain == "single_wall_spectral":
             drops = (int(plan.n_dropped_grid), int(plan.n_dropped_cells))
         else:
