@@ -135,6 +135,10 @@ def default_wall_params(a, eta, box_xy, z_hi, *, tol=1e-4,
                         r_cut_factor=None, support=None, oversample=1.5,
                         grid_max=1024, z_pad_factor=1.8,
                         **kw) -> WallParams:
+    import os as _os
+
+    kw.setdefault("near_impl",
+                  _os.environ.get("RMW_WALL_NEAR_IMPL", "auto"))
     """Parameter heuristics, mirroring ewald.default_params with two
     wall-specific changes: (a) the split margin s is enlarged (the
     T1/T2 remainders carry polynomial s-prefactors from their extra
