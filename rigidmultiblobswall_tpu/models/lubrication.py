@@ -47,12 +47,18 @@ from ..ops import quaternion as quat
 from ..ops.gmres import gmres
 from ..ops.lanczos import stochastic_forcing_lanczos
 
-# Resistance-scalar tables are numeric data shipped with the public
-# reference (Lubrication/Resistance_Coefs/*.txt); they are intentionally
-# not vendored. Point RMB_TPU_LUB_TABLES at a checkout's table directory
-# if the default path is absent.
-DEFAULT_TABLE_DIR = os.environ.get(
-    "RMB_TPU_LUB_TABLES", "/root/reference/Lubrication/Resistance_Coefs")
+# Resistance-scalar tables are NUMERIC DATA (published near-field
+# hydrodynamic functions: Jeffrey & Onishi 1984 pair scalars, resolved
+# 2562-blob wall scalars; reference Lubrication/Resistance_Coefs/*.txt,
+# loaded by Lubrication_Class.cc:54-100). The framework vendors them as
+# a packaged .npz (tools/vendor_lub_tables.py regenerates it from a
+# reference checkout). RMB_TPU_LUB_TABLES overrides with a directory of
+# reference-format text tables. DEFAULT_TABLE_DIR is None when the
+# packaged data is in use (kept for API compatibility).
+DEFAULT_TABLE_DIR = os.environ.get("RMB_TPU_LUB_TABLES")
+_PACKAGED_TABLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "lubrication_tables.npz")
 
 
 def _read_pair_table(path):
@@ -90,7 +96,21 @@ class LubricationTables:
     wall_mb: np.ndarray
 
     @classmethod
-    def load(cls, directory=DEFAULT_TABLE_DIR):
+    def load(cls, directory=None):
+        """Tables from `directory` (reference text format) when given or
+        when RMB_TPU_LUB_TABLES is set; the packaged .npz otherwise."""
+        directory = directory or DEFAULT_TABLE_DIR
+        if directory is None:
+            return cls.load_packaged()
+        return cls.load_from_dir(directory)
+
+    @classmethod
+    def load_packaged(cls):
+        with np.load(_PACKAGED_TABLES) as z:
+            return cls(**{k: z[k].copy() for k in z.files})
+
+    @classmethod
+    def load_from_dir(cls, directory):
         ws = _read_pair_table(os.path.join(directory, "mob_scalars_WS.txt"))
         jo = _read_pair_table(os.path.join(directory, "res_scalars_JO.txt"))
         mb = _read_pair_table(os.path.join(directory, "res_scalars_MB_1.txt"))

@@ -100,37 +100,11 @@ def maybe_dense_mobility(system: System, r_blobs):
     if system.domain == "periodic_spectral":
         from ..ops import ewald
 
-        if not all(L > 0 for L in system.periodic_length):
-            raise ValueError("periodic_spectral needs periodic_length > 0 "
-                             "on all three axes")
-        params = ewald.default_params(
-            system.blob_radius, system.eta, system.periodic_length,
-            tol=system.spectral_tol, grid_max=system.spectral_grid_max,
-            bucket_capacity=system.spectral_bucket_capacity,
-            plane_batch=system.spectral_plane_batch,
-            precision=system.spectral_precision,
-            cell_capacity=system.spectral_cell_capacity)
-        return ewald.make_plan(params, r_blobs)
+        return ewald.make_plan(spectral_params(system), r_blobs)
     if system.domain == "single_wall_spectral":
         from ..ops import ewald_wall
 
-        if not all(L > 0 for L in system.periodic_length[:2]):
-            raise ValueError(
-                "single_wall_spectral needs periodic_length > 0 on x and "
-                "y (the wall engine is doubly-periodic in-plane)")
-        if system.spectral_wall_height <= 0:
-            raise ValueError(
-                "single_wall_spectral needs spectral_wall_height > 0 "
-                "(slab top; use saddle.auto_wall_height(system, state))")
-        params = ewald_wall.default_wall_params(
-            system.blob_radius, system.eta, system.periodic_length[:2],
-            z_hi=system.spectral_wall_height, tol=system.spectral_tol,
-            grid_max=system.spectral_grid_max,
-            bucket_capacity=system.spectral_bucket_capacity,
-            plane_batch=system.spectral_plane_batch,
-            precision=system.spectral_precision,
-            cell_capacity=system.spectral_cell_capacity)
-        return ewald_wall.make_wall_plan(params, r_blobs)
+        return ewald_wall.make_wall_plan(spectral_params(system), r_blobs)
     n = r_blobs.shape[0]
     nbytes = 9 * n * n * jnp.dtype(r_blobs.dtype).itemsize
     if nbytes > MATERIALIZE_BUDGET_BYTES:
@@ -156,6 +130,140 @@ def maybe_dense_mobility(system: System, r_blobs):
     return mob.dense_mobility_tiled(
         r_blobs, system.eta, system.blob_radius, domain=system.domain,
         periodic_length=system.periodic_length)
+
+
+def spectral_params(system: System):
+    """The parameter set the spectral engines derive from the System
+    (host-side; shared by plan construction and capacity sizing)."""
+    if system.domain == "periodic_spectral":
+        from ..ops import ewald
+
+        if not all(L > 0 for L in system.periodic_length):
+            raise ValueError("periodic_spectral needs periodic_length > 0 "
+                             "on all three axes")
+        return ewald.default_params(
+            system.blob_radius, system.eta, system.periodic_length,
+            tol=system.spectral_tol, grid_max=system.spectral_grid_max,
+            bucket_capacity=system.spectral_bucket_capacity,
+            plane_batch=system.spectral_plane_batch,
+            precision=system.spectral_precision,
+            cell_capacity=system.spectral_cell_capacity)
+    if system.domain == "single_wall_spectral":
+        from ..ops import ewald_wall
+
+        if not all(L > 0 for L in system.periodic_length[:2]):
+            raise ValueError(
+                "single_wall_spectral needs periodic_length > 0 on x and "
+                "y (the wall engine is doubly-periodic in-plane)")
+        if system.spectral_wall_height <= 0:
+            raise ValueError(
+                "single_wall_spectral needs spectral_wall_height > 0 "
+                "(slab top; use saddle.auto_wall_height(system, state))")
+        return ewald_wall.default_wall_params(
+            system.blob_radius, system.eta, system.periodic_length[:2],
+            z_hi=system.spectral_wall_height, tol=system.spectral_tol,
+            grid_max=system.spectral_grid_max,
+            bucket_capacity=system.spectral_bucket_capacity,
+            plane_batch=system.spectral_plane_batch,
+            precision=system.spectral_precision,
+            cell_capacity=system.spectral_cell_capacity)
+    return None
+
+
+def _grid_bucket_max(pos, gx, gz, hx, hz, ZB, P):
+    """Max (plane, z-block) segment population of the z-slab gridding
+    layout (numpy mirror of ops/ewald.make_grid_layout's binning)."""
+    import numpy as np
+
+    base_x = np.mod(np.round(pos[:, 0] / hx).astype(np.int64), gx)
+    base_z = np.mod(np.round(pos[:, 2] / hz).astype(np.int64), gz)
+    tblk = base_z // ZB
+    nzb = gz // ZB
+    offs = np.arange(P) - P // 2
+    planes = np.mod(base_x[:, None] + offs[None, :], gx)
+    bucket = (planes * nzb + tblk[:, None]).reshape(-1)
+    return int(np.bincount(bucket, minlength=gx * nzb).max())
+
+
+def _cell_max(pos, csize, dims):
+    """Max cell occupancy (numpy mirror of ops/cells.cell_bin); csize is
+    the per-axis cell size."""
+    import numpy as np
+
+    c3 = np.clip((pos / np.asarray(csize)).astype(np.int64), 0,
+                 np.asarray(dims) - 1)
+    cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
+    return int(np.bincount(cid, minlength=dims[0] * dims[1] * dims[2]).max())
+
+
+def exact_spectral_capacities(system: System, state, *, margin=1.25,
+                              log=None):
+    """Size the spectral engine's fixed capacities from the ACTUAL
+    occupancy at this configuration (host numpy, no device probe): the
+    mean-based auto heuristics assume uniform density, which clumped
+    multiblob/slab configurations exceed by integer factors — each probe
+    round of capacity growth costs a full plan recompile. `margin`
+    covers position drift between full plan rebuilds. No-op for other
+    domains or when the user pinned explicit capacities."""
+    if not is_spectral(system):
+        return system
+    import dataclasses
+    import math as _math
+
+    import numpy as np
+
+    from ..ops import ewald_wall
+
+    p = spectral_params(system)
+    r = np.asarray(kin.blob_positions(system, state), np.float64)
+    updates = {}
+    if system.domain == "single_wall_spectral":
+        # mirror ops/ewald_wall.make_wall_plan's binning of the combined
+        # real+image set
+        Lx, Ly = p.box_xy
+        xy = r[:, :2] - np.floor(r[:, :2] / [Lx, Ly]) * [Lx, Ly]
+        z = np.clip(r[:, 2], p.a, p.z_hi)
+        pos_real = np.concatenate([xy, (z - p.z0)[:, None]], axis=1)
+        pos_img = np.concatenate([xy, (-z - p.z0)[:, None]], axis=1)
+        pos_all = np.concatenate([pos_real, pos_img], axis=0)
+        csize_z = ewald_wall.Z_CELL_SLACK * p.r_cut
+        nz_data = max(int(_math.ceil(p.data_extent / csize_z)), 2)
+        dims = (max(int(Lx // p.r_cut), 1), max(int(Ly // p.r_cut), 1),
+                nz_data + 1)
+        box_bin = (Lx / dims[0], Ly / dims[1], csize_z)
+        occ = _cell_max(pos_all, box_bin, dims)
+        gp = p.grid_params()
+        hx, hy, hz = p.spacing
+        ZB = gp.zslab
+        seg = max(_grid_bucket_max(s, p.grid[0], p.grid[2], hx, hz, ZB,
+                                   p.support)
+                  for s in (pos_all, pos_img, pos_real))
+    else:
+        box = np.asarray(p.box)
+        pos = r - np.floor(r / box) * box
+        dims = tuple(max(int(L // p.r_cut), 1) for L in p.box)
+        occ = _cell_max(pos, box / np.asarray(dims), dims)
+        gp = p
+        hx = p.box[0] / p.grid[0]
+        hz = p.box[2] / p.grid[2]
+        seg = _grid_bucket_max(pos, p.grid[0], p.grid[2], hx, hz,
+                               gp.zslab, p.support)
+    cell_cap = -(-int(occ * margin) // 8) * 8
+    cap_seg = -(-int(seg * margin) // 8) * 8
+    if system.spectral_cell_capacity <= 0 or \
+            system.spectral_cell_capacity < cell_cap:
+        updates["spectral_cell_capacity"] = max(
+            cell_cap, system.spectral_cell_capacity)
+    if system.spectral_bucket_capacity <= 0 or \
+            system.spectral_bucket_capacity < cap_seg:
+        updates["spectral_bucket_capacity"] = max(
+            cap_seg, system.spectral_bucket_capacity)
+    if log is not None:
+        log(f"exact capacities: cell max_occ={occ} -> cap={cell_cap}, "
+            f"segment max={seg} -> cap_seg={cap_seg}")
+    if not updates:
+        return system
+    return dataclasses.replace(system, **updates)
 
 
 def auto_wall_height(system: System, state, *, margin=1.3, log=None):
@@ -194,6 +302,10 @@ def auto_spectral_capacities(system: System, state, *, max_rounds=5,
 
     if system.domain == "single_wall_spectral":
         system = auto_wall_height(system, state, log=log)
+    # exact host-side sizing first: the probe loop below then almost
+    # always verifies zero drops on its first round instead of paying a
+    # full plan recompile per 1.5x growth round
+    system = exact_spectral_capacities(system, state, log=log)
     r_blobs = kin.blob_positions(system, state)
     for _ in range(max_rounds):
         # jit the probe build: eagerly it dispatches hundreds of small

@@ -246,6 +246,35 @@ def _round_up_even(n):
     return n + (n % 2)
 
 
+def _fft_friendly(n):
+    """True when n has no prime factor beyond 7 (radix-friendly FFTs;
+    e.g. 82 = 2 x 41 falls back to Bluestein on TPU)."""
+    for p in (2, 3, 5, 7):
+        while n % p == 0:
+            n //= p
+    return n == 1
+
+
+def _round_up_grid(n, *, zslab_pm=None):
+    """Round a per-axis grid size up to an even, FFT-friendly value.
+    With zslab_pm set (the z axis of a slab layout), additionally
+    require the z-slab rule (EwaldParams.zslab) to land a compact block
+    height ZB <= 1.5 * pm — e.g. a naive gz = 82 factors as 2 x 41,
+    forcing ZB = 41: 5x-wide gridding windows AND a radix-41 FFT."""
+    g = _round_up_even(n)
+    while True:
+        if _fft_friendly(g):
+            if zslab_pm is None:
+                return g
+            for m in range(max(g // (2 * zslab_pm), 1), 0, -1):
+                if g % (2 * m) == 0:
+                    zb = g // (2 * m)
+                    break
+            if zb <= (3 * zslab_pm) // 2:
+                return g
+        g += 2
+
+
 def default_params(a, eta, box, *, tol=1e-4, r_cut_factor=None,
                    support=None, oversample=1.5, grid_max=256,
                    **kw) -> EwaldParams:
@@ -268,10 +297,13 @@ def default_params(a, eta, box, *, tol=1e-4, r_cut_factor=None,
     r_cut = (r_cut_factor if r_cut_factor is not None else 6.0) * a
     r_cut = min(r_cut, 0.45 * min(box))
 
+    pm = max(int(support) - 1, 8)
+
     def _grid(rc):
         k_max = 2.0 * s * s / rc
-        return tuple(max(_round_up_even(oversample * k_max * L / math.pi), 8)
-                     for L in box)
+        return tuple(max(_round_up_grid(oversample * k_max * L / math.pi,
+                                        zslab_pm=pm if d == 2 else None), 8)
+                     for d, L in enumerate(box))
 
     grid = _grid(r_cut)
     if grid_max and max(grid) > grid_max:

@@ -53,6 +53,10 @@ from jax import lax
 from . import cells, ewald, wall_kernels
 from . import _wall_channels_gen as gen
 
+# z cell height in units of r_cut: the excess over 1.0 is drift slack
+# shared between the cheap plan-refresh budget and binning robustness
+Z_CELL_SLACK = 1.2
+
 
 # ---------------------------------------------------------------------------
 # Parameters
@@ -135,15 +139,15 @@ def default_wall_params(a, eta, box_xy, z_hi, *, tol=1e-4,
                         r_cut_factor=None, support=None, oversample=1.5,
                         grid_max=1024, z_pad_factor=1.8,
                         **kw) -> WallParams:
-    import os as _os
-
-    kw.setdefault("near_impl",
-                  _os.environ.get("RMW_WALL_NEAR_IMPL", "auto"))
     """Parameter heuristics, mirroring ewald.default_params with two
     wall-specific changes: (a) the split margin s is enlarged (the
     T1/T2 remainders carry polynomial s-prefactors from their extra
     derivatives), (b) the z grid covers the padded slab
     [z0, z0 + z_pad_factor * LD], LD = 2 (z_hi + window)."""
+    import os as _os
+
+    kw.setdefault("near_impl",
+                  _os.environ.get("RMW_WALL_NEAR_IMPL", "auto"))
     if support is None:
         support = int(min(max(math.ceil(
             (5.5 - math.log(0.3 * tol)) / 1.81), 6), 14))
@@ -159,8 +163,8 @@ def default_wall_params(a, eta, box_xy, z_hi, *, tol=1e-4,
     def _axes(rc):
         k_max = 2.0 * s * s / rc
         h = math.pi / (oversample * k_max)
-        gx = max(ewald._round_up_even(Lx / h), 8)
-        gy = max(ewald._round_up_even(Ly / h), 8)
+        gx = max(ewald._round_up_grid(Lx / h), 8)
+        gy = max(ewald._round_up_grid(Ly / h), 8)
         return gx, gy
 
     gx, gy = _axes(r_cut)
@@ -173,7 +177,8 @@ def default_wall_params(a, eta, box_xy, z_hi, *, tol=1e-4,
     # z geometry: data extent covers sources AND their windows
     wz = 0.5 * support * hx + 2 * hx
     LD = 2.0 * (float(z_hi) + wz)
-    gz = max(ewald._round_up_even(z_pad_factor * LD / hx), 8)
+    gz = max(ewald._round_up_grid(z_pad_factor * LD / hx,
+                                  zslab_pm=max(int(support) - 1, 8)), 8)
     z0 = -0.5 * LD
     return WallParams(a=float(a), eta=float(eta), box_xy=(Lx, Ly),
                       z_hi=float(z_hi), xi=xi, r_cut=r_cut,
@@ -234,9 +239,6 @@ def _host_polish(params: WallParams):
     margin = params.lz_box - params.data_extent
     idx, kxky = wall_kernels.polish_mode_set(gx, len(ky), kx, ky, margin,
                                              params.tol)
-    whats = _host_whats(params)
-    wx_of = np.interp(np.abs(kxky[:, 0]), np.sort(np.abs(kx)),
-                      None) if False else None
     # exact window transforms at each mode (no interpolation)
     wx = ewald._es_window_hat(np.abs(kxky[:, 0]), 0.5 * params.support * hx,
                               params.es_beta)
@@ -367,8 +369,12 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
     # slab configurations would otherwise leave most z-cells empty and
     # the occupied ones overflowing any mean-based capacity. The guard
     # layer keeps the 27-stencil's z wrap pointing at empty cells only
-    # (the padded box never wraps pairs physically).
-    csize_z = 1.001 * p.r_cut
+    # (the padded box never wraps pairs physically). The z cells carry
+    # the same drift slack as the xy cells would (Z_CELL_SLACK - 1
+    # in units of r_cut) so update_wall_plan's cheap refresh path has a
+    # real budget — at exactly 1.001 r_cut the z budget was 5e-4 r_cut
+    # and every per-step refresh fell through to a full rebuild.
+    csize_z = Z_CELL_SLACK * p.r_cut
     nz_data = max(int(math.ceil(p.data_extent / csize_z)), 2)
     nz_cells = nz_data + 1
     bin_z = nz_cells * csize_z
@@ -625,9 +631,9 @@ def update_wall_plan(plan: WallPlan, positions) -> WallPlan:
     delta = pos_all - plan.sort_pos
     delta = delta - jnp.round(delta / box3) * box3
     dims = plan.cell_dims
-    # cells are binned over (Lx, Ly, dims_z * 1.001 r_cut) — see
+    # cells are binned over (Lx, Ly, dims_z * Z_CELL_SLACK r_cut) — see
     # make_wall_plan; the z side equals the bin cell height
-    side = np.asarray([Lx / dims[0], Ly / dims[1], 1.001 * p.r_cut])
+    side = np.asarray([Lx / dims[0], Ly / dims[1], Z_CELL_SLACK * p.r_cut])
     budget = 0.5 * np.minimum(side - p.r_cut,
                               np.asarray(p.spacing, np.float64))
     ok = jnp.all(jnp.max(jnp.abs(delta), axis=0)
@@ -643,7 +649,7 @@ def update_wall_plan(plan: WallPlan, positions) -> WallPlan:
             wrap = cells.wrap_counts(dims)
             C_pad, S = plan.src_ids.shape
             box3_bin = jnp.asarray(
-                [Lx, Ly, dims[2] * 1.001 * p.r_cut], dtype)
+                [Lx, Ly, dims[2] * Z_CELL_SLACK * p.r_cut], dtype)
             new["src_pos"] = cells.gather_src_pos(
                 pos_eff, plan.src_ids, wrap, box3_bin, dims, cap, C_pad, S)
             new["tgt_xyz"] = cells.gather_tgt_xyz(

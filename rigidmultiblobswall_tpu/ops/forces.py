@@ -394,15 +394,38 @@ def neighbor_list_overflow(system, r_blobs):
                 return jnp.asarray(0, jnp.int32)  # direct-sweep fallback
             dims.append(min(nd, int(system.blob_blob_grid_dim)))
         else:
-            # open-boundary dims size cells from the data extent; the
-            # check covers the fully-periodic case — the one the Pallas
-            # path (which zeroes overflow blobs' forces entirely) runs on
-            return jnp.asarray(0, jnp.int32)
-    box = jnp.asarray(periodic_length, r_blobs.dtype)
-    pos = r_blobs - jnp.floor(r_blobs / box) * box
-    _, _, _, n_dropped = cells.cell_bin(
-        pos, box, tuple(dims), int(system.blob_blob_cell_capacity))
-    return n_dropped
+            dims.append(0)                        # resolved below
+    cap = int(system.blob_blob_cell_capacity)
+    if all(d > 0 for d in dims):
+        box = jnp.asarray(periodic_length, r_blobs.dtype)
+        pos = r_blobs - jnp.floor(r_blobs / box) * box
+        _, _, _, n_dropped = cells.cell_bin(pos, box, tuple(dims), cap)
+        return n_dropped
+    if (dims[0] > 0 and dims[1] > 0 and periodic_length[2] == 0.0
+            and system.spectral_wall_height > 0):
+        # xy-periodic wall slab: reproduce the fixed z_extent binning of
+        # the Pallas branch (blob_blob_forces_neighbor_list wall case).
+        # Count BOTH failure modes: cell overflow (blobs whose repulsion
+        # the Pallas path zeroes entirely) and blobs above the slab,
+        # whose z is clamped to z_clip before pair distances — their
+        # repulsion is evaluated at a wrong (closer) position.
+        cs_z = 1.001 * rc
+        nz_w = max(int(math.ceil(
+            float(system.spectral_wall_height) / cs_z)), 1) + 1
+        z_clip = (nz_w - 1) * cs_z * 0.999
+        box = jnp.asarray(
+            [periodic_length[0], periodic_length[1], nz_w * cs_z],
+            r_blobs.dtype)
+        xy = r_blobs[:, :2] - jnp.floor(r_blobs[:, :2] / box[:2]) * box[:2]
+        n_above = jnp.sum(r_blobs[:, 2] > z_clip).astype(jnp.int32)
+        pos = jnp.concatenate(
+            [xy, jnp.clip(r_blobs[:, 2:3], 0.0, z_clip)], axis=1)
+        _, _, _, n_dropped = cells.cell_bin(
+            pos, box, (dims[0], dims[1], nz_w), cap)
+        return n_dropped + n_above
+    # remaining open-boundary layouts size cells from the data extent
+    # and drop only source contributions on overflow; not monitored
+    return jnp.asarray(0, jnp.int32)
 
 
 def auto_force_cell_capacity(system, r_blobs, *, margin=1.25, log=None):

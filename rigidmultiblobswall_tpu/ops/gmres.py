@@ -351,6 +351,13 @@ def gmres_lockstep(
              jnp.asarray(0), jnp.asarray(0), basis0)
     y, r, rnorm, iters, _, basis = lax.while_loop(outer_cond, outer_body,
                                                   state)
+    if recycle is not None:
+        # zero-iteration warm-started exit: the projected estimate
+        # cannot see recycle drift — recompute the true residual once
+        rnorm = lax.cond(
+            iters == 0,
+            lambda yv: jnp.linalg.norm(r0 - a_tilde(yv), axis=1),
+            lambda yv: rnorm, y)
     x = x0 + M(y)
     result = GmresResult(x=x, residual_norm=rnorm, iterations=iters,
                          converged=rnorm <= target)
@@ -554,6 +561,14 @@ def gmres_deflated(
              jnp.asarray(0), basis0)
     y, r, rnorm, iters, _, basis = lax.while_loop(outer_cond, outer_body,
                                                   state)
+    # if the deflation-projected initial residual already met tol the
+    # outer loop never ran and rnorm is the PROJECTED estimate — under
+    # operator drift that can misreport convergence. One true-residual
+    # sweep keeps the ALWAYS-true-residual contract when the recycle
+    # directions did all the work.
+    rnorm = lax.cond((iters == 0) & rec.valid,
+                     lambda yv: jnp.linalg.norm(r0 - a_tilde(yv)),
+                     lambda yv: rnorm, y)
     x = x0 + M(y)
     result = GmresResult(x=x, residual_norm=rnorm, iterations=iters,
                          converged=rnorm <= target)

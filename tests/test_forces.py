@@ -96,3 +96,66 @@ def test_neighbor_list_pallas_cell_sweep_matches_generic():
     scale = float(jnp.max(jnp.abs(f_direct)))
     assert np.allclose(np.asarray(f_pl), np.asarray(f_direct),
                        atol=2e-6 * scale)
+
+
+def test_neighbor_list_pallas_wall_slab_matches_direct():
+    """The wall-slab Pallas branch (xy-periodic, open z bounded by
+    spectral_wall_height; run here in interpret mode) is exact vs the
+    direct xy-periodic sum for in-slab configurations."""
+    import math
+
+    rng = np.random.default_rng(11)
+    L = 12.0
+    z_hi = 3.0
+    n = 320
+    r = np.empty((n, 3), np.float32)
+    r[:, :2] = rng.uniform(0, L, (n, 2))
+    r[:, 2] = rng.uniform(0.2, z_hi - 0.2, n)
+    r = jnp.asarray(r)
+    kw = dict(_params(), periodic_length=(L, L, 0.0))
+    f_direct = force_ops.blob_blob_forces(r, **kw)
+    rc = 2 * kw["blob_radius"] + 30 * kw["debye_length"]
+    nd = min(int(L // rc), 16)
+    cs_z = 1.001 * rc
+    nz_w = max(int(math.ceil(z_hi / cs_z)), 1) + 1
+    f_pl = force_ops._neighbor_forces_pallas(
+        r, (L, L, nz_w * cs_z), (nd, nd, nz_w), 64,
+        kw["repulsion_strength"], kw["debye_length"], kw["blob_radius"],
+        z_clip=(nz_w - 1) * cs_z * 0.999)
+    scale = float(jnp.max(jnp.abs(f_direct)))
+    assert np.allclose(np.asarray(f_pl), np.asarray(f_direct),
+                       atol=2e-6 * scale)
+
+
+def test_neighbor_list_overflow_wall_slab_monitor():
+    """neighbor_list_overflow reproduces the wall-slab binning: cell
+    overflow and above-slab (z-clamped) blobs are both counted."""
+    from rigidmultiblobswall_tpu.models.system import (BodyType, System)
+
+    t = BodyType(name="b", ref_config=np.zeros((1, 3)), count=1)
+    L = 12.0
+    base = dict(types=(t,), eta=1.0, blob_radius=0.3, kT=0.0,
+                domain="single_wall_spectral", periodic_length=(L, L, 0.0),
+                spectral_wall_height=3.0,
+                blob_blob_force_method="neighbor_list",
+                repulsion_strength=0.7, debye_length=0.05,
+                blob_blob_grid_dim=16)
+    rng = np.random.default_rng(3)
+    n = 200
+    r = np.empty((n, 3), np.float32)
+    r[:, :2] = rng.uniform(0, L, (n, 2))
+    r[:, 2] = rng.uniform(0.2, 2.8, n)
+
+    sys_ok = System(**base, blob_blob_cell_capacity=64)
+    assert int(force_ops.neighbor_list_overflow(sys_ok, jnp.asarray(r))) == 0
+
+    # overflow: capacity 1 cannot hold clustered cells
+    sys_tiny = System(**base, blob_blob_cell_capacity=1)
+    assert int(force_ops.neighbor_list_overflow(
+        sys_tiny, jnp.asarray(r))) > 0
+
+    # above-slab blobs are counted even without cell overflow
+    r_hi = r.copy()
+    r_hi[:5, 2] = 50.0
+    assert int(force_ops.neighbor_list_overflow(
+        sys_ok, jnp.asarray(r_hi))) >= 5

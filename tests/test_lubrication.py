@@ -7,11 +7,8 @@ import pytest
 
 from rigidmultiblobswall_tpu.models import lubrication as lub
 
-TABLES = (lub.LubricationTables.load()
-          if os.path.isdir(lub.DEFAULT_TABLE_DIR) else None)
-
-pytestmark = pytest.mark.skipif(TABLES is None,
-                                reason="resistance tables not available")
+# packaged tables ship with the framework; RMB_TPU_LUB_TABLES overrides
+TABLES = lub.LubricationTables.load()
 
 
 def _solver(n, **kw):
