@@ -120,6 +120,29 @@ def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
             z, factor=factor, tolerance=tolerance, max_iter=max_iter,
             check_every=check_every)
         return res.noise + factor * uw, res.iterations
+    if system.domain == "single_wall_spectral":
+        # wall PSE split: closed-form wave sample (per-mode z-Chebyshev
+        # factors, ewald_wall.wave_sqrt_noise) + Lanczos on the local
+        # well-conditioned near field only. Cov = D(M_near + M_wave)D
+        # with D the overlap damping; independent Gaussians add in
+        # covariance.
+        from ..ops import ewald_wall
+
+        if not isinstance(m_dense, ewald_wall.WallPlan):
+            m_dense = saddle.maybe_dense_mobility(
+                system, kin.blob_positions(system, state))
+        plan = m_dense
+        kw, kr = jax.random.split(key)
+        damp = plan.damp[:, None]
+        uw = (damp * ewald_wall.wave_sqrt_noise(plan, kw)).reshape(-1)
+        z = jax.random.normal(kr, (3 * system.num_blobs,),
+                              dtype=state.pos.dtype)
+        res = stochastic_forcing_lanczos(
+            lambda f: (damp * ewald_wall.near_matvec(
+                plan, damp * f.reshape(-1, 3))).reshape(-1),
+            z, factor=factor, tolerance=tolerance, max_iter=max_iter,
+            check_every=check_every)
+        return res.noise + factor * uw, res.iterations
     mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc,
                                                m_dense=m_dense)
     z = jax.random.normal(key, (3 * system.num_blobs,), dtype=state.pos.dtype)

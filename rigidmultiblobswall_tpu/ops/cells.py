@@ -100,27 +100,32 @@ def lane_pad_sources(cap):
 
 
 def padded_source_ids(cell_table, nbr, n, dims, cap, C_pad, S):
-    """(C_pad, S) int32 source particle ids per cell (pad = n)."""
+    """(C_pad, S) int32 source particle ids per cell (pad = n).
+
+    `nbr` may be a row-subset of the full stencil table (target-cell
+    pruning: the wall engine skips image-only cells as targets); rows
+    are padded from nbr's own row count up to C_pad."""
     n_cells = int(np.prod(dims))
+    n_rows = nbr.shape[0]
     ids2 = cell_table.reshape(n_cells, cap)
-    sids = ids2[nbr].reshape(n_cells, 27 * cap)
-    return jnp.pad(sids, ((0, C_pad - n_cells), (0, S - 27 * cap)),
+    sids = ids2[nbr].reshape(n_rows, 27 * cap)
+    return jnp.pad(sids, ((0, C_pad - n_rows), (0, S - 27 * cap)),
                    constant_values=n)
 
 
 def gather_src_pos(pos, src_ids, wrap, box, dims, cap, C_pad, S):
     """Pre-gathered near-field source positions (3, C_pad, S), NaN pad,
     wrap shifts resolved. See module docstring for the two gather
-    strategies."""
+    strategies. `wrap` may be a row-subset of wrap_counts(dims) when the
+    caller prunes target cells; its row count defines the live rows."""
     dtype = pos.dtype
-    nx, ny, nz = dims
-    n_cells = nx * ny * nz
+    n_rows = wrap.shape[0]
 
     def shift_comp(d):
         sh = wrap[:, :, d].astype(dtype) * box[d]        # (C, 27)
-        sh = jnp.broadcast_to(sh[:, :, None], (n_cells, 27, cap)
-                              ).reshape(n_cells, 27 * cap)
-        return jnp.pad(sh, ((0, C_pad - n_cells), (0, S - 27 * cap)))
+        sh = jnp.broadcast_to(sh[:, :, None], (n_rows, 27, cap)
+                              ).reshape(n_rows, 27 * cap)
+        return jnp.pad(sh, ((0, C_pad - n_rows), (0, S - 27 * cap)))
 
     if C_pad * S <= (8 << 20):
         pos_nan = jnp.concatenate(

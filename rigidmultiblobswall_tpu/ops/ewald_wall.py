@@ -90,6 +90,25 @@ class WallParams:
     near_tile: int = 8
     z_pad_factor: float = 2.0
     tol: float = 1e-4
+    # z-Chebyshev order of the closed-form wave noise sampler
+    # (wave_sqrt_noise); 0 auto-sizes from the kernel's spectral content
+    # (the per-mode z-kernels are entire with Gaussian-decaying k_z
+    # content up to ~2 xi sqrt(ln 1/tol): p ~ content * range / pi),
+    # < 0 disables (deterministic runs skip the factor tables entirely)
+    noise_p: int = 0
+    noise_pk: int = 0
+
+    def noise_orders(self):
+        """Resolved (p, pk) for the wave-noise factor tables."""
+        s = math.sqrt(max(-math.log(0.02 * self.tol), 4.0))
+        kz_eff = 2.0 * self.xi * s
+        p = self.noise_p or min(max(int(math.ceil(
+            kz_eff * (self.z_hi - self.a) / math.pi)) + 10, 12), 40)
+        # k_par content: e^{-k_par (z+z')} structure resolved over
+        # [0, k_cut ~ kz_eff]; empirical + safety margin
+        pk = self.noise_pk or min(max(int(math.ceil(
+            1.2 * kz_eff * 2.0 * self.z_hi / math.pi)) + 16, 32), 96)
+        return p, pk
 
     @property
     def spacing(self):
@@ -258,6 +277,143 @@ def _host_polish(params: WallParams):
     return idx, kfft, mask
 
 
+@functools.lru_cache(maxsize=8)
+def _host_noise_tables(params: WallParams):
+    """Host tables for the closed-form wave-noise sampler
+    (wall_wave_sqrt_noise): z-Chebyshev nodes + barycentric weights, the
+    retained in-plane mode set with per-mode scalings, Chebyshev(-in-
+    k_par) coefficients of the symmetric square-root factors of the
+    per-mode z-operators (wall_kernels.wave_zkernel_nodes), and the
+    z-window deconvolution table chi.
+
+    Everything is position-independent (cached per params); the device
+    side only evaluates the factor Chebyshev series per retained mode.
+    Fitting the FACTORS (not the kernels) keeps the sampled covariance
+    PSD by construction: interp(F) interp(F)^T is a Gram matrix whose
+    error vs G is first-order in the fit error."""
+    import numpy as np
+    from numpy.polynomial import chebyshev as npcheb
+
+    p = params
+    pz, pk = p.noise_orders()
+    # ---- z-Chebyshev nodes (2nd kind, endpoints included) on the
+    # clipped height range [a, z_hi]
+    mid_z = 0.5 * (p.z_hi + p.a)
+    half_z = 0.5 * (p.z_hi - p.a)
+    tcheb = np.cos(np.pi * np.arange(pz) / (pz - 1))      # [1 .. -1]
+    z_nodes = mid_z + half_z * tcheb
+    bary_w = np.ones(pz)
+    bary_w[1::2] = -1.0
+    bary_w[0] *= 0.5
+    bary_w[-1] *= 0.5
+
+    # ---- retained mode set: keep modes whose screen survives
+    # 0.5 * tol (the dropped tail contributes < tol to the covariance)
+    ln_t = math.log(2.0 / p.tol)
+    u = ln_t
+    for _ in range(20):
+        u = ln_t + math.log1p(u)
+    k_cut = 2.0 * p.xi * math.sqrt(u)
+    kx, ky, _ = _axis_freqs(p)
+    kpar = np.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
+    sel = kpar <= k_cut
+    idx = np.nonzero(sel.ravel())[0].astype(np.int32)
+    kxm = np.broadcast_to(kx[:, None], kpar.shape).ravel()[idx]
+    kym = np.broadcast_to(ky[None, :], kpar.shape).ravel()[idx]
+    kpm = kpar.ravel()[idx]
+    # in-plane rotation (l = along k; k = 0 -> l = x)
+    kp_safe = np.where(kpm > 0, kpm, 1.0)
+    cosm = np.where(kpm > 0, kxm / kp_safe, 1.0)
+    sinm = np.where(kpm > 0, kym / kp_safe, 0.0)
+    # per-mode linear scale: sqrt(hx hy) / (wx_hat wy_hat)  (DFT + xy
+    # window deconvolution; see wall_wave_sqrt_noise derivation)
+    hx, hy, hz = p.spacing
+    wxh = ewald._es_window_hat(np.abs(kxm), 0.5 * p.support * hx, p.es_beta)
+    wyh = ewald._es_window_hat(np.abs(kym), 0.5 * p.support * hy, p.es_beta)
+    scale = math.sqrt(hx * hy) / (wxh * wyh)
+
+    # ---- factor tables: G at pk Chebyshev k_par nodes -> symmetric
+    # sqrt -> Chebyshev coefficients of each factor entry
+    tk = np.cos(np.pi * (2 * np.arange(pk) + 1) / (2 * pk))  # Cheb 1st kind
+    kq = 0.5 * k_cut * (tk + 1.0)
+    G = wall_kernels.wave_zkernel_nodes(kq, z_nodes, a=p.a, eta=p.eta,
+                                        xi=p.xi)
+    # block split: rows (l: 0..pz, t: pz..2pz, z: 2pz..3pz); the rotated
+    # frame decouples {l,z} from {t}
+    il = np.arange(pz)
+    it = pz + il
+    iz = 2 * pz + il
+    ilz = np.concatenate([il, iz])
+    F_lz = np.empty((pk, 2 * pz, 2 * pz))
+    F_t = np.empty((pk, pz, pz))
+    for q in range(pk):
+        for (rows, out) in ((ilz, F_lz), (it, F_t)):
+            Gb = G[q][np.ix_(rows, rows)]
+            w_eig, V = np.linalg.eigh(Gb)
+            w_eig = np.maximum(w_eig, 0.0)
+            out[q] = (V * np.sqrt(w_eig)[None, :]) @ V.T
+    # Chebyshev coefficients from 1st-kind node values (exact DCT fit)
+    C_lz = npcheb.chebfit(tk, F_lz.reshape(pk, -1), pk - 1)
+    C_t = npcheb.chebfit(tk, F_t.reshape(pk, -1), pk - 1)
+
+    # ---- chi: z-window deconvolution table, solving
+    #   sum_pz wz(zeta_s - pz hz) chi_a(pz) ~= ell_a(z_s)
+    # over dense z samples (the engine's 3D interpolate then evaluates
+    # the Chebyshev cardinal functions exactly through its z windows)
+    gz = p.grid[2]
+    R = 0.5 * p.support * hz
+    zs = np.linspace(p.a, p.z_hi, 40 * pz)
+    zeta = zs - p.z0                       # grid-shifted, like plan pos
+    pz_grid = np.arange(gz) * hz
+    dzm = zeta[:, None] - pz_grid[None, :]
+    t_w = np.clip(dzm / R, -1.0, 1.0)
+    W = np.where(np.abs(dzm) <= R,
+                 np.exp(p.es_beta * (np.sqrt(np.maximum(1 - t_w ** 2, 0.0))
+                                     - 1.0)), 0.0)
+    cols = np.nonzero(W.any(axis=0))[0]
+    # cardinal function values at the samples (barycentric)
+    ts = (zs - mid_z) / half_z
+    diff = ts[:, None] - tcheb[None, :]
+    exact = diff == 0.0
+    diff = np.where(exact, 1.0, diff)
+    terms = bary_w[None, :] / diff
+    L_vals = terms / terms.sum(axis=1, keepdims=True)
+    L_vals = np.where(exact.any(axis=1, keepdims=True), exact.astype(float),
+                      L_vals)                             # (S, pz)
+    chi_sub, *_ = np.linalg.lstsq(W[:, cols], L_vals, rcond=None)
+    resid = np.abs(W[:, cols] @ chi_sub - L_vals).max()
+    chi = np.zeros((gz, pz))
+    chi[cols] = chi_sub
+    return dict(p=pz, z_nodes=z_nodes, bary_w=bary_w, mid_z=mid_z,
+                half_z=half_z,
+                mode_idx=idx, cos=cosm.astype(np.float64),
+                sin=sinm.astype(np.float64), kpar=kpm, k_cut=k_cut,
+                scale=scale, C_lz=C_lz, C_t=C_t, chi=chi.T,
+                chi_resid=float(resid))
+
+
+def _noise_factors_device(params: WallParams, dtype=jnp.float32):
+    """Per-mode sqrt factors (M, 2p, 2p) and (M, p, p): Clenshaw-evaluate
+    the factor Chebyshev series at each retained mode's k_par and fold in
+    the per-mode linear scale."""
+    t = _host_noise_tables(params)
+    x = jnp.asarray(2.0 * t["kpar"] / t["k_cut"] - 1.0, dtype)   # (M,)
+    sc = jnp.asarray(t["scale"], dtype)
+    outs = []
+    for key in ("C_lz", "C_t"):
+        C = jnp.asarray(t[key], dtype)                   # (pk, E)
+        b1 = jnp.zeros((x.shape[0], C.shape[1]), dtype)
+        b2 = jnp.zeros_like(b1)
+        x2 = (2.0 * x)[:, None]
+        for q in range(C.shape[0] - 1, 0, -1):
+            b1, b2 = x2 * b1 - b2 + C[q][None, :], b1
+        vals = x[:, None] * b1 - b2 + C[0][None, :]
+        d = int(math.isqrt(C.shape[1]))
+        outs.append((sc[:, None, None]
+                     * vals.reshape(x.shape[0], d, d)))
+    return outs[0], outs[1]
+
+
 # ---------------------------------------------------------------------------
 # The plan
 # ---------------------------------------------------------------------------
@@ -288,6 +444,8 @@ class WallPlan:
     src_pos: jax.Array | None
     src_ids: jax.Array | None
     tgt_xyz: jax.Array | None
+    kept_slot: jax.Array | None  # real-particle output rows in the
+    #                              kept-target-cell table (Pallas path)
     # gridding layouts (ewald.make_grid_layout) for the three point sets
     tbl_all: jax.Array
     tbl_img: jax.Array
@@ -334,10 +492,24 @@ jax.tree_util.register_dataclass(
                  "self_coeff", "img_cheb",
                  "cell_table", "cell_slot", "nbr_cells",
                  "n_dropped_cells", "src_pos", "src_ids", "tgt_xyz",
+                 "kept_slot",
                  "tbl_all", "tbl_img", "tbl_real", "inv_real",
                  "n_dropped_grid", "n_clipped", "polish_idx",
                  "polish_kfft_re", "polish_kfft_im", "polish_mask"],
     meta_fields=["cell_dims", "params"])
+
+
+def _kept_target_cells(p: WallParams, dims):
+    """Host-static flat ids of the near-field cells whose z layer can
+    contain REAL particles (grid z' in [LD/2 + a, LD/2 + z_hi]); the
+    Pallas near sweep targets only these."""
+    csize_z = Z_CELL_SLACK * p.r_cut
+    cz_lo = max(int((0.5 * p.data_extent + p.a) / csize_z), 0)
+    cz_hi = min(int((0.5 * p.data_extent + p.z_hi) / csize_z),
+                dims[2] - 1)
+    cz = np.arange(cz_lo, cz_hi + 1)
+    xy = np.arange(dims[0] * dims[1])
+    return (xy[:, None] * dims[2] + cz[None, :]).reshape(-1)
 
 
 def make_wall_plan(params: WallParams, positions) -> WallPlan:
@@ -398,19 +570,38 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
         pos_all, box3_bin, dims, cap)
     nbr_cells = cells.neighbor_table(dims)
 
-    src_pos = src_ids = tgt_xyz = None
+    src_pos = src_ids = tgt_xyz = kept_slot = None
     if ewald._resolve_near_impl(p.grid_params()) == "pallas":
         TC = p.near_tile
         S = cells.lane_pad_sources(cap)
-        n_cells = int(np.prod(dims))
-        n_cells_pad = -(-n_cells // TC) * TC
-        wrap = cells.wrap_counts(dims)
-        src_ids = cells.padded_source_ids(cell_table, nbr_cells, 2 * n,
-                                          dims, cap, n_cells_pad, S)
+        # target-cell pruning: only cells that can hold REAL particles
+        # (z' in [LD/2 + a, LD/2 + z_hi]) are swept as targets — image
+        # rows' outputs are discarded anyway (cell_slot[:n]), and the
+        # z-layer structure is static, so image-only layers are dropped
+        # from the target grid (~1.9x fewer pair tiles for a symmetric
+        # slab). All cells remain SOURCES via the stencil.
+        kept = _kept_target_cells(p, dims)
+        n_kept = len(kept)
+        n_kept_pad = -(-n_kept // TC) * TC
+        wrap = cells.wrap_counts(dims)[kept]
+        nbr_kept = nbr_cells[kept]
+        src_ids = cells.padded_source_ids(cell_table, nbr_kept, 2 * n,
+                                          dims, cap, n_kept_pad, S)
         src_pos = cells.gather_src_pos(pos_all, src_ids, wrap, box3_bin,
-                                       dims, cap, n_cells_pad, S)
-        tgt_xyz = cells.gather_tgt_xyz(pos_all, cell_table, cap,
-                                       n_cells_pad, n_cells)
+                                       dims, cap, n_kept_pad, S)
+        tbl_kept = cell_table.reshape(-1, cap)[kept].reshape(-1)
+        tgt_xyz = cells.gather_tgt_xyz(pos_all, tbl_kept, cap,
+                                       n_kept_pad, n_kept)
+        # remap real particles' output rows to the kept-cell table
+        rank = np.full(int(np.prod(dims)), -1, np.int64)
+        rank[kept] = np.arange(n_kept)
+        rank_d = jnp.asarray(rank, jnp.int32)
+        cid_all = cell_slot // cap
+        slot_in = cell_slot - cid_all * cap
+        krank = rank_d[jnp.minimum(cid_all, rank_d.shape[0] - 1)]
+        kept_slot = jnp.where(
+            (cell_slot < rank_d.shape[0] * cap) & (krank >= 0),
+            krank * cap + slot_in, n_kept * cap)
 
     # ---- gridding layouts. The generic mean-based segment capacity
     # (ewald.make_grid_layout) assumes particles fill the z axis; wall
@@ -442,9 +633,11 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
         pos_all=pos_all, sort_pos=pos_all, heights=z, damp=damp,
         cheb=jnp.asarray(cheb, dtype), self_coeff=jnp.asarray(self_c, dtype),
         img_cheb=jnp.asarray(img_cheb, dtype),
-        cell_table=cell_table, cell_slot=cell_slot, nbr_cells=nbr_cells,
+        cell_table=cell_table, cell_slot=cell_slot,
+        nbr_cells=nbr_cells,
         n_dropped_cells=n_dropped_cells, cell_dims=dims,
         src_pos=src_pos, src_ids=src_ids, tgt_xyz=tgt_xyz,
+        kept_slot=kept_slot,
         tbl_all=tbl_all, tbl_img=tbl_img, tbl_real=tbl_real,
         inv_real=inv_real,
         n_dropped_grid=d_all + d_img + d_real, n_clipped=n_clipped,
@@ -644,16 +837,17 @@ def update_wall_plan(plan: WallPlan, positions) -> WallPlan:
         new = dict(pos_all=pos_eff, heights=z, damp=damp,
                    n_clipped=n_clipped)
         if plan.src_pos is not None:
-            n_cells = int(np.prod(dims))
             cap = p.cell_capacity
-            wrap = cells.wrap_counts(dims)
+            kept = _kept_target_cells(p, dims)
+            wrap = cells.wrap_counts(dims)[kept]
             C_pad, S = plan.src_ids.shape
             box3_bin = jnp.asarray(
                 [Lx, Ly, dims[2] * Z_CELL_SLACK * p.r_cut], dtype)
             new["src_pos"] = cells.gather_src_pos(
                 pos_eff, plan.src_ids, wrap, box3_bin, dims, cap, C_pad, S)
+            tbl_kept = plan.cell_table.reshape(-1, cap)[kept].reshape(-1)
             new["tgt_xyz"] = cells.gather_tgt_xyz(
-                pos_eff, plan.cell_table, cap, C_pad, n_cells)
+                pos_eff, tbl_kept, cap, C_pad, len(kept))
         return dataclasses.replace(plan, **new)
 
     def rebuild(_):
@@ -855,7 +1049,7 @@ def near_matvec_pallas(plan: WallPlan, forces):
       plan.src_pos.astype(jnp.float32), sf)
     dtype = plan.pos_all.dtype
     rows = jnp.concatenate([rows, jnp.zeros((1, nc), rows.dtype)], axis=0)
-    return (rows[plan.cell_slot[:n]].astype(dtype)
+    return (rows[plan.kept_slot[:n]].astype(dtype)
             + plan.self_coeff * f.astype(dtype))
 
 
@@ -904,11 +1098,55 @@ def _wave_arrays(plan: WallPlan, dtype):
     return KX, KY, KZ, kern, khat, F4, F2
 
 
+def _z_plane_ranges(p: WallParams):
+    """Static occupied z-plane index ranges [lo, hi) of the padded grid:
+    `data` covers every spread source's window (real + image), `img` the
+    image sources only, `real` the planes the real-target interpolation
+    reads. The z axis is mostly EMPTY padding (z_pad_factor x the slab,
+    doubled again for images) — slicing the xy-transforms to the
+    occupied planes is a ~2x (forward) / ~4x (inverse) FFT cut."""
+    gz = p.grid[2]
+    hz = p.spacing[2]
+    R = 0.5 * p.support * hz + 2.0 * hz
+    half = 0.5 * p.data_extent                 # = -z0
+
+    def rng(z_lo, z_hi):
+        lo = max(int(math.floor(z_lo / hz)), 0)
+        hi = min(int(math.ceil(z_hi / hz)) + 1, gz)
+        return lo, hi
+
+    data = rng(half - p.z_hi - R, half + p.z_hi + R)
+    img = rng(half - p.z_hi - R, half - p.a + R)
+    real = rng(half + p.a - R, half + p.z_hi + R)
+    return data, img, real
+
+
+@functools.lru_cache(maxsize=16)
+def _host_zdft(params: WallParams):
+    """Host DFT constants for the sliced z transforms: forward matrices
+    restricted to the occupied source planes (data / image ranges) and
+    the inverse matrix onto the real-target planes. Tiny (n_planes, gz)
+    complex64 arrays."""
+    gz = params.grid[2]
+    (da, db), (ia, ib), (ra, rb) = _z_plane_ranges(params)
+    kzi = np.arange(gz)
+
+    def fwd(lo, hi):
+        zi = np.arange(lo, hi)
+        return np.exp(-2j * np.pi * np.outer(zi, kzi) / gz).astype(
+            np.complex64)
+
+    Wi = (np.exp(2j * np.pi * np.outer(kzi, np.arange(ra, rb)) / gz)
+          / gz).astype(np.complex64)
+    return fwd(da, db), fwd(ia, ib), Wi
+
+
 def wave_matvec(plan: WallPlan, forces):
     """Wave-side product: spread (real+image merged channel and the
-    three h^m image channels), rfft2 + z-FFT, multiplier application,
-    polish-column dense z-convolutions, inverse transforms, interp at
-    the real particles. forces (N, C), C = 3B."""
+    three h^m image channels), z-sliced rfft2 + z-DFT matmul, multiplier
+    application, polish-column dense z-convolutions, inverse transforms
+    onto the real-target planes, interp at the real particles.
+    forces (N, C), C = 3B."""
     p = plan.params
     n = plan.n_real
     dtype = plan.pos_all.dtype
@@ -917,6 +1155,9 @@ def wave_matvec(plan: WallPlan, forces):
     B = nc // 3
     gx, gy, gz = p.grid
     gy2 = gy // 2 + 1
+    (da, db), (ia, ib), (ra, rb) = _z_plane_ranges(p)
+    nr = rb - ra
+    Wf_data, Wf_img, Wi = (jnp.asarray(W) for W in _host_zdft(p))
 
     mirror = jnp.asarray([1.0, 1.0, -1.0] * B, dtype)
     f_all = jnp.concatenate([f, -f * mirror], axis=0)
@@ -930,44 +1171,63 @@ def wave_matvec(plan: WallPlan, forces):
     pi = plan.polish_idx
     cdt = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
     zero = jnp.zeros((), cdt)
+    if cdt == jnp.complex128:
+        Wf_data, Wf_img, Wi = (W.astype(cdt) for W in (Wf_data, Wf_img,
+                                                       Wi))
+    prec = lax.Precision.HIGHEST
+
+    def zfft(cxy, Wf):
+        """Sliced-z forward DFT: (3, gx, gy2, nzs) -> (3, gx, gy2, gz)."""
+        return jnp.einsum("cxyz,zk->cxyk", cxy, Wf, precision=prec)
 
     # The channel groups contribute ADDITIVELY to the k-space output:
     #   u_hat = K_rpy c_merged + sum_m T_m c_m.
     # Each group is spread, transformed and applied separately so only
-    # one group's grid fields and complex transients are live at a time
-    # (all 12 B channels at once OOM a 16 GB chip at bench grids); the
-    # generated mult_terms constant-folds the literal-zero channels of
-    # the absent groups. The image groups re-evaluate the spreading
-    # windows (3x) — the matmul contraction, not the window evaluation,
-    # dominates at bench scale.
+    # one group's grid fields and complex transients are live at a time;
+    # the ACCUMULATOR lives on the real-target plane slice (nr planes),
+    # never the full padded grid — the full-grid (3B, gx, gy2, gz)
+    # accumulator of the first implementation OOM'd one chip at 98k
+    # blobs in the 2-RHS lockstep solve. The generated mult_terms
+    # constant-folds the literal-zero channels of the absent groups.
     prof_rows = []                                       # polish inputs
-    Uk = jnp.zeros((3 * B, gx, gy2, gz), cdt)
+    Uacc = jnp.zeros((3 * B, gx, gy2, nr), cdt)
     g_all = ewald.spread(sub_all, f_all)                 # (3B, gx, gy, gz)
     for b in range(B):
-        cxy = jnp.fft.rfft2(g_all[3 * b:3 * b + 3], axes=(1, 2))
-        # polish inputs are the PRE-z-FFT column profiles
-        prof_rows.append(cxy.reshape(3, gx * gy2, gz)[:, pi])
-        ck = jnp.fft.fft(cxy, axis=3)
+        cxy = jnp.fft.rfft2(g_all[3 * b:3 * b + 3, :, :, da:db],
+                            axes=(1, 2))
+        # polish inputs are the PRE-z-FFT column profiles (full gz,
+        # zero outside the occupied slice)
+        prof_rows.append(jnp.zeros((3, len(pi), gz), cdt)
+                         .at[:, :, da:db]
+                         .set(cxy.reshape(3, gx * gy2, -1)[:, pi]))
+        ck = zfft(cxy, Wf_data)
         kdotc = jnp.sum(khat * ck, axis=0, keepdims=True)
-        Uk = Uk.at[3 * b:3 * b + 3].add(kern[None] * (ck - khat * kdotc))
+        Uk3 = kern[None] * (ck - khat * kdotc)
+        Uacc = Uacc.at[3 * b:3 * b + 3].add(
+            jnp.einsum("cxyk,kt->cxyt", Uk3, Wi, precision=prec))
     del g_all
     prof_img_rows = [None] * (3 * B)
     for m in range(3):
         g_m = ewald.spread(sub_img, f_img[:, 3 * B * m:3 * B * (m + 1)])
         for b in range(B):
             # f_img columns are m-major then b-major: [f | h f | h^2 f]
-            cxy = jnp.fft.rfft2(g_m[3 * b:3 * b + 3], axes=(1, 2))
-            prof_img_rows[B * m + b] = cxy.reshape(3, gx * gy2, gz)[:, pi]
-            ck = jnp.fft.fft(cxy, axis=3)
+            cxy = jnp.fft.rfft2(g_m[3 * b:3 * b + 3, :, :, ia:ib],
+                                axes=(1, 2))
+            prof_img_rows[B * m + b] = (
+                jnp.zeros((3, len(pi), gz), cdt)
+                .at[:, :, ia:ib]
+                .set(cxy.reshape(3, gx * gy2, -1)[:, pi]))
+            ck = zfft(cxy, Wf_img)
             args = [zero] * 9
             args[3 * m:3 * m + 3] = [ck[0], ck[1], ck[2]]
             ux, uy, uz = gen.mult_terms(KX, KY, KZ, F4, F2, p.a * p.a,
                                         *args)
-            Uk = Uk.at[3 * b:3 * b + 3].add(jnp.stack([ux, uy, uz]))
+            Uacc = Uacc.at[3 * b:3 * b + 3].add(
+                jnp.einsum("cxyk,kt->cxyt", jnp.stack([ux, uy, uz]), Wi,
+                           precision=prec))
     # prof order: B merged groups then (m, b) image groups
     prof_all = jnp.concatenate(prof_rows, axis=0)            # (3B, P, gz)
     prof_img = jnp.concatenate(prof_img_rows, axis=0)        # (9B, P, gz)
-    Uxy = jnp.fft.ifft(Uk, axis=3)
 
     # ---- polish columns: dense z-convolutions via circular FFT
     # input channel groups per RHS: [merged(3), T0(3), T1(3), T2(3)]
@@ -980,14 +1240,80 @@ def wave_matvec(plan: WallPlan, forces):
     kf = kf.reshape(kf.shape[0], 4, 3, 3, kf.shape[-1])
     out_f = jnp.einsum("pcijL,bcjpL->bipL", kf, pin_f,
                        precision=jax.lax.Precision.HIGHEST)
-    pout = jnp.fft.ifft(out_f, axis=-1)[..., :gz]        # (B,3,P,gz)
-    pout = pout.reshape(3 * B, -1, gz)
-    Uxy = Uxy.reshape(3 * B, gx * gy2, gz).at[:, pi].add(pout)
-    Uxy = Uxy.reshape(3 * B, gx, gy2, gz)
+    pout = jnp.fft.ifft(out_f, axis=-1)[..., ra:rb]      # (B,3,P,nr)
+    pout = pout.reshape(3 * B, -1, nr)
+    Uacc = Uacc.reshape(3 * B, gx * gy2, nr).at[:, pi].add(pout)
+    Uacc = Uacc.reshape(3 * B, gx, gy2, nr)
 
-    U = jnp.fft.irfft2(Uxy, s=(gx, gy), axes=(1, 2))     # (3B,gx,gy,gz)
+    Ur = jnp.fft.irfft2(Uacc, s=(gx, gy), axes=(1, 2))   # (3B,gx,gy,nr)
+    U = (jnp.zeros((3 * B, gx, gy, gz), dtype)
+         .at[:, :, :, ra:rb].set(Ur.astype(dtype)))
     sub_real = plan._sub(plan.tbl_real, plan.pos_all[:n], plan.inv_real)
-    return ewald.interpolate(sub_real, U.astype(dtype))
+    return ewald.interpolate(sub_real, U)
+
+
+def wave_sqrt_noise(plan: WallPlan, key):
+    """Sample u with Cov(u) = M_wave of the wall engine, WITHOUT Lanczos
+    (the wall analog of ewald.wave_sqrt_noise; the near field keeps its
+    own cheap, well-conditioned Lanczos — integrators._noise_slip).
+
+    Construction: per retained in-plane mode (|k_par| <= k_cut, beyond
+    which the Hasimoto screen puts the wave kernel below tol), the wave
+    operator restricted to that mode is a small z-operator G(k_par;z,z')
+    over the slab — the point-evaluated screened image-channel kernels
+    with continuous k_z (wall_kernels.wave_zkernel_nodes), compressed on
+    a noise_p-point z-Chebyshev basis. Sampling draws grid white noise,
+    applies each mode's symmetric-sqrt factor (Chebyshev-interpolated in
+    k_par; PSD by construction since the FACTOR is interpolated), and
+    evaluates at the particles through the engine's own 3D interpolation
+    via a z-window deconvolution table.
+
+    Exactness: Cov(u) matches the engine's wave_matvec operator to
+    O(tol) (quadrature + Chebyshev compression + the dropped k > k_cut
+    tail + 4 self-conjugate band-edge modes whose imaginary l<->z
+    coupling a real field cannot carry), tested in
+    tests/test_wall_spectral.py::test_wave_sqrt_noise_covariance.
+    Returns the UNDAMPED sample (N, 3) at the plan's clipped heights;
+    callers apply the overlap damping (Cov target D M_wave D -> sample
+    D u). Reference noise semantics: stochastic_forcing.py:112-264."""
+    p = plan.params
+    t = _host_noise_tables(p)
+    gx, gy, gz = p.grid
+    gy2 = gy // 2 + 1
+    pz = t["p"]
+    dtype = plan.pos_all.dtype
+    cdt = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    F_lz, F_t = _noise_factors_device(p, dtype)
+    idx = jnp.asarray(t["mode_idx"])
+    cos = jnp.asarray(t["cos"], dtype)
+    sin = jnp.asarray(t["sin"], dtype)
+
+    w = jax.random.normal(key, (3 * pz, gx, gy), dtype)
+    What = jnp.fft.rfft2(w, axes=(1, 2)).astype(cdt)
+    Wm = What.reshape(3 * pz, gx * gy2)[:, idx]          # (3pz, M)
+    wx, wy, wz = Wm[:pz], Wm[pz:2 * pz], Wm[2 * pz:]
+    vl = cos[None] * wx + sin[None] * wy
+    vt = -sin[None] * wx + cos[None] * wy
+    v_lz = jnp.concatenate([vl, wz], axis=0)             # (2pz, M)
+    xi_lz = jnp.einsum("mij,jm->im", F_lz.astype(dtype),
+                       v_lz, precision=lax.Precision.HIGHEST)
+    xi_t = jnp.einsum("mij,jm->im", F_t.astype(dtype), vt,
+                      precision=lax.Precision.HIGHEST)
+    xl, xz = xi_lz[:pz], xi_lz[pz:]
+    xz = xz * jnp.asarray(-1j, cdt)                      # T^dagger z-phase
+    ox = cos[None] * xl - sin[None] * xi_t
+    oy = sin[None] * xl + cos[None] * xi_t
+    out = jnp.concatenate([ox, oy, xz], axis=0)          # (3pz, M)
+    Z = jnp.zeros((3 * pz, gx * gy2), cdt).at[:, idx].set(out)
+    psi = jnp.fft.irfft2(Z.reshape(3 * pz, gx, gy2), s=(gx, gy),
+                         axes=(1, 2)).astype(dtype)      # (3pz, gx, gy)
+    chi = jnp.asarray(t["chi"], dtype)                   # (pz, gz)
+    grid3 = jnp.einsum("cpxy,pz->cxyz",
+                       psi.reshape(3, pz, gx, gy), chi,
+                       precision=lax.Precision.HIGHEST)
+    n = plan.n_real
+    sub_real = plan._sub(plan.tbl_real, plan.pos_all[:n], plan.inv_real)
+    return ewald.interpolate(sub_real, grid3)            # (N, 3)
 
 
 def matvec(plan: WallPlan, forces, mesh=None, axis_name="blobs"):

@@ -370,6 +370,165 @@ def build_polish_kernels(modes_kxky, dz_grid, *, a, eta, xi, hx, hy, hz,
     return out
 
 
+def wave_zkernel_nodes(kpars, z_nodes, *, a, eta, xi, n_quad=8193):
+    """Per-in-plane-mode z-operators of the WAVE part of the wall
+    mobility, for the closed-form Brownian sampler (ewald_wall.
+    wall_wave_sqrt_noise).
+
+    For each k_par value, builds the (3p, 3p) matrix over (component,
+    z-node) pairs of the POINT-evaluated screened kernel
+
+      G[(i,a),(j,b)] = A_ij(z_a - z_b) - A_ij(z_a + z_b) D_jj
+                       + sum_m z_b^m T^m_ij(z_a + z_b)
+
+    where A is the sinc^2-phi screened RPY multiplier's continuous-k_z
+    transform (the merged real+image channel), D = diag(1,1,-1) the
+    mirror, and T^m the generated image-channel multipliers — exactly
+    the engine's wave channels (ewald_wall.wave_matvec) with the
+    gridding windows stripped (point sources/targets, aperiodic z).
+    Components are in the ROTATED in-plane frame (l = along k_par,
+    t = transverse, z), where G depends on |k_par| only and is
+    block-diagonal over {l, z} x {t}.
+
+    Entries coupling l<->z are pure imaginary with Hermitian G; the
+    returned matrices are the REAL symmetric transform T G T^dagger,
+    T = diag(1_l, 1_t, i * 1_z): multiply z-noise by i before applying
+    a real factor and by -i after (phases preserve white noise).
+
+    k_par = 0 carries the screened 1/k_z^{1,2} poles; they are
+    subtracted and re-added as closed-form finite parts exactly as in
+    build_polish_kernels.
+
+    Returns (nk, 3p, 3p) float64, Hermitian-symmetrized; PSD up to
+    quadrature error (callers add a tiny ridge before Cholesky)."""
+    from scipy.special import erf as _erf
+
+    z_nodes = np.asarray(z_nodes, np.float64)
+    p = len(z_nodes)
+    # kz band: the phi screen kills e^{-u} beyond u ~ 25. The smallest
+    # nonzero k_par modes put a Lorentzian of width ~k_par at kz = 0 —
+    # the quadrature must resolve it
+    kp_min = min((k for k in np.asarray(kpars, float) if k > 0),
+                 default=1.0)
+    n_quad = max(n_quad, int(2 ** np.ceil(np.log2(
+        16.0 * 20.0 * xi / max(kp_min, 1e-3)))) + 1)
+    kz_max = 10.0 * xi
+    kz = np.linspace(-kz_max, kz_max, n_quad)
+    mid = n_quad // 2
+    assert kz[mid] == 0.0
+    swts = np.ones(n_quad)
+    swts[1:-1:2] = 4.0
+    swts[2:-1:2] = 2.0
+    swts *= (kz[1] - kz[0]) / 3.0
+
+    # dz values: p^2 differences then p^2 sums (flattened (a, b))
+    dzd = (z_nodes[:, None] - z_nodes[None, :]).reshape(-1)
+    dzs = (z_nodes[:, None] + z_nodes[None, :]).reshape(-1)
+    dz_all = np.concatenate([dzd, dzs])
+    exp_mat = np.exp(1j * np.outer(kz, dz_all)) * swts[:, None]
+
+    # screened pole finite parts (build_polish_kernels conventions)
+    kz_s = np.where(kz == 0, 1.0, kz)
+    u_pole = kz * kz / (4 * xi * xi)
+    phi_pole = (1.0 + u_pole) * np.exp(-u_pole)
+    pole2 = phi_pole / kz_s ** 2
+    pole1 = phi_pole / kz_s
+    sdz = xi * dz_all
+    fp2 = (-(dz_all / 2) * _erf(sdz)
+           - np.exp(-sdz * sdz) / (4 * xi * np.sqrt(np.pi)))
+    fp1 = 1j * (_erf(sdz) / 2
+                + (sdz / (2 * np.sqrt(np.pi))) * np.exp(-sdz * sdz))
+
+    a2 = a * a
+    hm = z_nodes[None, :] ** np.arange(3)[:, None, None]  # (3, 1, p) b-powers
+    kpars = np.asarray(kpars, np.float64)
+    nk = len(kpars)
+    out = np.empty((nk, 3 * p, 3 * p))
+
+    def _assemble(ik, vals):
+        """(36, 2 p^2) kz-integrated values -> real symmetric (3p, 3p)."""
+        Ad = vals[:9, :p * p].reshape(3, 3, p, p)        # A(z_a - z_b)
+        As = vals[:9, p * p:].reshape(3, 3, p, p)        # A(z_a + z_b)
+        Tm = vals[9:, p * p:].reshape(3, 3, 3, p, p)     # T^m(z_a + z_b)
+        D = np.array([1.0, 1.0, -1.0])
+        Gc = (Ad - As * D[None, :, None, None]
+              + np.einsum("mijab,mxb->ijab", Tm, hm))
+        # (i,a),(j,b) layout; z-phase transform -> real; symmetrize
+        G = np.transpose(Gc, (0, 2, 1, 3)).reshape(3 * p, 3 * p)
+        T = np.ones(3 * p, complex)
+        T[2 * p:] = 1j
+        G = (T[:, None] * G * np.conj(T)[None, :])
+        if np.abs(G.imag).max() > 1e-10 * max(np.abs(G.real).max(), 1e-30):
+            raise RuntimeError(
+                f"wave z-kernel not real after phase transform at "
+                f"k_par={kpars[ik]}: imag {np.abs(G.imag).max():.2e}")
+        G = G.real
+        out[ik] = 0.5 * (G + G.T)
+
+    # ---- k_par = 0 node(s): pole finite parts, per node
+    KZ = kz[None, :]
+    for ik in np.nonzero(kpars == 0.0)[0]:
+        k2 = kz * kz
+        k2s = np.where(k2 > 0, k2, 1.0)
+        phi = (1.0 + k2 / (4 * xi * xi)) * np.exp(-k2 / (4 * xi * xi))
+        sinc = np.sin(np.sqrt(k2s) * a) / (np.sqrt(k2s) * a)
+        pref = sinc * sinc * phi / (eta * k2s)
+        rows = np.zeros((36, n_quad), complex)
+        fins = np.zeros((36, 2 * p * p), complex)
+        for i in range(3):
+            row = 3 * i + i
+            if i < 2:
+                ent = pref - (1.0 / eta) * pole2
+                ent[mid] = 0.5 * (ent[mid - 1] + ent[mid + 1])
+                fins[row] += 2 * np.pi * (1.0 / eta) * fp2
+                rows[row] = ent
+            # zz: projector kills it exactly at k_par = 0
+        for m in range(3):
+            for i in range(3):
+                for j in range(3):
+                    row = 9 * (1 + m) + 3 * i + j
+                    ent = channel_entry_np(m, i, j, 0.0, 0.0, kz, phi,
+                                           a2=a2) / (8 * np.pi * eta)
+                    c2, c1 = channel_laurent_k0(m, i, j, a2=a2)
+                    c2 = c2 / (8 * np.pi * eta)
+                    c1 = c1 / (8 * np.pi * eta)
+                    ent = ent - c2 * pole2 - c1 * pole1
+                    ent[mid] = 0.5 * (ent[mid - 1] + ent[mid + 1])
+                    fins[row] += 2 * np.pi * (c2 * fp2 + c1 * fp1)
+                    ent = np.where(k2 == 0, 0.0, ent)
+                    rows[row] = ent
+        _assemble(ik, ((rows @ exp_mat) + fins) / (2 * np.pi))
+
+    # ---- k_par > 0 nodes: batched over nodes (the per-node python loop
+    # over channel terms dominated at ~3 s/node)
+    rest = np.nonzero(kpars > 0.0)[0]
+    for c0 in range(0, len(rest), 16):
+        sel = rest[c0:c0 + 16]
+        KP = kpars[sel][:, None]
+        k2 = KP * KP + KZ * KZ                           # (C, nq) > 0
+        k = np.sqrt(k2)
+        phi = (1.0 + k2 / (4 * xi * xi)) * np.exp(-k2 / (4 * xi * xi))
+        sinc = np.sin(k * a) / (k * a)
+        pref = sinc * sinc * phi / (eta * k2)
+        kvec = (KP + 0 * KZ, 0 * k2, 0 * KP + KZ)
+        rows = np.zeros((len(sel), 36, n_quad), complex)
+        for i in range(3):
+            for j in range(3):
+                rows[:, 3 * i + j] = pref * (
+                    (1.0 if i == j else 0.0) - kvec[i] * kvec[j] / k2)
+        for m in range(3):
+            for i in range(3):
+                for j in range(3):
+                    rows[:, 9 * (1 + m) + 3 * i + j] = channel_entry_np(
+                        m, i, j, KP, 0.0, KZ, phi,
+                        a2=a2) / (8 * np.pi * eta)
+        vals = np.einsum("cfq,qd->cfd", rows, exp_mat,
+                         optimize=True) / (2 * np.pi)
+        for ii, ik in enumerate(sel):
+            _assemble(ik, vals[ii])
+    return out
+
+
 def polish_mode_set(gx, gy2, kx_freqs, ky_freqs, margin, tol):
     """Indices (into the (gx, gy2) rfft2 layout) of the modes whose
     padded-z wrap error e^(-k_par * margin) exceeds ~0.03 tol; always
