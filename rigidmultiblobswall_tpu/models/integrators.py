@@ -121,11 +121,13 @@ def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
             check_every=check_every)
         return res.noise + factor * uw, res.iterations
     if system.domain == "single_wall_spectral":
-        # wall PSE split: closed-form wave sample (per-mode z-Chebyshev
-        # factors, ewald_wall.wave_sqrt_noise) + Lanczos on the local
-        # well-conditioned near field only. Cov = D(M_near + M_wave)D
-        # with D the overlap damping; independent Gaussians add in
-        # covariance.
+        # wall PSE split: closed-form sample of the wave modes' PSD
+        # parts (per-mode z-Chebyshev factors, ewald_wall.
+        # wave_sqrt_noise) + Lanczos on (M_near - Delta), Delta the
+        # small PSD per-mode defect (the wall image channels are not
+        # individually PSD per in-plane mode; see ewald_wall.
+        # _noise_factors_device). Covariances add exactly to
+        # D(M_near + M_wave)D with D the overlap damping.
         from ..ops import ewald_wall
 
         if not isinstance(m_dense, ewald_wall.WallPlan):
@@ -134,14 +136,22 @@ def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
         plan = m_dense
         kw, kr = jax.random.split(key)
         damp = plan.damp[:, None]
-        uw = (damp * ewald_wall.wave_sqrt_noise(plan, kw)).reshape(-1)
+        fac = ewald_wall._noise_factors_device(plan.params,
+                                               state.pos.dtype)
+        uw = (damp * ewald_wall.wave_sqrt_noise(plan, kw,
+                                                factors=fac)).reshape(-1)
         z = jax.random.normal(kr, (3 * system.num_blobs,),
                               dtype=state.pos.dtype)
+
+        def near_minus_defect(f):
+            f3 = damp * f.reshape(-1, 3)
+            out = (ewald_wall.near_matvec(plan, f3)
+                   - ewald_wall.wave_defect_matvec(plan, f3, factors=fac))
+            return (damp * out).reshape(-1)
+
         res = stochastic_forcing_lanczos(
-            lambda f: (damp * ewald_wall.near_matvec(
-                plan, damp * f.reshape(-1, 3))).reshape(-1),
-            z, factor=factor, tolerance=tolerance, max_iter=max_iter,
-            check_every=check_every)
+            near_minus_defect, z, factor=factor, tolerance=tolerance,
+            max_iter=max_iter, check_every=check_every)
         return res.noise + factor * uw, res.iterations
     mobility_pc, L_mult = saddle.make_noise_pc(system, state, pc,
                                                m_dense=m_dense)

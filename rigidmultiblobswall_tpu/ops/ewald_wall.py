@@ -99,11 +99,22 @@ class WallParams:
     noise_pk: int = 0
 
     def noise_orders(self):
-        """Resolved (p, pk) for the wave-noise factor tables."""
+        """Resolved (p, pk) for the wave-noise factor tables.
+
+        p balances two limits: the kernel's analytic z-content
+        (~2 xi sqrt(ln 1/tol) radians over the half-slab) wants p UP;
+        the grid's ability to carry the Chebyshev cardinal functions
+        through the z-window deconvolution wants p DOWN (edge nodes
+        cluster as half * (pi/p)^2 / 2 and anything much below a grid
+        spacing is unrepresentable — measured: edge spacing 0.23 hz
+        fits at 3.5e-4 residual, 0.11 hz blows up to 3e-2)."""
         s = math.sqrt(max(-math.log(0.02 * self.tol), 4.0))
         kz_eff = 2.0 * self.xi * s
-        p = self.noise_p or min(max(int(math.ceil(
-            kz_eff * (self.z_hi - self.a) / math.pi)) + 10, 12), 40)
+        half = 0.5 * (self.z_hi - self.a)
+        hz = self.spacing[2]
+        p_need = int(math.ceil(kz_eff * half / math.pi)) + 8
+        p_grid = 1 + int(math.pi * math.sqrt(2.0 * half / hz))
+        p = self.noise_p or min(max(min(p_need, p_grid), 8), 40)
         # k_par content: e^{-k_par (z+z')} structure resolved over
         # [0, k_cut ~ kz_eff]; empirical + safety margin
         pk = self.noise_pk or min(max(int(math.ceil(
@@ -308,8 +319,9 @@ def _host_noise_tables(params: WallParams):
     bary_w[-1] *= 0.5
 
     # ---- retained mode set: keep modes whose screen survives
-    # 0.5 * tol (the dropped tail contributes < tol to the covariance)
-    ln_t = math.log(2.0 / p.tol)
+    # 0.05 * tol (the dropped tail contributes < tol to the covariance;
+    # the zz channels carry extra k powers, hence the margin)
+    ln_t = math.log(20.0 / p.tol)
     u = ln_t
     for _ in range(20):
         u = ln_t + math.log1p(u)
@@ -332,8 +344,13 @@ def _host_noise_tables(params: WallParams):
     wyh = ewald._es_window_hat(np.abs(kym), 0.5 * p.support * hy, p.es_beta)
     scale = math.sqrt(hx * hy) / (wxh * wyh)
 
-    # ---- factor tables: G at pk Chebyshev k_par nodes -> symmetric
-    # sqrt -> Chebyshev coefficients of each factor entry
+    # ---- kernel tables: G at pk Chebyshev k_par nodes -> Chebyshev
+    # coefficients of each KERNEL entry. The entries are as analytic in
+    # k_par as the screened kernel itself, so the fit converges fast;
+    # fitting sqrt FACTORS instead was measured 30x worse (the matrix
+    # sqrt of an exponentially decaying family is not smooth once
+    # eigenvalues reach the quadrature floor). The per-mode Cholesky
+    # runs batched on device with a tiny ridge (PSD by construction).
     tk = np.cos(np.pi * (2 * np.arange(pk) + 1) / (2 * pk))  # Cheb 1st kind
     kq = 0.5 * k_cut * (tk + 1.0)
     G = wall_kernels.wave_zkernel_nodes(kq, z_nodes, a=p.a, eta=p.eta,
@@ -344,17 +361,13 @@ def _host_noise_tables(params: WallParams):
     it = pz + il
     iz = 2 * pz + il
     ilz = np.concatenate([il, iz])
-    F_lz = np.empty((pk, 2 * pz, 2 * pz))
-    F_t = np.empty((pk, pz, pz))
-    for q in range(pk):
-        for (rows, out) in ((ilz, F_lz), (it, F_t)):
-            Gb = G[q][np.ix_(rows, rows)]
-            w_eig, V = np.linalg.eigh(Gb)
-            w_eig = np.maximum(w_eig, 0.0)
-            out[q] = (V * np.sqrt(w_eig)[None, :]) @ V.T
+    G_lz = G[:, ilz[:, None], ilz[None, :]]
+    G_t = G[:, it[:, None], it[None, :]]
+    ridge = 1e-5 * max(float(np.abs(np.diagonal(
+        G, axis1=1, axis2=2)).max()), 1e-30)
     # Chebyshev coefficients from 1st-kind node values (exact DCT fit)
-    C_lz = npcheb.chebfit(tk, F_lz.reshape(pk, -1), pk - 1)
-    C_t = npcheb.chebfit(tk, F_t.reshape(pk, -1), pk - 1)
+    C_lz = npcheb.chebfit(tk, G_lz.reshape(pk, -1), pk - 1)
+    C_t = npcheb.chebfit(tk, G_t.reshape(pk, -1), pk - 1)
 
     # ---- chi: z-window deconvolution table, solving
     #   sum_pz wz(zeta_s - pz hz) chi_a(pz) ~= ell_a(z_s)
@@ -388,14 +401,33 @@ def _host_noise_tables(params: WallParams):
                 half_z=half_z,
                 mode_idx=idx, cos=cosm.astype(np.float64),
                 sin=sinm.astype(np.float64), kpar=kpm, k_cut=k_cut,
-                scale=scale, C_lz=C_lz, C_t=C_t, chi=chi.T,
+                scale=scale, C_lz=C_lz, C_t=C_t, ridge=ridge, chi=chi.T,
                 chi_resid=float(resid))
 
 
 def _noise_factors_device(params: WallParams, dtype=jnp.float32):
-    """Per-mode sqrt factors (M, 2p, 2p) and (M, p, p): Clenshaw-evaluate
-    the factor Chebyshev series at each retained mode's k_par and fold in
-    the per-mode linear scale."""
+    """Per-mode factor + defect tables.
+
+    The per-mode z-operators G_k of the Hasimoto-split WAVE part are NOT
+    individually PSD — the image channels' near-field subtraction can
+    exceed the wall kernel within a single in-plane mode (measured: every
+    mode's {l,z} block carries a small negative eigenvalue, worst ~-1%
+    of scale at low k_par; the mode SUM is PSD). The split therefore
+    samples the positive parts and hands the defect to the near-field
+    Lanczos:
+
+      sample Cov  = sum_k clamp+(G_k)          (closed form, PSD)
+      Lanczos on    M_near - Delta,  Delta = sum_k (clamp+(G_k) - G_k)
+
+    which keeps the TOTAL covariance exactly M_near + sum_k G_k. Delta
+    is PSD with measured norm ~half of lambda_min(M_near) (asserted in
+    tests); M_near - Delta stays SPD.
+
+    Returns (F_lz, F_t, Dh_lz, Dh_t): factors F with F F^T = clamp+(G)
+    and defect half-factors Dh with Dh Dh^T = clamp+(G) - G (both
+    scale-folded; Dh feeds wave_defect_matvec through the same linear
+    chain, so sample-Cov + Delta == sum_k G_k holds by construction).
+    Clenshaw + batched eigh per retained mode; position-independent."""
     t = _host_noise_tables(params)
     x = jnp.asarray(2.0 * t["kpar"] / t["k_cut"] - 1.0, dtype)   # (M,)
     sc = jnp.asarray(t["scale"], dtype)
@@ -409,9 +441,14 @@ def _noise_factors_device(params: WallParams, dtype=jnp.float32):
             b1, b2 = x2 * b1 - b2 + C[q][None, :], b1
         vals = x[:, None] * b1 - b2 + C[0][None, :]
         d = int(math.isqrt(C.shape[1]))
-        outs.append((sc[:, None, None]
-                     * vals.reshape(x.shape[0], d, d)))
-    return outs[0], outs[1]
+        G = vals.reshape(x.shape[0], d, d)
+        G = 0.5 * (G + jnp.swapaxes(G, 1, 2))
+        w, V = jnp.linalg.eigh(G)
+        F = V * jnp.sqrt(jnp.maximum(w, 0.0))[:, None, :]  # F F^T = clamp+
+        Dh = V * jnp.sqrt(jnp.maximum(-w, 0.0))[:, None, :]  # Dh Dh^T = defect
+        outs.append((sc[:, None, None] * F, sc[:, None, None] * Dh))
+    (F_lz, Dh_lz), (F_t, Dh_t) = outs
+    return F_lz, F_t, Dh_lz, Dh_t
 
 
 # ---------------------------------------------------------------------------
@@ -1125,19 +1162,22 @@ def _z_plane_ranges(p: WallParams):
 def _host_zdft(params: WallParams):
     """Host DFT constants for the sliced z transforms: forward matrices
     restricted to the occupied source planes (data / image ranges) and
-    the inverse matrix onto the real-target planes. Tiny (n_planes, gz)
-    complex64 arrays."""
+    the inverse matrix onto the real-target planes. Stored as (re, im)
+    float32 pairs — the axon TPU runtime cannot transfer complex arrays
+    host<->device (see WallPlan.polish_kfft_re)."""
     gz = params.grid[2]
     (da, db), (ia, ib), (ra, rb) = _z_plane_ranges(params)
     kzi = np.arange(gz)
 
+    def pair(M):
+        return (M.real.astype(np.float32), M.imag.astype(np.float32))
+
     def fwd(lo, hi):
         zi = np.arange(lo, hi)
-        return np.exp(-2j * np.pi * np.outer(zi, kzi) / gz).astype(
-            np.complex64)
+        return pair(np.exp(-2j * np.pi * np.outer(zi, kzi) / gz))
 
-    Wi = (np.exp(2j * np.pi * np.outer(kzi, np.arange(ra, rb)) / gz)
-          / gz).astype(np.complex64)
+    Wi = pair(np.exp(2j * np.pi * np.outer(kzi, np.arange(ra, rb)) / gz)
+              / gz)
     return fwd(da, db), fwd(ia, ib), Wi
 
 
@@ -1157,7 +1197,9 @@ def wave_matvec(plan: WallPlan, forces):
     gy2 = gy // 2 + 1
     (da, db), (ia, ib), (ra, rb) = _z_plane_ranges(p)
     nr = rb - ra
-    Wf_data, Wf_img, Wi = (jnp.asarray(W) for W in _host_zdft(p))
+    Wf_data, Wf_img, Wi = (
+        lax.complex(jnp.asarray(re), jnp.asarray(im))
+        for re, im in _host_zdft(p))
 
     mirror = jnp.asarray([1.0, 1.0, -1.0] * B, dtype)
     f_all = jnp.concatenate([f, -f * mirror], axis=0)
@@ -1252,7 +1294,7 @@ def wave_matvec(plan: WallPlan, forces):
     return ewald.interpolate(sub_real, U)
 
 
-def wave_sqrt_noise(plan: WallPlan, key):
+def wave_sqrt_noise(plan: WallPlan, key, factors=None):
     """Sample u with Cov(u) = M_wave of the wall engine, WITHOUT Lanczos
     (the wall analog of ewald.wave_sqrt_noise; the near field keeps its
     own cheap, well-conditioned Lanczos — integrators._noise_slip).
@@ -1268,14 +1310,33 @@ def wave_sqrt_noise(plan: WallPlan, key):
     evaluates at the particles through the engine's own 3D interpolation
     via a z-window deconvolution table.
 
-    Exactness: Cov(u) matches the engine's wave_matvec operator to
-    O(tol) (quadrature + Chebyshev compression + the dropped k > k_cut
-    tail + 4 self-conjugate band-edge modes whose imaginary l<->z
-    coupling a real field cannot carry), tested in
-    tests/test_wall_spectral.py::test_wave_sqrt_noise_covariance.
+    Exactness: Cov(u) + the Lanczos defect (wave_defect_matvec) matches
+    the engine's wave_matvec operator to O(tol) (quadrature + Chebyshev
+    compression + the dropped k > k_cut tail + 4 self-conjugate
+    band-edge modes whose imaginary l<->z coupling a real field cannot
+    carry), tested in tests/test_wall_spectral.py.
     Returns the UNDAMPED sample (N, 3) at the plan's clipped heights;
     callers apply the overlap damping (Cov target D M_wave D -> sample
     D u). Reference noise semantics: stochastic_forcing.py:112-264."""
+    p = plan.params
+    dtype = plan.pos_all.dtype
+    if factors is None:
+        factors = _noise_factors_device(p, dtype)
+    F_lz, F_t = factors[0], factors[1]
+    t = _host_noise_tables(p)
+    pz = t["p"]
+    gx, gy = p.grid[0], p.grid[1]
+    w = jax.random.normal(key, (3 * pz, gx, gy), dtype)
+    return _wave_noise_apply(plan, w, F_lz, F_t)
+
+
+def _wave_noise_apply(plan: WallPlan, w, F_lz, F_t):
+    """The linear chain of the wave sampler: (3p, gx, gy) real white
+    noise -> per-mode factor application -> real plane fields -> z
+    deconvolution -> 3D interpolation at the real particles. Shared by
+    the sampler (factors = clamp+ sqrt) and the defect operator
+    (factors = defect half), so their covariances add to sum_k G_k by
+    construction."""
     p = plan.params
     t = _host_noise_tables(p)
     gx, gy, gz = p.grid
@@ -1283,24 +1344,34 @@ def wave_sqrt_noise(plan: WallPlan, key):
     pz = t["p"]
     dtype = plan.pos_all.dtype
     cdt = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
-    F_lz, F_t = _noise_factors_device(p, dtype)
     idx = jnp.asarray(t["mode_idx"])
     cos = jnp.asarray(t["cos"], dtype)
     sin = jnp.asarray(t["sin"], dtype)
 
-    w = jax.random.normal(key, (3 * pz, gx, gy), dtype)
     What = jnp.fft.rfft2(w, axes=(1, 2)).astype(cdt)
     Wm = What.reshape(3 * pz, gx * gy2)[:, idx]          # (3pz, M)
     wx, wy, wz = Wm[:pz], Wm[pz:2 * pz], Wm[2 * pz:]
+    # z phases of the real transform T = diag(1_l, 1_t, i * 1_z) that
+    # made G real (wall_kernels.wave_zkernel_nodes): the sampler applies
+    # T^dagger F T so the per-mode map is Hermitian-EQUIVARIANT
+    # (M(-k) = M(k)^*; in particular M_zz real). Dropping the INPUT
+    # phase is covariance-neutral per isolated mode but breaks the
+    # conjugate pairing of the explicitly-stored (+-kx, ky=0) column —
+    # measured 12% covariance error confined to the x/z entries. At the
+    # self-conjugate k = 0 mode the phase would rotate real noise onto
+    # the imaginary axis irfft2 discards; the l<->z coupling vanishes
+    # there, so both phases are set to 1.
+    phz = jnp.where(jnp.asarray(t["kpar"] > 0.0),
+                    jnp.asarray(-1j, cdt), jnp.asarray(1.0 + 0.0j, cdt))
     vl = cos[None] * wx + sin[None] * wy
     vt = -sin[None] * wx + cos[None] * wy
-    v_lz = jnp.concatenate([vl, wz], axis=0)             # (2pz, M)
+    v_lz = jnp.concatenate([vl, wz * jnp.conj(phz)[None, :]], axis=0)
     xi_lz = jnp.einsum("mij,jm->im", F_lz.astype(dtype),
                        v_lz, precision=lax.Precision.HIGHEST)
     xi_t = jnp.einsum("mij,jm->im", F_t.astype(dtype), vt,
                       precision=lax.Precision.HIGHEST)
     xl, xz = xi_lz[:pz], xi_lz[pz:]
-    xz = xz * jnp.asarray(-1j, cdt)                      # T^dagger z-phase
+    xz = xz * phz[None, :]
     ox = cos[None] * xl - sin[None] * xi_t
     oy = sin[None] * xl + cos[None] * xi_t
     out = jnp.concatenate([ox, oy, xz], axis=0)          # (3pz, M)
@@ -1314,6 +1385,30 @@ def wave_sqrt_noise(plan: WallPlan, key):
     n = plan.n_real
     sub_real = plan._sub(plan.tbl_real, plan.pos_all[:n], plan.inv_real)
     return ewald.interpolate(sub_real, grid3)            # (N, 3)
+
+
+def wave_defect_matvec(plan: WallPlan, forces, factors=None):
+    """Apply the PSD defect Delta = sum_k (clamp+(G_k) - G_k) of the
+    wave sampler to (N, 3) forces: Delta = U Dh Dh^T U^T with U the
+    sampler's linear chain, applied as forward(vjp(forward)(f)). The
+    noise split's Lanczos runs on M_near - Delta (see
+    _noise_factors_device)."""
+    p = plan.params
+    dtype = plan.pos_all.dtype
+    if factors is None:
+        factors = _noise_factors_device(p, dtype)
+    Dh_lz, Dh_t = factors[2], factors[3]
+    t = _host_noise_tables(p)
+    pz = t["p"]
+    gx, gy = p.grid[0], p.grid[1]
+
+    def fwd(w):
+        return _wave_noise_apply(plan, w, Dh_lz, Dh_t)
+
+    w0 = jnp.zeros((3 * pz, gx, gy), dtype)
+    _, vjp_fn = jax.vjp(fwd, w0)
+    (wt,) = vjp_fn(forces.reshape(-1, 3).astype(dtype))
+    return fwd(wt)
 
 
 def matvec(plan: WallPlan, forces, mesh=None, axis_name="blobs"):
