@@ -58,6 +58,16 @@ from . import _wall_channels_gen as gen
 Z_CELL_SLACK = 1.2
 
 
+def _near_chunk(cap):
+    """Source-lane chunk width of the fused near kernel: the largest
+    128-multiple (<= 512) keeping the ~50 live (cap, sc) temporaries of
+    the image-channel evaluation inside Mosaic's 16 MB scoped-vmem stack
+    (cap * sc <= 32k elements; measured 17.4 MB blowout at cap=128,
+    sc=384). make_wall_plan pads S to a multiple of this so the
+    statically-unrolled chunk loop stays short."""
+    return max(min(32768 // cap, 512) // 128 * 128, 128)
+
+
 # ---------------------------------------------------------------------------
 # Parameters
 # ---------------------------------------------------------------------------
@@ -620,6 +630,7 @@ def make_wall_plan(params: WallParams, positions) -> WallPlan:
         kept = _kept_target_cells(p, dims)
         n_kept = len(kept)
         n_kept_pad = -(-n_kept // TC) * TC
+        S = -(-S // _near_chunk(cap)) * _near_chunk(cap)
         wrap = cells.wrap_counts(dims)[kept]
         nbr_kept = nbr_cells[kept]
         src_ids = cells.padded_source_ids(cell_table, nbr_kept, 2 * n,
@@ -931,12 +942,14 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
         # The source lanes are swept in chunks of `sc`: the generated
         # img_terms holds ~50 live (cap, lanes) temporaries and a full-S
         # chunk blows Mosaic's 16 MB scoped-vmem stack at bench
-        # capacities (measured 53 MB at S=2688, cap=96).
-        def chunk(ci, acc):
-            c0 = ci * jnp.int32(sc)
-            sx = spos_ref[0, t, pl.ds(c0, sc)][None, :]
-            sy = spos_ref[1, t, pl.ds(c0, sc)][None, :]
-            sz = spos_ref[2, t, pl.ds(c0, sc)][None, :]
+        # capacities (measured 53 MB at S=2688, cap=96). Chunk offsets
+        # are STATIC (python loop): a dynamic lane offset combined with
+        # the dynamic sublane index t is a Mosaic "dynamic load with
+        # unaligned indices" compile error at large cap.
+        def chunk(c0, acc):
+            sx = spos_ref[0, t, c0:c0 + sc][None, :]
+            sy = spos_ref[1, t, c0:c0 + sc][None, :]
+            sz = spos_ref[2, t, c0:c0 + sc][None, :]
             dx = tx - sx
             dy = ty - sy
             dz = tz - sz
@@ -996,9 +1009,9 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
 
             outs = []
             for b in range(n_rhs):
-                fx = sf_ref[3 * b + 0, t, pl.ds(c0, sc)][None, :]
-                fy = sf_ref[3 * b + 1, t, pl.ds(c0, sc)][None, :]
-                fz = sf_ref[3 * b + 2, t, pl.ds(c0, sc)][None, :]
+                fx = sf_ref[3 * b + 0, t, c0:c0 + sc][None, :]
+                fy = sf_ref[3 * b + 1, t, c0:c0 + sc][None, :]
+                fz = sf_ref[3 * b + 2, t, c0:c0 + sc][None, :]
                 fxm = jnp.where(src_img, -fx, fx)
                 fym = jnp.where(src_img, -fy, fy)
                 g = bfac * (dxm * fxm + dym * fym + dzm * fz)
@@ -1012,9 +1025,10 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
                                     keepdims=True))
             return tuple(a + o for a, o in zip(acc, outs))
 
-        acc0 = tuple(jnp.zeros((cap, 1), jnp.float32)
-                     for _ in range(3 * n_rhs))
-        acc = lax.fori_loop(0, spos_ref.shape[2] // sc, chunk, acc0)
+        acc = tuple(jnp.zeros((cap, 1), jnp.float32)
+                    for _ in range(3 * n_rhs))
+        for c0 in range(0, spos_ref.shape[2], sc):
+            acc = chunk(c0, acc)
         for q in range(3 * n_rhs):
             out_ref[pl.ds(r0, cap), q:q + 1] = acc[q]
         return carry
@@ -1025,15 +1039,28 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
 def near_matvec_pallas(plan: WallPlan, forces):
     """Wall near field on the plan-time pre-gathered (cell, 27*cap)
     layout (see ewald.real_matvec_pallas for the layout rationale)."""
+    n = plan.n_real
+    f = forces.reshape(n, -1).astype(jnp.float32)
+    nc = f.shape[1]
+    rows = _wall_near_rows(plan, f, plan.tgt_xyz, plan.src_pos,
+                           plan.src_ids)
+    dtype = plan.pos_all.dtype
+    rows = jnp.concatenate([rows, jnp.zeros((1, nc), rows.dtype)], axis=0)
+    return (rows[plan.kept_slot[:n]].astype(dtype)
+            + plan.self_coeff * f.astype(dtype))
+
+
+def _wall_near_rows(plan: WallPlan, f, tgt_xyz, src_pos, src_ids):
+    """Slot rows (C_pad*cap, nc) of the fused wall near sweep for an
+    arbitrary (sub)set of kept target cells (sharded callers pass
+    per-device slices). f is (N, nc) f32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     p = plan.params
-    n = plan.n_real
     cap = p.cell_capacity
     TC = p.near_tile
-    C_pad, S = plan.src_ids.shape
-    f = forces.reshape(n, -1).astype(jnp.float32)
+    C_pad, S = src_ids.shape
     nc = f.shape[1]
     # raw strengths duplicated at image rows; mirroring happens in-kernel.
     # Per-CHANNEL scalar gathers: a vector-row gather materializes a
@@ -1042,7 +1069,7 @@ def near_matvec_pallas(plan: WallPlan, forces):
     # cells.gather_src_pos).
     f_all = jnp.concatenate(
         [f, f, jnp.zeros((1, nc), jnp.float32)], axis=0)
-    sf = jnp.stack([f_all[:, q][plan.src_ids] for q in range(nc)])
+    sf = jnp.stack([f_all[:, q][src_ids] for q in range(nc)])
 
     cheb_np, _ = _host_cheb_rpy(p)
     cheb = tuple(tuple(tuple(float(v) for v in fn) for fn in piece)
@@ -1053,13 +1080,10 @@ def near_matvec_pallas(plan: WallPlan, forces):
     two_a = 2.0 * p.a
     mids = (0.5 * two_a, 0.5 * (two_a + p.r_cut))
     halfs = (0.5 * two_a, 0.5 * (p.r_cut - two_a))
-    # lane-chunk width: the largest multiple of 128 <= 512 dividing S
-    m128 = S // 128
-    sc = 128
-    for width in range(min(4, m128), 0, -1):
-        if m128 % width == 0:
-            sc = 128 * width
-            break
+    sc = _near_chunk(cap)
+    while S % sc:                 # plans predating the S padding
+        sc //= 2
+    sc = max(sc, 128)
     kernel = functools.partial(
         _wall_near_kernel, cap=cap, tc=TC, cheb=cheb, img_cheb=img_cheb,
         mids=mids, halfs=halfs, two_a=two_a, rc2=p.r_cut * p.r_cut,
@@ -1082,12 +1106,8 @@ def near_matvec_pallas(plan: WallPlan, forces):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C_pad * cap, nc), jnp.float32),
         interpret=jax.default_backend() not in ("tpu", "axon"),
-    )(plan.tgt_xyz.astype(jnp.float32),
-      plan.src_pos.astype(jnp.float32), sf)
-    dtype = plan.pos_all.dtype
-    rows = jnp.concatenate([rows, jnp.zeros((1, nc), rows.dtype)], axis=0)
-    return (rows[plan.kept_slot[:n]].astype(dtype)
-            + plan.self_coeff * f.astype(dtype))
+    )(tgt_xyz.astype(jnp.float32), src_pos.astype(jnp.float32), sf)
+    return rows
 
 
 def near_matvec(plan: WallPlan, forces):
@@ -1416,9 +1436,11 @@ def matvec(plan: WallPlan, forces, mesh=None, axis_name="blobs"):
     stacked b-major), INCLUDING the reference's overlap regularization
     B^T M(z_eff) B (mobility/mobility.py:52-119): heights were shifted
     to z >= a at plan build and the damping B = min(z/a, 1) is applied
-    to input strengths and output rows here. mesh is currently accepted
-    for API parity and runs replicated."""
-    del mesh, axis_name
+    to input strengths and output rows here. With a `mesh`, the kept
+    near-field cell blocks and the gridding x-planes divide across
+    devices and the xy transforms are distributed (matvec_sharded)."""
+    if mesh is not None and mesh.shape[axis_name] > 1:
+        return matvec_sharded(mesh, plan, forces, axis_name=axis_name)
     n = plan.n_real
     f2 = forces.reshape(n, -1)
     d = plan.damp[:, None]
@@ -1436,6 +1458,253 @@ def matvec_multi(plan: WallPlan, forces, mesh=None, axis_name="blobs"):
     f = jnp.moveaxis(forces, 0, 1).reshape(n, 3 * B)
     out = matvec(plan, f, mesh=mesh)
     return jnp.moveaxis(out.reshape(n, B, 3), 1, 0)
+
+
+def matvec_sharded(mesh, plan: WallPlan, forces, axis_name="blobs"):
+    """Wall-mobility product sharded over a device mesh (the wall
+    counterpart of ewald.matvec_sharded; VERDICT r3 #3):
+
+    - near field: the kept-target-cell blocks divide across devices
+      (each sweeps its slice of the pre-gathered layout), one
+      all_gather of the slot rows;
+    - gridding: x-planes divide across devices (_spread_planes /
+      _interp_rows on per-device plane ids);
+    - xy transforms: local y-rfft, ky-padded all_to_all transpose so
+      the full x axis is local for the x-FFT, per-shard ky slices of
+      the k-multipliers and the sliced z-DFTs;
+    - polish columns: host-static per-shard (ky-grouped) column sets,
+      applied on each device's local spectrum columns.
+
+    The z axis (dense/polish) stays local per shard throughout.
+    Falls back to near-sharded + replicated wave when gx % D != 0."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    D = mesh.shape[axis_name]
+    p = plan.params
+    n = plan.n_real
+    gx, gy, gz = p.grid
+    gy2 = gy // 2 + 1
+    cap = p.cell_capacity
+    TC = p.near_tile
+    dtype = plan.pos_all.dtype
+    cdt = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    wave_sharded = gx % D == 0
+    gxd = gx // D if wave_sharded else gx
+    gy2pd = -(-gy2 // D)
+    gy2p = gy2pd * D
+    (da, db), (ia, ib), (ra, rb) = _z_plane_ranges(p)
+    nr = rb - ra
+    zd = _host_zdft(p)
+
+    use_pallas = plan.src_pos is not None
+    if use_pallas:
+        C_pad = plan.src_ids.shape[0]
+        Cd = -(-C_pad // (TC * D)) * TC
+        extra = Cd * D - C_pad
+        tgt2 = jnp.pad(plan.tgt_xyz, ((0, extra * cap), (0, 0)),
+                       constant_values=jnp.nan)
+        src_pos2 = jnp.pad(plan.src_pos, ((0, 0), (0, extra), (0, 0)),
+                           constant_values=jnp.nan)
+        src_ids2 = jnp.pad(plan.src_ids, ((0, extra), (0, 0)),
+                           constant_values=2 * n)
+    else:
+        tgt2 = src_pos2 = src_ids2 = jnp.zeros((), jnp.float32)
+
+    # ---- host-static per-shard polish groups (ky-sharded columns).
+    # polish_idx is flat kx-major over (gx, gy2); shard d owns padded-ky
+    # rows [d gy2pd, (d+1) gy2pd). Dummy-padded columns point at a local
+    # spectrum column but carry zero kernels.
+    pol_idx_np, pol_kfft, _mask = _host_polish(p)
+    iy = pol_idx_np % gy2
+    ix = pol_idx_np // gy2
+    shard_of = iy // gy2pd
+    Pmax = max(int(np.max(np.bincount(shard_of, minlength=D))), 1)
+    loc_idx = np.zeros((D, Pmax), np.int32)
+    kfft_sh = np.zeros((D, Pmax) + pol_kfft.shape[1:], pol_kfft.dtype)
+    for d in range(D):
+        sel = np.nonzero(shard_of == d)[0]
+        loc = ix[sel] * gy2pd + (iy[sel] - d * gy2pd)
+        loc_idx[d, :len(sel)] = loc
+        kfft_sh[d, :len(sel)] = pol_kfft[sel]
+    loc_idx_d = jnp.asarray(loc_idx)
+    kfft_re = jnp.asarray(kfft_sh.real.reshape(D, Pmax, 36, -1),
+                          jnp.float32 if dtype == jnp.float32
+                          else jnp.float64)
+    kfft_im = jnp.asarray(kfft_sh.imag.reshape(D, Pmax, 36, -1),
+                          kfft_re.dtype)
+
+    # per-shard k-multiplier builder pieces (host freqs)
+    kx_ax, ky_ax, kz_ax = _axis_freqs(p)
+    ky_pad = np.concatenate([ky_ax, np.full(gy2p - gy2, ky_ax[-1])])
+    whats = _host_whats(p)
+    wy_pad = np.concatenate([whats[1], np.full(gy2p - gy2, 1.0)])
+    # polish mask rebuilt host-side (plan.polish_mask is a device array;
+    # this function may be traced)
+    mask_np = np.ones(gx * gy2, bool)
+    mask_np[pol_idx_np] = False
+    mask_pad = jnp.asarray(np.concatenate(
+        [mask_np.reshape(gx, gy2), np.zeros((gx, gy2p - gy2), bool)],
+        axis=1))
+
+    def _shard_wave_arrays(d):
+        """Per-shard (gx, gy2pd, gz) multiplier tables, built from the
+        global formulas at this shard's ky slice."""
+        KX = jnp.asarray(kx_ax, dtype)[:, None, None]
+        KY = lax.dynamic_slice_in_dim(jnp.asarray(ky_pad, dtype),
+                                      d * gy2pd, gy2pd, 0)[None, :, None]
+        KZ = jnp.asarray(kz_ax, dtype)[None, None, :]
+        k2 = KX * KX + KY * KY + KZ * KZ
+        k2s = jnp.where(k2 > 0, k2, 1.0)
+        k = jnp.sqrt(k2s)
+        phi = (1.0 + k2 / (4 * p.xi ** 2)) * jnp.exp(-k2 / (4 * p.xi ** 2))
+        sinc = jnp.sin(k * p.a) / (k * p.a)
+        h3 = float(np.prod(p.spacing))
+        wx2 = jnp.asarray(whats[0], dtype) ** 2
+        wy2 = lax.dynamic_slice_in_dim(jnp.asarray(wy_pad, dtype) ** 2,
+                                       d * gy2pd, gy2pd, 0)
+        wz2 = jnp.asarray(whats[2], dtype) ** 2
+        norm = h3 / (wx2[:, None, None] * wy2[None, :, None]
+                     * wz2[None, None, :])
+        msk = lax.dynamic_slice_in_dim(mask_pad, d * gy2pd, gy2pd,
+                                       1)[:, :, None].astype(dtype)
+        kern = (sinc ** 2 * phi / (p.eta * k2s)) * norm * msk
+        kern = jnp.where(k2 > 0, kern, 0.0)
+        khat = jnp.stack([KX / k, KY / k, KZ / k * jnp.ones_like(kern)])
+        khat = jnp.where(k2 > 0, khat, 0.0)
+        base = phi * norm * msk / (8.0 * jnp.pi * p.eta)
+        F4 = jnp.where(k2 > 0, base * (-8.0 * jnp.pi) / (k2s * k2s), 0.0)
+        F2 = jnp.where(k2 > 0, base * (4.0 * jnp.pi) / k2s, 0.0)
+        return KX, KY, KZ, kern, khat, F4, F2
+
+    def shard_fn(pl_, f, tgt_, spos_, sids_):
+        d = lax.axis_index(axis_name)
+        nc = f.shape[1]
+        B = nc // 3
+        # ---- near field on this device's kept-cell block
+        if use_pallas:
+            t_loc = lax.dynamic_slice_in_dim(tgt_, d * Cd * cap,
+                                             Cd * cap, 0)
+            sp_loc = lax.dynamic_slice_in_dim(spos_, d * Cd, Cd, 1)
+            si_loc = lax.dynamic_slice_in_dim(sids_, d * Cd, Cd, 0)
+            rows_local = _wall_near_rows(pl_, f, t_loc, sp_loc, si_loc)
+            rows = lax.all_gather(rows_local, axis_name, axis=0,
+                                  tiled=True)
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((1, nc), rows.dtype)], axis=0)
+            un = (rows[pl_.kept_slot[:n]].astype(dtype)
+                  + pl_.self_coeff * f.astype(dtype))
+        else:
+            un = near_matvec_xla(pl_, f)
+
+        if not wave_sharded:
+            return un + wave_matvec(pl_, f)
+
+        # ---- wave field, distributed
+        Wf_data, Wf_img, Wi = (
+            lax.complex(jnp.asarray(re), jnp.asarray(im)).astype(cdt)
+            for re, im in zd)
+        prec = lax.Precision.HIGHEST
+        mirror = jnp.asarray([1.0, 1.0, -1.0] * B, dtype)
+        f_all = jnp.concatenate([f, -f * mirror], axis=0)
+        h = pl_.heights[:, None]
+        f_img = jnp.concatenate([f, h * f, (h * h) * f], axis=1)
+        sub_all = pl_._sub(pl_.tbl_all, pl_.pos_all)
+        sub_img = pl_._sub(pl_.tbl_img, pl_.pos_all[n:])
+        plane_ids = d * gxd + jnp.arange(gxd, dtype=jnp.int32)
+        KX, KY, KZ, kern, khat, F4, F2 = _shard_wave_arrays(d)
+        zero = jnp.zeros((), cdt)
+        kf = lax.complex(
+            lax.dynamic_index_in_dim(kfft_re, d, 0, keepdims=False),
+            lax.dynamic_index_in_dim(kfft_im, d, 0,
+                                     keepdims=False)).astype(cdt)
+        kf = kf.reshape(Pmax, 4, 3, 3, -1)
+        pi_loc = lax.dynamic_index_in_dim(loc_idx_d, d, 0, keepdims=False)
+
+        def to_spectrum(sub, fgrp, zlo, zhi):
+            """Spread local planes -> local (C, gx, gy2pd, nzs) spectrum
+            columns (full kx, this shard's ky)."""
+            slab = ewald._spread_planes(sub, fgrp, plane_ids)
+            g = jnp.moveaxis(slab[:, :, zlo:zhi, :], -1, 0)
+            cy = jnp.fft.rfft(g, axis=2).astype(cdt)      # (C,gxd,gy2,nz)
+            cy = jnp.pad(cy, ((0, 0), (0, 0), (0, gy2p - gy2), (0, 0)))
+            cy = lax.all_to_all(cy, axis_name, split_axis=2,
+                                concat_axis=1, tiled=True)
+            return jnp.fft.fft(cy, axis=1)                # (C,gx,gy2pd,nz)
+
+        prof_rows = []
+        Uacc = jnp.zeros((3 * B, gx, gy2pd, nr), cdt)
+        call = to_spectrum(sub_all, f_all, da, db)        # (3B,gx,gy2pd,·)
+        for b in range(B):
+            cxy = call[3 * b:3 * b + 3]
+            prof_rows.append(jnp.zeros((3, Pmax, gz), cdt)
+                             .at[:, :, da:db]
+                             .set(cxy.reshape(3, gx * gy2pd, -1)[:, pi_loc]))
+            ck = jnp.einsum("cxyz,zk->cxyk", cxy, Wf_data, precision=prec)
+            kdotc = jnp.sum(khat * ck, axis=0, keepdims=True)
+            Uk3 = kern[None] * (ck - khat * kdotc)
+            Uacc = Uacc.at[3 * b:3 * b + 3].add(
+                jnp.einsum("cxyk,kt->cxyt", Uk3, Wi, precision=prec))
+        del call
+        prof_img_rows = [None] * (3 * B)
+        for m in range(3):
+            cm = to_spectrum(sub_img, f_img[:, 3 * B * m:3 * B * (m + 1)],
+                             ia, ib)
+            for b in range(B):
+                cxy = cm[3 * b:3 * b + 3]
+                prof_img_rows[B * m + b] = (
+                    jnp.zeros((3, Pmax, gz), cdt)
+                    .at[:, :, ia:ib]
+                    .set(cxy.reshape(3, gx * gy2pd, -1)[:, pi_loc]))
+                ck = jnp.einsum("cxyz,zk->cxyk", cxy, Wf_img,
+                                precision=prec)
+                args = [zero] * 9
+                args[3 * m:3 * m + 3] = [ck[0], ck[1], ck[2]]
+                ux, uy, uz = gen.mult_terms(KX, KY, KZ, F4, F2,
+                                            p.a * p.a, *args)
+                Uacc = Uacc.at[3 * b:3 * b + 3].add(
+                    jnp.einsum("cxyk,kt->cxyt", jnp.stack([ux, uy, uz]),
+                               Wi, precision=prec))
+        prof_all = jnp.concatenate(prof_rows, axis=0)
+        prof_img = jnp.concatenate(prof_img_rows, axis=0)
+        pa = prof_all.reshape(B, 3, -1, gz)
+        pim = prof_img.reshape(3, B, 3, -1, gz)
+        pin = jnp.concatenate([pa[:, None], jnp.moveaxis(pim, 0, 1)],
+                              axis=1)
+        pin_f = jnp.fft.fft(pin, n=2 * gz, axis=-1)
+        out_f = jnp.einsum("pcijL,bcjpL->bipL", kf, pin_f,
+                           precision=jax.lax.Precision.HIGHEST)
+        pout = jnp.fft.ifft(out_f, axis=-1)[..., ra:rb]
+        pout = pout.reshape(3 * B, -1, nr)
+        Uacc = Uacc.reshape(3 * B, gx * gy2pd, nr).at[:, pi_loc].add(pout)
+        Uacc = Uacc.reshape(3 * B, gx, gy2pd, nr)
+
+        # inverse transforms: x-ifft local, transpose back, y-irfft
+        Uacc = jnp.fft.ifft(Uacc, axis=1)
+        Uacc = lax.all_to_all(Uacc, axis_name, split_axis=1,
+                              concat_axis=2, tiled=True)
+        Uacc = Uacc[:, :, :gy2, :]                       # (3B,gxd,gy2,nr)
+        Ur = jnp.fft.irfft(Uacc, n=gy, axis=2).astype(dtype)
+        Uloc = (jnp.zeros((gxd, gy, gz, 3 * B), dtype)
+                .at[:, :, ra:rb, :].set(jnp.moveaxis(Ur, 0, -1)))
+        sub_real = pl_._sub(pl_.tbl_real, pl_.pos_all[:n], pl_.inv_real)
+        wrows_local = ewald._interp_rows(sub_real, Uloc, plane_ids)
+        wrows = lax.all_gather(wrows_local.reshape(-1, nc), axis_name,
+                               axis=0, tiled=True)
+        wrows = jnp.concatenate(
+            [wrows, jnp.zeros((1, nc), wrows.dtype)], axis=0)
+        uw = jnp.sum(wrows[pl_.inv_real], axis=1)
+        return un + uw.astype(dtype)
+
+    f2 = forces.reshape(n, -1)
+    damp = plan.damp[:, None]
+    f2 = f2 * damp
+    args = (plan, f2, tgt2, src_pos2, src_ids2)
+    specs = jax.tree_util.tree_map(lambda _: PartitionSpec(), args)
+    out = shard_map(shard_fn, mesh=mesh, in_specs=specs,
+                    out_specs=PartitionSpec(), check_vma=False)(*args)
+    out = out * damp
+    return out.reshape(forces.shape)
 
 
 # ---------------------------------------------------------------------------

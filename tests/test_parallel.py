@@ -88,3 +88,32 @@ def test_sharded_spectral_parity_at_scale():
     u8 = np.asarray(ewald.matvec(plan, jnp.asarray(f), mesh=mesh))
     scale = np.abs(u1).max()
     assert np.abs(u8 - u1).max() < 1e-11 * scale
+
+
+@pytest.mark.slow
+def test_sharded_wall_spectral_parity():
+    """8-virtual-device sharded WALL-spectral matvec vs single device
+    (VERDICT r3 #3): kept-cell near blocks + x-plane gridding + the
+    ky-padded distributed xy transforms + per-shard polish columns."""
+    import numpy as np
+
+    from rigidmultiblobswall_tpu.ops import ewald_wall
+    from rigidmultiblobswall_tpu.parallel.mesh import make_mesh
+
+    n = 768
+    rng = np.random.default_rng(5)
+    L = 24.0
+    pos = np.stack([rng.uniform(0, L, n), rng.uniform(0, L, n),
+                    rng.uniform(0.2, 2.4, n)], axis=1)
+    f = rng.normal(size=(n, 3))
+    params = ewald_wall.default_wall_params(0.131, 1.0, (L, L), z_hi=2.6,
+                                            tol=1e-4, near_impl="xla")
+    assert params.grid[0] % 8 == 0, params.grid
+    plan = ewald_wall.make_wall_plan(params, jnp.asarray(pos))
+    assert int(plan.n_dropped_grid) == 0
+    assert int(plan.n_dropped_cells) == 0
+    u1 = np.asarray(ewald_wall.matvec(plan, jnp.asarray(f)))
+    mesh = make_mesh(8)
+    u8 = np.asarray(ewald_wall.matvec(plan, jnp.asarray(f), mesh=mesh))
+    scale = np.abs(u1).max()
+    assert np.abs(u8 - u1).max() < 1e-10 * scale
