@@ -62,10 +62,12 @@ def _near_chunk(cap):
     """Source-lane chunk width of the fused near kernel: the largest
     128-multiple (<= 512) keeping the ~50 live (cap, sc) temporaries of
     the image-channel evaluation inside Mosaic's 16 MB scoped-vmem stack
-    (cap * sc <= 32k elements; measured 17.4 MB blowout at cap=128,
-    sc=384). make_wall_plan pads S to a multiple of this so the
-    statically-unrolled chunk loop stays short."""
-    return max(min(32768 // cap, 512) // 128 * 128, 128)
+    (cap * sc <= 24k elements; measured 17.4 MB blowout at cap=128,
+    sc=384 and a 16.14 MB near-miss at cap=128, sc=256 — the stack does
+    not scale purely with cap*sc, so the bound keeps ~25% headroom).
+    make_wall_plan pads S to a multiple of this so the statically-
+    unrolled chunk loop stays short."""
+    return max(min(24576 // cap, 512) // 128 * 128, 128)
 
 
 # ---------------------------------------------------------------------------

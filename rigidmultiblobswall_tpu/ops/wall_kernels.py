@@ -126,9 +126,25 @@ def img_exact_values_np(r_scaled):
 _OP_NZ = {"iso": 0, "hess": None, "zrow": None, "zcol": None, "zz": 0}
 
 
+_EPS3 = np.zeros((3, 3, 3))
+_EPS3[0, 1, 2] = _EPS3[1, 2, 0] = _EPS3[2, 0, 1] = 1
+_EPS3[0, 2, 1] = _EPS3[2, 1, 0] = _EPS3[1, 0, 2] = -1
+
+
 def _term_entry_factor(op, i, j, kx, ky, kz):
-    """The op's (i, j) tensor factor as a (complex) array over k."""
+    """The op's (i, j) tensor factor as a (complex) array over k.
+    Covers the tt ops and the pseudo-tensor (rot-coupling) ops of
+    tools/gen_wall_channels.py."""
     K = (kx, ky, kz)
+
+    def _eps_dot(a, b):
+        """sum_k eps_{a b k} (i k_k)."""
+        out = 0.0
+        for k in range(3):
+            if _EPS3[a, b, k]:
+                out = out + float(_EPS3[a, b, k]) * (1j * K[k])
+        return out
+
     if op == "iso":
         return 1.0 if i == j else 0.0
     if op == "hess":
@@ -139,6 +155,18 @@ def _term_entry_factor(op, i, j, kx, ky, kz):
         return (1j * K[i]) if j == 2 else 0.0
     if op == "zz":
         return 1.0 if (i == 2 and j == 2) else 0.0
+    if op == "curl":
+        return _eps_dot(i, j)
+    if op == "eps3":
+        return float(_EPS3[i, j, 2])
+    if op == "zcurlgrad":
+        return _eps_dot(i, 2) * (1j * K[j])
+    if op == "gradzcurl":
+        return (1j * K[i]) * _eps_dot(j, 2)
+    if op == "zcurlzcol":
+        return _eps_dot(i, 2) if j == 2 else 0.0
+    if op == "zrowzcurl":
+        return _eps_dot(j, 2) if i == 2 else 0.0
     raise KeyError(op)
 
 

@@ -158,53 +158,172 @@ def rpy_s2_far_times_D():
     return M * D
 
 
+def wall_cross_core_sym():
+    """Sympy transcription of ops/rpy.py::_wall_cross_core (the UT
+    component pattern of the wall trans-torque correction,
+    mobility_numba.py:659-679). Lengths in blob-radius units; the pair
+    blocks derive from it by reflection/transposition (see rpy.py)."""
+    R2 = dx * dx + dy * dy + rz * rz
+    invR = 1 / sp.sqrt(R2)
+    invR2 = invR * invR
+    invR4 = invR2 * invR2
+    ex, ey, ez = dx * invR, dy * invR, rz * invR
+    h_hat = h / rz
+    f1 = invR2
+    f2 = (6 * h_hat * ez * ez * invR2 + (1 - 10 * ez * ez) * invR4) * 2
+    f3 = -ez * (3 * h_hat * invR2 - 5 * invR4) * 2
+    f4 = -ez * (h_hat * invR2 - invR4) * 2
+    M = sp.zeros(3, 3)
+    M[0, 0] = -f3 * ex * ey
+    M[0, 1] = -f1 * ez + f3 * ex * ex - f4
+    M[0, 2] = f1 * ey
+    M[1, 0] = f1 * ez - f3 * ey * ey + f4
+    M[1, 1] = f3 * ex * ey
+    M[1, 2] = -f1 * ex
+    M[2, 0] = -f1 * ey - f2 * ey - f3 * ey * ez
+    M[2, 1] = f1 * ex + f2 * ex + f3 * ex * ez
+    return M
+
+
+def wall_rr_pair_sym():
+    """Sympy transcription of the PAIR part of ops/rpy.py::wall_rr
+    (mobility_numba.py:1292-1321); self term handled by the engine."""
+    R2 = dx * dx + dy * dy + rz * rz
+    invR = 1 / sp.sqrt(R2)
+    invR3 = invR**3
+    ex, ey, ez = dx * invR, dy * invR, rz * invR
+    f1 = (1 - 6 * ez * ez) * invR3 / 2
+    f2 = -sp.Rational(3, 2) * invR3
+    f3 = 3 * invR3 * ez
+    f4 = 3 * invR3
+    M = sp.zeros(3, 3)
+    M[0, 0] = f1 + f2 * ex * ex + f4 * ey * ey
+    M[1, 1] = f1 + f2 * ey * ey + f4 * ex * ex
+    M[2, 2] = f1 + f2 * ez * ez + f3 * ez
+    M[0, 1] = (f2 - f4) * ex * ey
+    M[1, 0] = (f2 - f4) * ex * ey
+    M[0, 2] = f2 * ex * ez
+    M[2, 0] = f2 * ez * ex + f3 * ex
+    M[1, 2] = f2 * ey * ez
+    M[2, 1] = f2 * ez * ey + f3 * ey
+    return M
+
+
 # ---------------------------------------------------------------------------
 # Basis: O(del) del_z^p applied to base in {r (f4), 1/r (f2)}
 # ---------------------------------------------------------------------------
 
 OPS = ("iso", "hess", "zrow", "zcol", "zz")
+# pseudo-tensor ops (rank-2, one epsilon contraction with {del, z-hat}):
+#   curl      A_ij = eps_ijk del_k g
+#   eps3      A_ij = eps_ij3 g
+#   zcurlgrad A_ij = eps_i3k del_k del_j g
+#   gradzcurl A_ij = del_i eps_j3k del_k g
+#   zcurlzcol A_ij = eps_i3k del_k g delta_j3
+#   zrowzcurl A_ij = delta_i3 eps_j3k del_k g
+POPS = ("curl", "eps3", "zcurlgrad", "gradzcurl", "zcurlzcol", "zrowzcurl")
 MAX_P = 6
 
+EPS3 = np.zeros((3, 3, 3))
+EPS3[0, 1, 2] = EPS3[1, 2, 0] = EPS3[2, 0, 1] = 1
+EPS3[0, 2, 1] = EPS3[2, 1, 0] = EPS3[1, 0, 2] = -1
 
-def basis_matrix(op, base, p):
-    f = r if base == 4 else 1 / r
-    f = sp.diff(f, rz, p)
+
+def _op_entries(op, f, diff):
+    """3x3 matrix of operator `op` applied to scalar f with derivative
+    callable diff(expr, axis_index); shared by the exact and the
+    radial-symbolic constructions."""
     M = sp.zeros(3, 3)
     if op == "iso":
         for i in range(3):
             M[i, i] = f
     elif op == "hess":
-        for i, Xi in enumerate(X):
-            for j, Xj in enumerate(X):
-                M[i, j] = sp.diff(f, Xi, Xj)
+        for i in range(3):
+            for j in range(3):
+                M[i, j] = diff(diff(f, i), j)
     elif op == "zrow":         # delta_i3 del_j f
-        for j, Xj in enumerate(X):
-            M[2, j] = sp.diff(f, Xj)
+        for j in range(3):
+            M[2, j] = diff(f, j)
     elif op == "zcol":         # del_i f delta_j3
-        for i, Xi in enumerate(X):
-            M[i, 2] = sp.diff(f, Xi)
+        for i in range(3):
+            M[i, 2] = diff(f, i)
     elif op == "zz":
         M[2, 2] = f
+    elif op == "curl":         # eps_ijk del_k f
+        for i in range(3):
+            for j in range(3):
+                e = sum(int(EPS3[i, j, k]) * diff(f, k) for k in range(3)
+                        if EPS3[i, j, k])
+                M[i, j] = e if e != 0 else sp.Integer(0)
+    elif op == "eps3":         # eps_ij3 f
+        M[0, 1] = f
+        M[1, 0] = -f
+    elif op == "zcurlgrad":    # eps_i3k del_k del_j f
+        for i in range(3):
+            for j in range(3):
+                e = sum(int(EPS3[i, 2, k]) * diff(diff(f, k), j)
+                        for k in range(3) if EPS3[i, 2, k])
+                M[i, j] = e if e != 0 else sp.Integer(0)
+    elif op == "gradzcurl":    # del_i eps_j3k del_k f
+        for i in range(3):
+            for j in range(3):
+                e = sum(int(EPS3[j, 2, k]) * diff(diff(f, k), i)
+                        for k in range(3) if EPS3[j, 2, k])
+                M[i, j] = e if e != 0 else sp.Integer(0)
+    elif op == "zcurlzcol":    # eps_i3k del_k f delta_j3
+        for i in range(3):
+            e = sum(int(EPS3[i, 2, k]) * diff(f, k) for k in range(3)
+                    if EPS3[i, 2, k])
+            M[i, 2] = e if e != 0 else sp.Integer(0)
+    elif op == "zrowzcurl":    # delta_i3 eps_j3k del_k f
+        for j in range(3):
+            e = sum(int(EPS3[j, 2, k]) * diff(f, k) for k in range(3)
+                    if EPS3[j, 2, k])
+            M[2, j] = e if e != 0 else sp.Integer(0)
+    else:
+        raise ValueError(op)
     return M
+
+
+def basis_matrix(op, base, p):
+    f = r if base == 4 else 1 / r
+    f = sp.diff(f, rz, p)
+    return _op_entries(op, f, lambda e, i: sp.diff(e, X[i]))
+
+
+_OP_EXTRA_DEG = {"iso": 0, "hess": -2, "zrow": -1, "zcol": -1, "zz": 0,
+                 "curl": -1, "eps3": 0, "zcurlgrad": -2, "gradzcurl": -2,
+                 "zcurlzcol": -1, "zrowzcurl": -1}
 
 
 def basis_degree(op, base, p):
     d = (1 if base == 4 else -1) - p
-    return d + {"iso": 0, "hess": -2, "zrow": -1, "zcol": -1, "zz": 0}[op]
+    return d + _OP_EXTRA_DEG[op]
 
 
-def candidates(degree):
+_OP_N_DERIVS = {"iso": 0, "hess": 2, "zrow": 1, "zcol": 1, "zz": 0,
+                "curl": 1, "eps3": 0, "zcurlgrad": 2, "gradzcurl": 2,
+                "zcurlzcol": 1, "zrowzcurl": 1}
+
+
+def candidates(degree, ops=OPS):
     out = []
-    for op, base, p in itertools.product(OPS, (4, 2), range(MAX_P + 1)):
-        if basis_degree(op, base, p) == degree:
+    for op, base, p in itertools.product(ops, (4, 2), range(MAX_P + 1)):
+        if (basis_degree(op, base, p) == degree
+                # radial tables carry u-derivative orders 0..N_RAD-1 only
+                and p + _OP_N_DERIVS[op] <= N_RAD - 1):
             out.append((op, base, p))
     return out
 
 
-def fit_channel(target, degree, rng, npts=60):
+def fit_channel(target, degree, rng, npts=60, ops=OPS):
     """Fit target (3x3 sympy matrix in dx,dy,rz) to the degree-matched
-    basis by f64 lstsq at random points; return [(op,base,p,Fraction)]."""
-    cand = candidates(degree)
+    basis by f64 lstsq at random points; return [(op,base,p,Fraction)].
+
+    A rank-deficient candidate set (the pseudo-tensor ops overlap) is
+    reduced to independent columns by pivoted QR before solving, so the
+    unique reduced solution stays rational."""
+    cand = candidates(degree, ops)
     lam_t = sp.lambdify((dx, dy, rz), target, "numpy")
     lams = [sp.lambdify((dx, dy, rz), basis_matrix(*c), "numpy")
             for c in cand]
@@ -218,10 +337,22 @@ def fit_channel(target, degree, rng, npts=60):
             [np.asarray(l(px, py, pz), float).ravel() for l in lams], -1))
     A = np.concatenate(rows_b, 0)
     y = np.concatenate(rows_t, 0)
-    coef, res, *_ = np.linalg.lstsq(A, y, rcond=None)
-    resid = np.abs(A @ coef - y).max()
+    keep = list(range(len(cand)))
+    svals = np.linalg.svd(A, compute_uv=False) if A.size else np.array([1.0])
+    if svals.min() < 1e-8 * svals.max():
+        import scipy.linalg as sla
+
+        _, rqr, piv = sla.qr(A, pivoting=True, mode="economic")
+        rank = int(np.sum(np.abs(np.diag(rqr))
+                          > 1e-9 * np.abs(rqr[0, 0])))
+        keep = sorted(piv[:rank].tolist())
+        A = A[:, keep]
+    coef_k, res, *_ = np.linalg.lstsq(A, y, rcond=None)
+    resid = np.abs(A @ coef_k - y).max()
     if resid > 1e-9:
         raise RuntimeError(f"fit failed at degree {degree}: resid {resid}")
+    coef = np.zeros(len(cand))
+    coef[keep] = coef_k
     terms = []
     for c, val in zip(cand, coef):
         fr = Fraction(val).limit_denominator(10000)
@@ -238,6 +369,45 @@ def reconstruct(terms):
         M += sp.Rational(fr.numerator, fr.denominator) * basis_matrix(
             op, base, p)
     return M
+
+
+def split_by_degree(M):
+    """Split a 3x3 matrix of Laurent-type terms in (dx, dy, rz) into
+    homogeneous-degree pieces {d: 3x3 matrix}."""
+    t = sp.Symbol("t", positive=True)
+    out = {}
+    for i in range(3):
+        for j in range(3):
+            e = sp.expand(M[i, j])
+            if e == 0:
+                continue
+            for term in e.as_ordered_terms():
+                scaled = term.subs({dx: t * dx, dy: t * dy, rz: t * rz},
+                                   simultaneous=True)
+                ratio = sp.powsimp(sp.cancel(scaled / term), force=True)
+                ratio = sp.simplify(ratio)
+                if ratio == 1:
+                    d = 0
+                else:
+                    b, ex = ratio.as_base_exp()
+                    assert b == t and ex.is_Integer, (
+                        f"non-homogeneous term degree {ratio} at {(i, j)}")
+                    d = int(ex)
+                if d not in out:
+                    out[d] = sp.zeros(3, 3)
+                out[d][i, j] += term
+    return out
+
+
+def fit_mixed_degrees(target, rng, ops):
+    """Fit a (possibly degree-mixed) matrix: split into homogeneous
+    pieces, fit each at its degree, merge and verify the whole."""
+    pieces = split_by_degree(target)
+    terms = []
+    for d, mat in sorted(pieces.items()):
+        terms.extend(fit_channel(mat, d, rng, ops=ops))
+    worst = verify(target, terms, rng)
+    return terms, worst
 
 
 def verify(target, terms, rng, npts=40, digits=40):
@@ -311,8 +481,29 @@ def main():
         resid = sp.simplify(sp.expand(poly_h[m] - acc))
         assert resid.is_zero_matrix, f"monomial split incomplete at m={m}"
 
+    # --- rotational coupling blocks (rollers/grand mobility) ---------
+    core = wall_cross_core_sym()
+    W_rt = sp.expand(-core.T)       # additive rot-force pair block
+    rt_chan = {}
+    for m in range(2):
+        T = W_rt.applyfunc(lambda e: sp.expand(e).coeff(h, m))
+        terms, worst = fit_mixed_degrees(T, rng, ops=OPS + POPS)
+        print(f"rt channel m={m}: {len(terms)} terms, verify {worst:.2e}")
+        rt_chan[m] = terms
+    # completeness: h-split must reconstruct W_rt exactly
+    acc = sp.zeros(3, 3)
+    for m in range(2):
+        acc += h**m * reconstruct(rt_chan[m])
+    assert sp.simplify(sp.expand(W_rt - acc)).is_zero_matrix
+
+    rr_terms, worst = fit_mixed_degrees(
+        sp.expand(wall_rr_pair_sym()), rng, ops=OPS + POPS)
+    print(f"rr channel: {len(rr_terms)} terms, verify {worst:.2e}")
+
     img_src = gen_img_apply(channels)
     mult_src = gen_mult_apply(channels)
+    img_rot_src = gen_img_apply_rot(rt_chan, rr_terms)
+    mult_rot_src = gen_mult_apply_rot(rt_chan, rr_terms)
     radial_src = gen_radial_sources()
 
     with open(OUT, "w") as fh:
@@ -337,9 +528,30 @@ def main():
                          f"Fraction({fr.numerator}, {fr.denominator})),\n")
             fh.write("    ],\n")
         fh.write("}\n\n")
+        fh.write("# rot-coupling image channels (lengths in a; rt/tr in\n"
+                 "# 1/(8 pi eta a^2), rr in 1/(8 pi eta a^3) units):\n"
+                 "#   W_rt(R, h_src) = C0 + h_src C1;  W_tr = reflected\n"
+                 "#   transpose at h_tgt;  W_rr height-independent.\n")
+        fh.write("CHANNELS_RT = {\n")
+        for m, terms in sorted(rt_chan.items()):
+            fh.write(f"    {m}: [\n")
+            for (op, base, p, fr) in terms:
+                fh.write(f"        ({op!r}, {base}, {p}, "
+                         f"Fraction({fr.numerator}, {fr.denominator})),\n")
+            fh.write("    ],\n")
+        fh.write("}\n\n")
+        fh.write("CHANNELS_RR = [\n")
+        for (op, base, p, fr) in rr_terms:
+            fh.write(f"    ({op!r}, {base}, {p}, "
+                     f"Fraction({fr.numerator}, {fr.denominator})),\n")
+        fh.write("]\n\n")
         fh.write(img_src)
         fh.write("\n\n")
         fh.write(mult_src)
+        fh.write("\n\n")
+        fh.write(img_rot_src)
+        fh.write("\n\n")
+        fh.write(mult_rot_src)
         fh.write("\n\n")
         fh.write(radial_src)
     print(f"wrote {OUT}")
@@ -373,28 +585,12 @@ def basis_apply_sym(op, base, p):
     f = _csym(base, 0)
     for _ in range(p):
         f = _mydiff(f, rz)
-    M = sp.zeros(3, 3)
-    if op == "iso":
-        for i in range(3):
-            M[i, i] = f
-    elif op == "hess":
-        for i, Xi in enumerate(X):
-            for j, Xj in enumerate(X):
-                M[i, j] = _mydiff(_mydiff(f, Xi), Xj)
-    elif op == "zrow":
-        for j, Xj in enumerate(X):
-            M[2, j] = _mydiff(f, Xj)
-    elif op == "zcol":
-        for i, Xi in enumerate(X):
-            M[i, 2] = _mydiff(f, Xi)
-    elif op == "zz":
-        M[2, 2] = f
-    return M
+    return _op_entries(op, f, lambda e, i: _mydiff(e, X[i]))
 
 
 def _selfcheck_basis_sym(rng):
     """basis_apply_sym with exact radial substitutions must equal
-    basis_matrix (checks the hand chain rule)."""
+    basis_matrix (checks the hand chain rule, incl. the pseudo ops)."""
     uu = sp.Symbol("uu", positive=True)
     exact = {4: sp.sqrt(uu), 2: 1 / sp.sqrt(uu)}
     subs = {}
@@ -403,7 +599,10 @@ def _selfcheck_basis_sym(rng):
             d = sp.diff(exact[bb], uu, n).subs(uu, dx**2 + dy**2 + rz**2)
             subs[_csym(bb, n)] = d
     for (op, base, p) in [("hess", 4, 2), ("zcol", 4, 3), ("hess", 2, 2),
-                          ("zrow", 2, 1), ("iso", 2, 0), ("zz", 2, 2)]:
+                          ("zrow", 2, 1), ("iso", 2, 0), ("zz", 2, 2),
+                          ("curl", 2, 1), ("curl", 4, 2), ("eps3", 2, 2),
+                          ("zcurlgrad", 4, 1), ("gradzcurl", 2, 0),
+                          ("zcurlzcol", 2, 1), ("zrowzcurl", 4, 2)]:
         diff = sp.simplify(basis_apply_sym(op, base, p).subs(subs)
                            - basis_matrix(op, base, p))
         assert diff.is_zero_matrix, f"chain rule broken for {(op, base, p)}"
@@ -495,6 +694,184 @@ def gen_mult_apply(channels):
     _emit_cse(u_out, ["ux", "uy", "uz"], lines)
     lines.append("    return ux, uy, uz")
     return "\n".join(lines)
+
+
+def _recon_sym(terms):
+    """Symbolic-radial reconstruction of a term table (c{b}_n symbols)."""
+    M = sp.zeros(3, 3)
+    for (op, base, p, fr) in terms:
+        M += sp.Rational(fr.numerator, fr.denominator) * basis_apply_sym(
+            op, base, p)
+    return M
+
+
+def gen_img_apply_rot(rt_chan, rr_terms):
+    """Emit img_terms_rt / img_terms_tr / img_terms_rr: the wall
+    rot-coupling image corrections with symbolic radial generators (same
+    dual exact/screened use as img_terms). Units: lengths in a; blocks in
+    1/(8 pi eta a^2) (rt/tr) and 1/(8 pi eta a^3) (rr); reference pair
+    semantics ops/rpy.py::wall_rot_force/wall_trans_torque/wall_rr."""
+    cargs = [f"c{b}_{n}" for b in (4, 2) for n in range(N_RAD)]
+    fx, fy, fz = sp.symbols("fx fy fz")
+    fvec = sp.Matrix([fx, fy, fz])
+
+    M_rt = sp.zeros(3, 3)
+    for m, terms in rt_chan.items():
+        M_rt += h**m * _recon_sym(terms)
+    w_rt = M_rt * fvec
+    w_rt = [sp.expand(w_rt[i]) for i in range(3)]
+    lines = [
+        "def img_terms_rt(dx, dy, rz, h, fx, fy, fz, " + ", ".join(cargs)
+        + "):",
+        '    """Angular velocity from image force: (C0 + h C1) f at',
+        "    image displacement (dx,dy,rz), SOURCE height h (units of a).",
+        '    c{b}_{n}: radial generators as in img_terms."""',
+    ]
+    _emit_cse(w_rt, ["wx", "wy", "wz"], lines)
+    lines.append("    return wx, wy, wz")
+    src_rt = "\n".join(lines)
+
+    # TR = transpose at the in-plane-reflected displacement, h = TARGET
+    # height (rpy.py::wall_trans_torque; the c{b}_n radial symbols are
+    # functions of u = dx^2+dy^2+rz^2 and survive the reflection)
+    M_tr = M_rt.subs({dx: -dx, dy: -dy}, simultaneous=True).T
+    u_tr = M_tr * fvec
+    u_tr = [sp.expand(u_tr[i]) for i in range(3)]
+    lines = [
+        "def img_terms_tr(dx, dy, rz, h, tx, ty, tz, " + ", ".join(cargs)
+        + "):",
+        '    """Velocity from image torque: W_rt(-dx,-dy,rz,h)^T t,',
+        '    h = TARGET height (units of a)."""',
+    ]
+    _emit_cse([e.subs({fx: sp.Symbol("tx"), fy: sp.Symbol("ty"),
+                       fz: sp.Symbol("tz")}) for e in u_tr],
+              ["ux", "uy", "uz"], lines)
+    lines.append("    return ux, uy, uz")
+    src_tr = "\n".join(lines)
+
+    M_rr = _recon_sym(rr_terms)
+    w_rr = M_rr * fvec
+    w_rr = [sp.expand(w_rr[i]) for i in range(3)]
+    lines = [
+        "def img_terms_rr(dx, dy, rz, tx, ty, tz, " + ", ".join(cargs)
+        + "):",
+        '    """Angular velocity from image torque (pair part; height-',
+        '    independent)."""',
+    ]
+    _emit_cse([e.subs({fx: sp.Symbol("tx"), fy: sp.Symbol("ty"),
+                       fz: sp.Symbol("tz")}) for e in w_rr],
+              ["wx", "wy", "wz"], lines)
+    lines.append("    return wx, wy, wz")
+    src_rr = "\n".join(lines)
+    return src_rt + "\n\n\n" + src_tr + "\n\n\n" + src_rr
+
+
+def _k_factor_matrix(terms, kx, ky, kz, F4, F2):
+    """Sympy 3x3 k-space multiplier of a term table."""
+    K = (kx, ky, kz)
+    mat = sp.zeros(3, 3)
+    for (op, base, p, fr) in terms:
+        fhat = (F4 if base == 4 else F2) * (sp.I * kz) ** p
+        T = sp.zeros(3, 3)
+        if op == "iso":
+            for i in range(3):
+                T[i, i] = fhat
+        elif op == "hess":
+            for i in range(3):
+                for j in range(3):
+                    T[i, j] = (sp.I * K[i]) * (sp.I * K[j]) * fhat
+        elif op == "zrow":
+            for j in range(3):
+                T[2, j] = (sp.I * K[j]) * fhat
+        elif op == "zcol":
+            for i in range(3):
+                T[i, 2] = (sp.I * K[i]) * fhat
+        elif op == "zz":
+            T[2, 2] = fhat
+        elif op == "curl":
+            for i in range(3):
+                for j in range(3):
+                    T[i, j] = sum(int(EPS3[i, j, k]) * (sp.I * K[k])
+                                  for k in range(3)) * fhat
+        elif op == "eps3":
+            T[0, 1] = fhat
+            T[1, 0] = -fhat
+        elif op == "zcurlgrad":
+            for i in range(3):
+                for j in range(3):
+                    T[i, j] = sum(int(EPS3[i, 2, k]) * (sp.I * K[k])
+                                  for k in range(3)) * (sp.I * K[j]) * fhat
+        elif op == "gradzcurl":
+            for i in range(3):
+                for j in range(3):
+                    T[i, j] = (sp.I * K[i]) * sum(
+                        int(EPS3[j, 2, k]) * (sp.I * K[k])
+                        for k in range(3)) * fhat
+        elif op == "zcurlzcol":
+            for i in range(3):
+                T[i, 2] = sum(int(EPS3[i, 2, k]) * (sp.I * K[k])
+                              for k in range(3)) * fhat
+        elif op == "zrowzcurl":
+            for j in range(3):
+                T[2, j] = sum(int(EPS3[j, 2, k]) * (sp.I * K[k])
+                              for k in range(3)) * fhat
+        else:
+            raise ValueError(op)
+        mat += sp.Rational(fr.numerator, fr.denominator) * T
+    return mat
+
+
+def gen_mult_apply_rot(rt_chan, rr_terms):
+    """Emit mult_terms_rt / mult_terms_tr / mult_terms_rr (k-space)."""
+    kx, ky, kz = sp.symbols("kx ky kz")
+    F4, F2 = sp.symbols("F4 F2")
+
+    cs = {m: sp.Matrix(sp.symbols(f"c{m}x c{m}y c{m}z")) for m in range(2)}
+    w_out = sp.zeros(3, 1)
+    for m, terms in rt_chan.items():
+        w_out += _k_factor_matrix(terms, kx, ky, kz, F4, F2) * cs[m]
+    w_out = [sp.expand(w_out[i]) for i in range(3)]
+    lines = [
+        "def mult_terms_rt(kx, ky, kz, F4, F2, c0x, c0y, c0z, "
+        "c1x, c1y, c1z):",
+        '    """k-space rot-force channels: angular-velocity field from',
+        "    image-force channel fields c_m (strengths h^m f at image",
+        '    points); F4/F2 as in mult_terms."""',
+    ]
+    _emit_cse(w_out, ["wx", "wy", "wz"], lines)
+    lines.append("    return wx, wy, wz")
+    src_rt = "\n".join(lines)
+
+    # TR: per-m output fields (interpolated with TARGET weights 1, h_t)
+    cvec = sp.Matrix(sp.symbols("cx cy cz"))
+    outs, names = [], []
+    for m in range(2):
+        Tm = _k_factor_matrix(rt_chan[m], kx, ky, kz, F4, F2)
+        Ttr = Tm.subs({kx: -kx, ky: -ky}, simultaneous=True).T
+        um = Ttr * cvec
+        outs.extend(sp.expand(um[i]) for i in range(3))
+        names.extend([f"u{m}x", f"u{m}y", f"u{m}z"])
+    lines = [
+        "def mult_terms_tr(kx, ky, kz, F4, F2, cx, cy, cz):",
+        '    """k-space trans-torque channels: TWO velocity fields from',
+        "    the image-torque field c (m=0, 1); real-space result is",
+        '    sum_m h_target^m interp(u_m)."""',
+    ]
+    _emit_cse(outs, names, lines)
+    lines.append(f"    return {', '.join(names)}")
+    src_tr = "\n".join(lines)
+
+    w_rr = _k_factor_matrix(rr_terms, kx, ky, kz, F4, F2) * cvec
+    w_rr = [sp.expand(w_rr[i]) for i in range(3)]
+    lines = [
+        "def mult_terms_rr(kx, ky, kz, F4, F2, cx, cy, cz):",
+        '    """k-space rot-rot channel: angular-velocity field from the',
+        '    image-torque field c."""',
+    ]
+    _emit_cse(w_rr, ["wx", "wy", "wz"], lines)
+    lines.append("    return wx, wy, wz")
+    src_rr = "\n".join(lines)
+    return src_rt + "\n\n\n" + src_tr + "\n\n\n" + src_rr
 
 
 def gen_radial_sources():
