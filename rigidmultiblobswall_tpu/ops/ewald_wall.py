@@ -913,7 +913,8 @@ def update_wall_plan(plan: WallPlan, positions) -> WallPlan:
 
 def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
                       cheb, img_cheb, mids, halfs, two_a, rc2, z0, inv_a,
-                      ir_lo, ir_mid, ir_hi, pref_img, n_rhs=1, sc=512):
+                      ir_lo, ir_mid, ir_hi, pref_img, n_rhs=1, sc=512,
+                      s_lanes=0):
     """Fused wall near-field sweep over the combined real+image set.
 
     Per (cap targets) x (S sources) pair tile on the VPU:
@@ -940,18 +941,23 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
         ty = tgt_ref[pl.ds(r0, cap), 1:2]
         tz = tgt_ref[pl.ds(r0, cap), 2:3]
         tgt_real = (tz + z0) > 0.0
+        # flat lane base of cell t in the (…, 1, TC*S) source layout:
+        # S is a 128-multiple, so every dynamic lane offset below is
+        # vreg-aligned (a dynamic SUBLANE index here was a Mosaic
+        # "dynamic load with unaligned indices" compile error at
+        # cell_cap=128, where the per-chunk slice is a single vreg)
+        S = jnp.int32(s_lanes)
+        base = t.astype(jnp.int32) * S
 
         # The source lanes are swept in chunks of `sc`: the generated
         # img_terms holds ~50 live (cap, lanes) temporaries and a full-S
         # chunk blows Mosaic's 16 MB scoped-vmem stack at bench
-        # capacities (measured 53 MB at S=2688, cap=96). Chunk offsets
-        # are STATIC (python loop): a dynamic lane offset combined with
-        # the dynamic sublane index t is a Mosaic "dynamic load with
-        # unaligned indices" compile error at large cap.
+        # capacities (measured 53 MB at S=2688, cap=96; 16.14 MB at
+        # cap=128, sc=256). Chunk offsets are STATIC (python loop).
         def chunk(c0, acc):
-            sx = spos_ref[0, t, c0:c0 + sc][None, :]
-            sy = spos_ref[1, t, c0:c0 + sc][None, :]
-            sz = spos_ref[2, t, c0:c0 + sc][None, :]
+            sx = spos_ref[0, 0, pl.ds(base + c0, sc)][None, :]
+            sy = spos_ref[1, 0, pl.ds(base + c0, sc)][None, :]
+            sz = spos_ref[2, 0, pl.ds(base + c0, sc)][None, :]
             dx = tx - sx
             dy = ty - sy
             dz = tz - sz
@@ -1011,9 +1017,9 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
 
             outs = []
             for b in range(n_rhs):
-                fx = sf_ref[3 * b + 0, t, c0:c0 + sc][None, :]
-                fy = sf_ref[3 * b + 1, t, c0:c0 + sc][None, :]
-                fz = sf_ref[3 * b + 2, t, c0:c0 + sc][None, :]
+                fx = sf_ref[3 * b + 0, 0, pl.ds(base + c0, sc)][None, :]
+                fy = sf_ref[3 * b + 1, 0, pl.ds(base + c0, sc)][None, :]
+                fz = sf_ref[3 * b + 2, 0, pl.ds(base + c0, sc)][None, :]
                 fxm = jnp.where(src_img, -fx, fx)
                 fym = jnp.where(src_img, -fy, fy)
                 g = bfac * (dxm * fxm + dym * fym + dzm * fz)
@@ -1029,7 +1035,7 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
 
         acc = tuple(jnp.zeros((cap, 1), jnp.float32)
                     for _ in range(3 * n_rhs))
-        for c0 in range(0, spos_ref.shape[2], sc):
+        for c0 in range(0, s_lanes, sc):
             acc = chunk(c0, acc)
         for q in range(3 * n_rhs):
             out_ref[pl.ds(r0, cap), q:q + 1] = acc[q]
@@ -1092,23 +1098,27 @@ def _wall_near_rows(plan: WallPlan, f, tgt_xyz, src_pos, src_ids):
         z0=p.z0, inv_a=1.0 / p.a, ir_lo=ir_lo, ir_mid=ir_mid,
         ir_hi=ir_hi,
         pref_img=1.0 / (8.0 * math.pi * p.eta * p.a), n_rhs=nc // 3,
-        sc=sc)
+        sc=sc, s_lanes=S)
+    # cells are presented FLAT along the lane axis ((…, 1, TC*S) blocks):
+    # the kernel indexes cell t by an aligned dynamic lane offset t*S
     rows = pl.pallas_call(
         kernel,
         grid=(C_pad // TC,),
         in_specs=[
             pl.BlockSpec((TC * cap, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TC, S), lambda i: (0, i, 0),
+            pl.BlockSpec((3, 1, TC * S), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, TC, S), lambda i: (0, i, 0),
+            pl.BlockSpec((nc, 1, TC * S), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TC * cap, nc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C_pad * cap, nc), jnp.float32),
         interpret=jax.default_backend() not in ("tpu", "axon"),
-    )(tgt_xyz.astype(jnp.float32), src_pos.astype(jnp.float32), sf)
+    )(tgt_xyz.astype(jnp.float32),
+      src_pos.astype(jnp.float32).reshape(3, C_pad // TC, TC * S),
+      sf.reshape(nc, C_pad // TC, TC * S))
     return rows
 
 
