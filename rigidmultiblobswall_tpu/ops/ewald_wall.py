@@ -955,9 +955,9 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
         # capacities (measured 53 MB at S=2688, cap=96; 16.14 MB at
         # cap=128, sc=256). Chunk offsets are STATIC (python loop).
         def chunk(c0, acc):
-            sx = spos_ref[0, 0, pl.ds(base + c0, sc)][None, :]
-            sy = spos_ref[1, 0, pl.ds(base + c0, sc)][None, :]
-            sz = spos_ref[2, 0, pl.ds(base + c0, sc)][None, :]
+            sx = spos_ref[0:1, pl.ds(base + c0, sc)]
+            sy = spos_ref[1:2, pl.ds(base + c0, sc)]
+            sz = spos_ref[2:3, pl.ds(base + c0, sc)]
             dx = tx - sx
             dy = ty - sy
             dz = tz - sz
@@ -1017,9 +1017,9 @@ def _wall_near_kernel(tgt_ref, spos_ref, sf_ref, out_ref, *, cap, tc,
 
             outs = []
             for b in range(n_rhs):
-                fx = sf_ref[3 * b + 0, 0, pl.ds(base + c0, sc)][None, :]
-                fy = sf_ref[3 * b + 1, 0, pl.ds(base + c0, sc)][None, :]
-                fz = sf_ref[3 * b + 2, 0, pl.ds(base + c0, sc)][None, :]
+                fx = sf_ref[3 * b + 0:3 * b + 1, pl.ds(base + c0, sc)]
+                fy = sf_ref[3 * b + 1:3 * b + 2, pl.ds(base + c0, sc)]
+                fz = sf_ref[3 * b + 2:3 * b + 3, pl.ds(base + c0, sc)]
                 fxm = jnp.where(src_img, -fx, fx)
                 fym = jnp.where(src_img, -fy, fy)
                 g = bfac * (dxm * fxm + dym * fym + dzm * fz)
@@ -1099,26 +1099,37 @@ def _wall_near_rows(plan: WallPlan, f, tgt_xyz, src_pos, src_ids):
         ir_hi=ir_hi,
         pref_img=1.0 / (8.0 * math.pi * p.eta * p.a), n_rhs=nc // 3,
         sc=sc, s_lanes=S)
-    # cells are presented FLAT along the lane axis ((…, 1, TC*S) blocks):
-    # the kernel indexes cell t by an aligned dynamic lane offset t*S
+    # cells are presented FLAT along the lane axis — 2-D (3|nc, C_pad*S)
+    # arrays with (…, TC*S) blocks. The block's sublane dim equals the
+    # array dim and its lane dim is a 128-multiple, so Mosaic's (8, 128)
+    # block-divisibility rule holds for ANY multi-tile grid (the previous
+    # (3, 1, TC*S) block over (3, C_pad/TC, TC*S) violated it whenever
+    # C_pad/TC > 1 and only lowered in interpret mode). The kernel
+    # indexes cell t inside the block by the aligned lane offset t*S.
     rows = pl.pallas_call(
         kernel,
         grid=(C_pad // TC,),
         in_specs=[
             pl.BlockSpec((TC * cap, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 1, TC * S), lambda i: (0, i, 0),
+            pl.BlockSpec((3, TC * S), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, 1, TC * S), lambda i: (0, i, 0),
+            pl.BlockSpec((nc, TC * S), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TC * cap, nc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C_pad * cap, nc), jnp.float32),
         interpret=jax.default_backend() not in ("tpu", "axon"),
+        # multi-RHS sweeps hold per-RHS img_terms temporaries on Mosaic's
+        # scoped-vmem stack (measured 17.7 MB at cap=128, sc=128, 2 RHS
+        # vs the 16 MB default); the blocks themselves are <1 MB, so a
+        # 64 MB ceiling leaves the v5e's 128 MB VMEM ample headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(tgt_xyz.astype(jnp.float32),
-      src_pos.astype(jnp.float32).reshape(3, C_pad // TC, TC * S),
-      sf.reshape(nc, C_pad // TC, TC * S))
+      src_pos.astype(jnp.float32).reshape(3, C_pad * S),
+      sf.reshape(nc, C_pad * S))
     return rows
 
 

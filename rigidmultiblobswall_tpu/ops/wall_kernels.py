@@ -398,6 +398,48 @@ def build_polish_kernels(modes_kxky, dz_grid, *, a, eta, xi, hx, hy, hz,
     return out
 
 
+def _graded_kz_quadrature(kz_max, n_base, kp_min):
+    """Symmetric composite-Simpson kz grid: outer uniform segments at
+    the n_base resolution plus dyadic refinement down to the Lorentzian
+    width kp_min around kz = 0 (per-segment step ~ |kz|/16, bounded
+    relative feature size for the 1/(kz^2 + kp^2) factors). EXACTLY
+    mirror-symmetric — (kz, -kz) pairs carry equal weights, so the
+    assembled kernels' realness after the z-phase transform stays
+    structural, not a quadrature accident. Segment endpoints are
+    duplicated (each segment carries both of its endpoints; duplicates
+    just split the weight); kz == 0 occurs exactly once, strictly
+    inside the central segment. Returns (kz, weights), sorted."""
+    h_out = 2.0 * kz_max / max(n_base - 1, 2)
+    w0 = min(max(kp_min, kz_max * 1e-7), kz_max / 4)
+    W_out = min(max(32.0 * h_out, 2.0 * w0), kz_max / 2)
+
+    def seg(lo, hi, n_int):
+        n_int = max(2, int(n_int) + int(n_int) % 2)      # even intervals
+        x = np.linspace(lo, hi, n_int + 1)
+        w = np.ones(n_int + 1)
+        w[1:-1:2] = 4.0
+        w[2:-1:2] = 2.0
+        w *= (hi - lo) / n_int / 3.0
+        return x, w
+
+    pos = []                                             # kz > 0 segments
+    b = w0
+    while b < W_out:
+        t = min(2.0 * b, W_out)
+        pos.append(seg(b, t, 16))
+        b = t
+    pos.append(seg(W_out, kz_max,
+                   int(math.ceil((kz_max - W_out) / h_out))))
+    xc, wc = seg(-w0, w0, 32)                            # 0 at center
+    assert xc[len(xc) // 2] == 0.0
+    xs = [xc] + [x for x, _ in pos] + [-x[::-1] for x, _ in pos]
+    ws = [wc] + [w for _, w in pos] + [w[::-1] for _, w in pos]
+    kz = np.concatenate(xs)
+    wt = np.concatenate(ws)
+    order = np.argsort(kz, kind="stable")
+    return kz[order], wt[order]
+
+
 def wave_zkernel_nodes(kpars, z_nodes, *, a, eta, xi, n_quad=8193):
     """Per-in-plane-mode z-operators of the WAVE part of the wall
     mobility, for the closed-form Brownian sampler (ewald_wall.
@@ -435,19 +477,28 @@ def wave_zkernel_nodes(kpars, z_nodes, *, a, eta, xi, n_quad=8193):
     p = len(z_nodes)
     # kz band: the phi screen kills e^{-u} beyond u ~ 25. The smallest
     # nonzero k_par modes put a Lorentzian of width ~k_par at kz = 0 —
-    # the quadrature must resolve it
+    # the quadrature must resolve it. A UNIFORM grid at that resolution
+    # is O(xi / kp_min) points: the Chebyshev k_par nodes cluster as
+    # k_cut (pi / 2 pk)^2 near 0, which at bench wall slabs drove
+    # n_quad past 10^6 and the (nq, 2 p^2) exp_mat past 17 GB of host
+    # RAM (round-4's invisible "compile" stall was THIS host loop). The
+    # graded symmetric grid below resolves the Lorentzian with dyadic
+    # refinement instead: per-segment Simpson, step ~ |kz|/16 inside
+    # the refinement window, so each segment has bounded relative
+    # feature size and the total stays ~n_quad + O(log(1/kp_min)).
     kp_min = min((k for k in np.asarray(kpars, float) if k > 0),
                  default=1.0)
-    n_quad = max(n_quad, int(2 ** np.ceil(np.log2(
-        16.0 * 20.0 * xi / max(kp_min, 1e-3)))) + 1)
     kz_max = 10.0 * xi
-    kz = np.linspace(-kz_max, kz_max, n_quad)
-    mid = n_quad // 2
-    assert kz[mid] == 0.0
-    swts = np.ones(n_quad)
-    swts[1:-1:2] = 4.0
-    swts[2:-1:2] = 2.0
-    swts *= (kz[1] - kz[0]) / 3.0
+    kz, swts = _graded_kz_quadrature(kz_max, n_quad, kp_min)
+    n_quad = len(kz)
+    zero_ix = np.nonzero(kz == 0.0)[0]
+
+    def _patch_zeros(ent):
+        """Neighbor-average the (smooth, pole-subtracted) integrand at
+        every kz == 0 abscissa; zeros sit strictly inside their uniform
+        segment so index neighbors are segment neighbors."""
+        ent[zero_ix] = 0.5 * (ent[zero_ix - 1] + ent[zero_ix + 1])
+        return ent
 
     # dz values: p^2 differences then p^2 sums (flattened (a, b))
     dzd = (z_nodes[:, None] - z_nodes[None, :]).reshape(-1)
@@ -507,7 +558,7 @@ def wave_zkernel_nodes(kpars, z_nodes, *, a, eta, xi, n_quad=8193):
             row = 3 * i + i
             if i < 2:
                 ent = pref - (1.0 / eta) * pole2
-                ent[mid] = 0.5 * (ent[mid - 1] + ent[mid + 1])
+                ent = _patch_zeros(ent)
                 fins[row] += 2 * np.pi * (1.0 / eta) * fp2
                 rows[row] = ent
             # zz: projector kills it exactly at k_par = 0
@@ -521,7 +572,7 @@ def wave_zkernel_nodes(kpars, z_nodes, *, a, eta, xi, n_quad=8193):
                     c2 = c2 / (8 * np.pi * eta)
                     c1 = c1 / (8 * np.pi * eta)
                     ent = ent - c2 * pole2 - c1 * pole1
-                    ent[mid] = 0.5 * (ent[mid - 1] + ent[mid + 1])
+                    ent = _patch_zeros(ent)
                     fins[row] += 2 * np.pi * (c2 * fp2 + c1 * fp1)
                     ent = np.where(k2 == 0, 0.0, ent)
                     rows[row] = ent

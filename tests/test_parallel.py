@@ -47,7 +47,12 @@ def test_sharded_matvec_under_jit():
     assert np.allclose(np.asarray(u), np.asarray(u_ref), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
+    """Full five-path driver dryrun. Marked slow (VERDICT r4 #4): the
+    wall-spectral section alone compiles for minutes on a 1-CPU host,
+    which hung the `-m "not slow and not e2e"` core tier at round 4.
+    The driver exercises dryrun_multichip(8) directly every round."""
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
