@@ -61,14 +61,30 @@ class Carry(NamedTuple):
     # every solve (measured 5 -> 1 GMRES iterations,
     # tools/deflation_experiment.py). None when disabled.
     recycle: object = None
+    # wall-engine per-mode noise factor tables (ewald_wall.
+    # _noise_factors_device), position-independent, O(modes * p^2)
+    # floats — carried as pytree ARGUMENTS so they never lower as HLO
+    # literal constants (at bench slabs the tables are 10^2 MB; embedded
+    # as literals they overflowed the axon remote-compile request).
+    # None for every other engine and when init_carry got no state.
+    noise_factors: object = None
 
 
 def init_carry(system: System, dtype=jnp.float64, state=None,
                recycle_k: int = 0) -> Carry:
     plan = None
+    factors = None
     if state is not None and saddle.is_spectral(system):
-        plan = saddle.maybe_dense_mobility(
-            system, kin.blob_positions(system, state))
+        # jitted: eagerly the plan build dispatches hundreds of small
+        # ops through the (possibly remote) device runtime — measured
+        # minutes per build on the axon tunnel vs seconds jitted
+        plan = jax.jit(lambda r: saddle.maybe_dense_mobility(system, r))(
+            kin.blob_positions(system, state))
+        if system.domain == "single_wall_spectral" and system.kT > 0:
+            from ..ops import ewald_wall
+
+            factors = ewald_wall._noise_factors_device(
+                saddle.spectral_params(system), dtype)
     rec = None
     if recycle_k > 0:
         from ..ops.gmres import RecycleState
@@ -81,6 +97,7 @@ def init_carry(system: System, dtype=jnp.float64, state=None,
         step_idx=jnp.asarray(0),
         plan=plan,
         recycle=rec,
+        noise_factors=factors,
     )
 
 
@@ -94,7 +111,8 @@ def body_lengths(system: System, dtype=jnp.float64):
 
 
 def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
-                check_every=1, m_dense=None, **_ignored):
+                check_every=1, m_dense=None, _cached_noise_factors=None,
+                **_ignored):
     """sqrt(2 kT/dt) M^{1/2} W via preconditioned Lanczos.
 
     periodic_spectral: positively-split sampling instead — the wave part
@@ -136,8 +154,10 @@ def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
         plan = m_dense
         kw, kr = jax.random.split(key)
         damp = plan.damp[:, None]
-        fac = ewald_wall._noise_factors_device(plan.params,
-                                               state.pos.dtype)
+        fac = _cached_noise_factors
+        if fac is None:
+            fac = ewald_wall._noise_factors_device(plan.params,
+                                                   state.pos.dtype)
         uw = (damp * ewald_wall.wave_sqrt_noise(plan, kw,
                                                 factors=fac)).reshape(-1)
         z = jax.random.normal(kr, (3 * system.num_blobs,),
@@ -165,7 +185,8 @@ def _noise_slip(system, state, pc, key, factor, tolerance, max_iter,
 _PC_CACHE_KEY = "_cached_pc"
 _PLAN_CACHE_KEY = "_cached_plan"
 _RECYCLE_KEY = "_cached_recycle"
-_CACHE_KEYS = (_PC_CACHE_KEY, _PLAN_CACHE_KEY, _RECYCLE_KEY)
+_FACTORS_KEY = "_cached_noise_factors"
+_CACHE_KEYS = (_PC_CACHE_KEY, _PLAN_CACHE_KEY, _RECYCLE_KEY, _FACTORS_KEY)
 
 
 def _get_pc(system, state, lanczos_kw):
@@ -1099,11 +1120,13 @@ def make_stepper(system: System, scheme: str, dt: float, *,
         start configuration (position re-gathers; full rebuild past the
         drift budget). Returns (plan_or_None, extra_kw)."""
         plan = getattr(carry, "plan", None)
+        fac = getattr(carry, "noise_factors", None)
+        fac_kw = {} if fac is None else {_FACTORS_KEY: fac}
         if plan is None:
-            return None, {}
+            return None, fac_kw
         plan = saddle.refresh_dense_mobility(
             system, plan, kin.blob_positions(system, state))
-        return plan, {_PLAN_CACHE_KEY: plan}
+        return plan, {_PLAN_CACHE_KEY: plan, **fac_kw}
 
     def _plan_overflow(plan, state):
         """Capacity-overflow count this step: the carried spectral
@@ -1161,7 +1184,9 @@ def make_stepper(system: System, scheme: str, dt: float, *,
             new_inner = Carry(velocities_prev=velocities,
                               first_step=jnp.asarray(False),
                               step_idx=inner.step_idx + 1,
-                              plan=plan, recycle=rec_new)
+                              plan=plan, recycle=rec_new,
+                              noise_factors=getattr(inner, "noise_factors",
+                                                    None))
             aux = StepAux(velocities=velocities, det_iterations=det_it,
                           stoch_iterations=st_it, rejections=attempts - 1,
                           solves_converged=conv,
@@ -1199,7 +1224,9 @@ def make_stepper(system: System, scheme: str, dt: float, *,
         new_carry = Carry(velocities_prev=velocities,
                           first_step=jnp.asarray(False),
                           step_idx=carry.step_idx + 1,
-                          plan=plan, recycle=rec_new)
+                          plan=plan, recycle=rec_new,
+                          noise_factors=getattr(carry, "noise_factors",
+                                                None))
         aux = StepAux(velocities=velocities, det_iterations=det_it,
                       stoch_iterations=st_it, rejections=attempts - 1,
                       solves_converged=conv,

@@ -439,25 +439,35 @@ def _noise_factors_device(params: WallParams, dtype=jnp.float32):
     and defect half-factors Dh with Dh Dh^T = clamp+(G) - G (both
     scale-folded; Dh feeds wave_defect_matvec through the same linear
     chain, so sample-Cov + Delta == sum_k G_k holds by construction).
-    Clenshaw + batched eigh per retained mode; position-independent."""
+    Clenshaw + batched eigh per retained mode; position-independent —
+    computed ON HOST (f64 numpy, lru-cached per params) and embedded as
+    constants: the first implementation traced the ~10^4-mode batched
+    eigh into every step graph, re-running it each step at runtime and
+    paying its compile in every stepper instance."""
+    host = _noise_factors_host(params)
+    return tuple(jnp.asarray(a, dtype) for a in host)
+
+
+@functools.lru_cache(maxsize=8)
+def _noise_factors_host(params: WallParams):
     t = _host_noise_tables(params)
-    x = jnp.asarray(2.0 * t["kpar"] / t["k_cut"] - 1.0, dtype)   # (M,)
-    sc = jnp.asarray(t["scale"], dtype)
+    x = 2.0 * t["kpar"] / t["k_cut"] - 1.0               # (M,)
+    sc = t["scale"]
     outs = []
     for key in ("C_lz", "C_t"):
-        C = jnp.asarray(t[key], dtype)                   # (pk, E)
-        b1 = jnp.zeros((x.shape[0], C.shape[1]), dtype)
-        b2 = jnp.zeros_like(b1)
+        C = np.asarray(t[key], np.float64)               # (pk, E)
+        b1 = np.zeros((x.shape[0], C.shape[1]))
+        b2 = np.zeros_like(b1)
         x2 = (2.0 * x)[:, None]
         for q in range(C.shape[0] - 1, 0, -1):
             b1, b2 = x2 * b1 - b2 + C[q][None, :], b1
         vals = x[:, None] * b1 - b2 + C[0][None, :]
         d = int(math.isqrt(C.shape[1]))
         G = vals.reshape(x.shape[0], d, d)
-        G = 0.5 * (G + jnp.swapaxes(G, 1, 2))
-        w, V = jnp.linalg.eigh(G)
-        F = V * jnp.sqrt(jnp.maximum(w, 0.0))[:, None, :]  # F F^T = clamp+
-        Dh = V * jnp.sqrt(jnp.maximum(-w, 0.0))[:, None, :]  # Dh Dh^T = defect
+        G = 0.5 * (G + np.swapaxes(G, 1, 2))
+        w, V = np.linalg.eigh(G)
+        F = V * np.sqrt(np.maximum(w, 0.0))[:, None, :]  # F F^T = clamp+
+        Dh = V * np.sqrt(np.maximum(-w, 0.0))[:, None, :]  # defect half
         outs.append((sc[:, None, None] * F, sc[:, None, None] * Dh))
     (F_lz, Dh_lz), (F_t, Dh_t) = outs
     return F_lz, F_t, Dh_lz, Dh_t
@@ -1380,6 +1390,21 @@ def _wave_noise_apply(plan: WallPlan, w, F_lz, F_t):
     the sampler (factors = clamp+ sqrt) and the defect operator
     (factors = defect half), so their covariances add to sum_k G_k by
     construction."""
+    grid3 = _wave_noise_pre(plan, w, F_lz, F_t)
+    n = plan.n_real
+    sub_real = plan._sub(plan.tbl_real, plan.pos_all[:n], plan.inv_real)
+    return ewald.interpolate(sub_real, grid3)            # (N, 3)
+
+
+def _wave_noise_pre(plan: WallPlan, w, F_lz, F_t):
+    """Everything of the sampler chain BEFORE the 3D interpolation
+    (pure FFT/einsum/gather ops, linear in w, NO lax.map inside): the
+    split lets wave_defect_matvec transpose this part with
+    jax.linear_transpose and use the engine's own `spread` as the exact
+    adjoint of `interpolate` — jax.vjp through interpolate's lax.map
+    plane sweep stacked its per-iteration window residuals across all
+    plane chunks (an O(gx nzb cap_seg gy) tensor, 18.4 GB at bench
+    slabs: the round-5 OOM that killed the first wall bench)."""
     p = plan.params
     t = _host_noise_tables(p)
     gx, gy, gz = p.grid
@@ -1418,23 +1443,27 @@ def _wave_noise_apply(plan: WallPlan, w, F_lz, F_t):
     ox = cos[None] * xl - sin[None] * xi_t
     oy = sin[None] * xl + cos[None] * xi_t
     out = jnp.concatenate([ox, oy, xz], axis=0)          # (3pz, M)
-    Z = jnp.zeros((3 * pz, gx * gy2), cdt).at[:, idx].set(out)
+    # mode_idx is a strictly increasing unique set; declaring it lets
+    # jax.linear_transpose transpose this scatter (defect adjoint)
+    Z = (jnp.zeros((3 * pz, gx * gy2), cdt)
+         .at[:, idx].set(out, unique_indices=True))
     psi = jnp.fft.irfft2(Z.reshape(3 * pz, gx, gy2), s=(gx, gy),
                          axes=(1, 2)).astype(dtype)      # (3pz, gx, gy)
     chi = jnp.asarray(t["chi"], dtype)                   # (pz, gz)
-    grid3 = jnp.einsum("cpxy,pz->cxyz",
-                       psi.reshape(3, pz, gx, gy), chi,
-                       precision=lax.Precision.HIGHEST)
-    n = plan.n_real
-    sub_real = plan._sub(plan.tbl_real, plan.pos_all[:n], plan.inv_real)
-    return ewald.interpolate(sub_real, grid3)            # (N, 3)
+    return jnp.einsum("cpxy,pz->cxyz",
+                      psi.reshape(3, pz, gx, gy), chi,
+                      precision=lax.Precision.HIGHEST)   # (3, gx, gy, gz)
 
 
 def wave_defect_matvec(plan: WallPlan, forces, factors=None):
     """Apply the PSD defect Delta = sum_k (clamp+(G_k) - G_k) of the
     wave sampler to (N, 3) forces: Delta = U Dh Dh^T U^T with U the
-    sampler's linear chain, applied as forward(vjp(forward)(f)). The
-    noise split's Lanczos runs on M_near - Delta (see
+    sampler's linear chain, applied as forward(adjoint(f)). The adjoint
+    is EXPLICIT: interpolate^T is the engine's own `spread` (same
+    windows, exact transpose) and the scan-free pre-chain transposes
+    via jax.linear_transpose — jax.vjp through interpolate's lax.map
+    stacked per-plane window residuals into an 18 GB tensor at bench
+    slabs. The noise split's Lanczos runs on M_near - Delta (see
     _noise_factors_device)."""
     p = plan.params
     dtype = plan.pos_all.dtype
@@ -1444,14 +1473,15 @@ def wave_defect_matvec(plan: WallPlan, forces, factors=None):
     t = _host_noise_tables(p)
     pz = t["p"]
     gx, gy = p.grid[0], p.grid[1]
+    n = plan.n_real
+    sub_real = plan._sub(plan.tbl_real, plan.pos_all[:n], plan.inv_real)
 
-    def fwd(w):
-        return _wave_noise_apply(plan, w, Dh_lz, Dh_t)
-
-    w0 = jnp.zeros((3 * pz, gx, gy), dtype)
-    _, vjp_fn = jax.vjp(fwd, w0)
-    (wt,) = vjp_fn(forces.reshape(-1, 3).astype(dtype))
-    return fwd(wt)
+    f3 = forces.reshape(-1, 3).astype(dtype)
+    grid_adj = ewald.spread(sub_real, f3)                # interpolate^T
+    pre = functools.partial(_wave_noise_pre, plan, F_lz=Dh_lz, F_t=Dh_t)
+    w0 = jax.ShapeDtypeStruct((3 * pz, gx, gy), dtype)
+    (wt,) = jax.linear_transpose(pre, w0)(grid_adj)
+    return _wave_noise_apply(plan, wt, Dh_lz, Dh_t)
 
 
 def matvec(plan: WallPlan, forces, mesh=None, axis_name="blobs"):

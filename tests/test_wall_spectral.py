@@ -260,7 +260,11 @@ def test_solver_integration_matches_converged_dense():
     v_ref = np.asarray(sol_ref.velocities)
     v_spec = np.asarray(sol_spec.velocities)
     scale = np.abs(v_ref).max()
-    assert np.abs(v_ref - v_spec).max() / scale < 5e-3
+    # measured 5.2e-7 vs the n_img=20 oracle (whose own Richardson
+    # drift to n_img=40 is 2.6e-7) at spectral_tol 1e-5 — the engine
+    # converges an order below its tol ladder here; 1e-5 keeps ~20x
+    # margin (VERDICT r4 ask #9: tightened from the stale 5e-3)
+    assert np.abs(v_ref - v_spec).max() / scale < 1e-5
 
 
 def test_brownian_step_runs():
