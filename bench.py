@@ -21,6 +21,7 @@ of domain. (The repo-level north star - 50 ms at 100k blobs on v5e-8 -
 is tracked separately in BASELINE.md.)
 """
 
+import functools
 import json
 import os
 import sys
@@ -374,13 +375,17 @@ def main():
     # refreshes it instead of re-sorting); no-op for other engines
     carry = integrators.init_carry(system, dtype=jnp.float32, state=state)
 
-    @jax.jit
+    # state/carry buffers are DONATED: at wall-engine scale each carry
+    # holds a full pre-gathered plan (GBs); without donation the timed
+    # loop keeps three step-generations live and OOMs the 16 GB chip
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
     def jit_step(state, key, carry):
         new_state, new_carry, aux = step(state, key, carry)
         return new_state, new_carry, aux
 
     key = jax.random.PRNGKey(0)
-    # compile + warm up
+    pos0 = np.asarray(state.pos)
+    # compile + warm up (donates the initial state/carry)
     state1, carry1, aux = jit_step(state, key, carry)
     jax.block_until_ready(state1.pos)
     # sanity: the step must be real (finite state, solver did work)
@@ -389,7 +394,7 @@ def main():
                 det_iters=int(aux.det_iterations),
                 stoch_iters=int(aux.stoch_iterations),
                 rejections=int(aux.rejections),
-                max_disp=float(np.abs(pos1 - np.asarray(state.pos)).max()))
+                max_disp=float(np.abs(pos1 - pos0).max()))
     print("diagnostics:", diag, file=sys.stderr)
     if not diag["finite"] or diag["det_iters"] == 0:
         print(json.dumps({"metric": "brownian_step_ms_INVALID", "value": -1,
@@ -398,7 +403,7 @@ def main():
 
     n_iters = 3
     t0 = time.perf_counter()
-    s, c = state, carry
+    s, c = state1, carry1
     for i in range(n_iters):
         s, c, aux = jit_step(s, jax.random.PRNGKey(i + 1), c)
     jax.block_until_ready(s.pos)
