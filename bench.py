@@ -182,14 +182,25 @@ def bench_rollers():
 
     scheme = os.environ.get("BENCH_ROLLER_SCHEME",
                             "stochastic_adams_bashforth_rollers")
+    # BENCH_ROLLER_DOMAIN=single_wall_spectral routes the grand products
+    # through the O(N log N) wall engine (ops/ewald_wall_rot)
+    domain = os.environ.get("BENCH_ROLLER_DOMAIN", "single_wall")
+    side = int(np.ceil(N_ROLLERS ** 0.5))
+    spectral_kw = {}
+    if domain == "single_wall_spectral":
+        spectral_kw = dict(
+            periodic_length=(side * 1.6, side * 1.6, 0.0),
+            spectral_wall_height=1.8,
+            spectral_tol=float(os.environ.get("BENCH_SPECTRAL_TOL", 1e-4)),
+            spectral_grid_max=int(os.environ.get("BENCH_GRID_MAX", 512)))
     sus = rollers.RollerSuspension(
         mesh=_maybe_mesh(),
         num_rollers=N_ROLLERS, eta=1.0, blob_radius=0.5, kT=0.05, g=0.2,
-        domain="single_wall", repulsion_strength=0.2, debye_length=0.2,
+        domain=domain, repulsion_strength=0.2, debye_length=0.2,
         repulsion_strength_wall=0.2, debye_length_wall=0.2,
         solver_tolerance=SOLVER_TOL, free_kinematics=False,
-        omega_one_roller=(0.0, 10.0, 0.0), lanczos_max_iter=24)
-    side = int(np.ceil(N_ROLLERS ** 0.5))
+        omega_one_roller=(0.0, 10.0, 0.0), lanczos_max_iter=24,
+        **spectral_kw)
     idx = np.arange(N_ROLLERS)
     rng = np.random.default_rng(0)
     r0 = np.stack([(idx % side) * 1.6, (idx // side) * 1.6,
@@ -230,7 +241,10 @@ def bench_rollers():
         n_sweeps * 95.8 * (N_ROLLERS / 3072.0) ** 2))
     n_dev = jax.device_count()
     print(json.dumps({
-        "metric": f"roller_step_ms_{scheme}_{N_ROLLERS}rollers_{n_dev}chip",
+        "metric": (f"roller_step_ms_{scheme}"
+                   + ("_spectral" if domain == "single_wall_spectral"
+                      else "")
+                   + f"_{N_ROLLERS}rollers_{n_dev}chip"),
         "value": round(elapsed_ms, 3),
         "unit": "ms/step",
         "vs_baseline": round(ref_ms / elapsed_ms, 1),

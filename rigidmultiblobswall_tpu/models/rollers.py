@@ -33,7 +33,14 @@ from ..ops.lanczos import stochastic_forcing_lanczos
 
 @dataclasses.dataclass(frozen=True)
 class RollerSuspension:
-    """Static description of a roller suspension (N single-blob bodies)."""
+    """Static description of a roller suspension (N single-blob bodies).
+
+    domain="single_wall_spectral" routes every grand-mobility product
+    through the O(N log N) doubly-periodic wall engine
+    (ops/ewald_wall_rot.grand_matvec) instead of the O(N^2) direct
+    kernels — the reference's rollers hot loop
+    (quaternion_integrator_rollers.py:905-982) with spectral products.
+    Requires periodic_length x/y > 0 and spectral_wall_height > 0."""
 
     num_rollers: int
     eta: float = 1.0
@@ -41,6 +48,11 @@ class RollerSuspension:
     kT: float = 0.0
     g: float = 0.0
     domain: str = "single_wall"
+    spectral_tol: float = 1e-4
+    spectral_grid_max: int = 512
+    spectral_wall_height: float = 0.0
+    spectral_cell_capacity: int = 0
+    spectral_bucket_capacity: int = 0
     periodic_length: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     repulsion_strength: float = 0.0
     debye_length: float = 1.0
@@ -110,6 +122,135 @@ def roller_torques(sus: RollerSuspension, r, dtype):
     return jnp.zeros((sus.num_rollers, 3), dtype=dtype)
 
 
+# ---------------------------------------------------------------------------
+# Grand-mobility product engines (direct O(N^2) vs wall-spectral)
+# ---------------------------------------------------------------------------
+
+
+def _roller_spectral_params(sus: RollerSuspension):
+    from ..ops import ewald_wall
+
+    Lx, Ly = sus.periodic_length[0], sus.periodic_length[1]
+    if not (Lx > 0 and Ly > 0):
+        raise ValueError("single_wall_spectral rollers need "
+                         "periodic_length > 0 on x and y")
+    if sus.spectral_wall_height <= 0:
+        raise ValueError("single_wall_spectral rollers need "
+                         "spectral_wall_height > 0 (slab top)")
+    return ewald_wall.default_wall_params(
+        sus.blob_radius, sus.eta, (Lx, Ly),
+        z_hi=sus.spectral_wall_height, tol=sus.spectral_tol,
+        grid_max=sus.spectral_grid_max,
+        cell_capacity=sus.spectral_cell_capacity,
+        bucket_capacity=sus.spectral_bucket_capacity)
+
+
+class _DirectEngine:
+    """Product closures on the pairwise kernels at configuration r."""
+
+    def __init__(self, sus, r):
+        self.sus, self.r = sus, r
+        self.kw = sus.mobility_kwargs
+
+    def at(self, r_new):
+        return _DirectEngine(self.sus, r_new)
+
+    def tt(self, f):
+        return mob.mobility_trans_times_force(
+            self.r, f, self.sus.eta, self.sus.blob_radius, **self.kw)
+
+    def tr(self, t):
+        return mob.mobility_trans_times_torque(
+            self.r, t, self.sus.eta, self.sus.blob_radius, **self.kw)
+
+    def rt(self, f):
+        return mob.mobility_rot_times_force(
+            self.r, f, self.sus.eta, self.sus.blob_radius, **self.kw)
+
+    def rr(self, t):
+        return mob.mobility_rot_times_torque(
+            self.r, t, self.sus.eta, self.sus.blob_radius, **self.kw)
+
+    def grand(self, f, t):
+        return mob.grand_mobility_matvec(
+            self.r, f, t, self.sus.eta, self.sus.blob_radius, **self.kw)
+
+    def rr_multi(self, T):
+        """(B, n, 3) -> (B, n, 3) rr products in one condensed sweep."""
+        return mob.pairwise_matvec_multi(
+            self.r, self.r, T, self.sus.eta, self.sus.blob_radius,
+            coupling="rr", self_interaction=True, **self.kw)
+
+    def tr_multi(self, T):
+        return mob.pairwise_matvec_multi(
+            self.r, self.r, T, self.sus.eta, self.sus.blob_radius,
+            coupling="tr", self_interaction=True, **self.kw)
+
+
+class _WallSpectralEngine:
+    """Product closures on the O(N log N) wall engine (ewald_wall_rot)."""
+
+    def __init__(self, sus, r, plan=None, tables=None):
+        from ..ops import ewald_wall, ewald_wall_rot
+
+        self.sus = sus
+        params = _roller_spectral_params(sus)
+        if plan is None:
+            plan = ewald_wall.make_wall_plan(params, r)
+        if tables is None:
+            tables = ewald_wall_rot.rot_tables_device(params, r.dtype)
+        self.plan = plan
+        self.tables = tables
+
+    def at(self, r_new):
+        from ..ops import ewald_wall
+
+        return _WallSpectralEngine(
+            self.sus, r_new,
+            plan=ewald_wall.update_wall_plan(self.plan, r_new),
+            tables=self.tables)
+
+    def tt(self, f):
+        from ..ops import ewald_wall
+
+        return ewald_wall.matvec(self.plan, f)
+
+    def tr(self, t):
+        from ..ops import ewald_wall_rot
+
+        return ewald_wall_rot.grand_matvec(self.plan, None, t,
+                                           self.tables)[0]
+
+    def rt(self, f):
+        from ..ops import ewald_wall_rot
+
+        return ewald_wall_rot.grand_matvec(self.plan, f, None,
+                                           self.tables)[1]
+
+    def rr(self, t):
+        from ..ops import ewald_wall_rot
+
+        return ewald_wall_rot.grand_matvec(self.plan, None, t,
+                                           self.tables)[1]
+
+    def grand(self, f, t):
+        from ..ops import ewald_wall_rot
+
+        return ewald_wall_rot.grand_matvec(self.plan, f, t, self.tables)
+
+    def rr_multi(self, T):
+        return jnp.stack([self.rr(T[b]) for b in range(T.shape[0])])
+
+    def tr_multi(self, T):
+        return jnp.stack([self.tr(T[b]) for b in range(T.shape[0])])
+
+
+def _engine(sus: RollerSuspension, r):
+    if sus.domain == "single_wall_spectral":
+        return _WallSpectralEngine(sus, r)
+    return _DirectEngine(sus, r)
+
+
 def swan_brady_self_mobilities(sus: RollerSuspension, z):
     """Closed-form single-wall self mobilities with overlap damping
     (quaternion_integrator_rollers.py:1016-1064)."""
@@ -145,25 +286,23 @@ def deterministic_velocity_and_torque(sus: RollerSuspension, r, *,
                                       gmres_restart=20, gmres_maxiter=1000):
     """(v, T, gmres_iters) per quaternion_integrator_rollers.py:905-982."""
     dtype = r.dtype
-    kw = sus.mobility_kwargs
     force = roller_forces(sus, r)
 
     if not sus.hydro_interactions:
         return _deterministic_uncorrelated(sus, r, force)
+    eng = _engine(sus, r)
 
     if not sus.free_kinematics:
         omega = jnp.broadcast_to(
             jnp.asarray(sus.omega_one_roller, dtype=dtype),
             (sus.num_rollers, 3))
-        rhs = omega - mob.mobility_rot_times_force(
-            r, force, sus.eta, sus.blob_radius, **kw)
+        rhs = omega - eng.rt(force)
         rhs_flat = rhs.ravel()
         rhs_norm = jnp.linalg.norm(rhs_flat)
         safe = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
 
         def op(t):
-            return mob.mobility_rot_times_torque(
-                r, t.reshape(-1, 3), sus.eta, sus.blob_radius, **kw).ravel()
+            return eng.rr(t.reshape(-1, 3)).ravel()
 
         res = gmres(op, rhs_flat / safe, x0=x0_torque,
                     tol=sus.solver_tolerance, restart=gmres_restart,
@@ -174,10 +313,7 @@ def deterministic_velocity_and_torque(sus: RollerSuspension, r, *,
         torque = roller_torques(sus, r, dtype)
         iters = jnp.asarray(0)
 
-    velocity = mob.mobility_trans_times_force(r, force, sus.eta,
-                                              sus.blob_radius, **kw)
-    velocity = velocity + mob.mobility_trans_times_torque(
-        r, torque, sus.eta, sus.blob_radius, **kw)
+    velocity = eng.tt(force) + eng.tr(torque)
     return velocity, torque, iters
 
 
@@ -231,13 +367,13 @@ def stochastic_velocity(sus: RollerSuspension, r, key, dt, *,
     (v_stoch, lanczos_iters, gmres_iters)."""
     dtype = r.dtype
     n = sus.num_rollers
-    kw = sus.mobility_kwargs
     k_noise, k_rfd = jax.random.split(key)
+    eng = _engine(sus, r)
 
     def grand(ft):
         f = ft[:3 * n].reshape(n, 3)
         t = ft[3 * n:].reshape(n, 3)
-        u, w = mob.grand_mobility_matvec(r, f, t, sus.eta, sus.blob_radius, **kw)
+        u, w = eng.grand(f, t)
         return jnp.concatenate([u.ravel(), w.ravel()])
 
     z = jax.random.normal(k_noise, (6 * n,), dtype=dtype)
@@ -247,12 +383,10 @@ def stochastic_velocity(sus: RollerSuspension, r, key, dt, *,
 
     wall = sus.domain != "no_wall"
     if sus.kT > 0 and wall:
-        div_M_tt = _rfd_div(sus, r, k_rfd, lambda rr, dx:
-                            mob.mobility_trans_times_force(
-                                rr, dx, sus.eta, sus.blob_radius, **kw))
-        div_M_rt = _rfd_div(sus, r, k_rfd, lambda rr, dx:
-                            mob.mobility_rot_times_force(
-                                rr, dx, sus.eta, sus.blob_radius, **kw))
+        div_M_tt = _rfd_div(sus, r, k_rfd,
+                            lambda rr, dx: eng.at(rr).tt(dx))
+        div_M_rt = _rfd_div(sus, r, k_rfd,
+                            lambda rr, dx: eng.at(rr).rt(dx))
     else:
         div_M_tt = jnp.zeros((n, 3), dtype)
         div_M_rt = jnp.zeros((n, 3), dtype)
@@ -266,8 +400,7 @@ def stochastic_velocity(sus: RollerSuspension, r, key, dt, *,
         safe = jnp.where(rhs_norm > 0, rhs_norm, 1.0)
 
         def op(t):
-            return mob.mobility_rot_times_torque(
-                r, t.reshape(-1, 3), sus.eta, sus.blob_radius, **kw).ravel()
+            return eng.rr(t.reshape(-1, 3)).ravel()
 
         res = gmres(op, rhs / safe, tol=sus.solver_tolerance,
                     restart=gmres_restart, maxiter=gmres_maxiter)
@@ -277,8 +410,7 @@ def stochastic_velocity(sus: RollerSuspension, r, key, dt, *,
         torque = jnp.zeros((n, 3), dtype)
         iters = jnp.asarray(0)
 
-    v = mob.mobility_trans_times_torque(r, torque, sus.eta, sus.blob_radius,
-                                        **kw)
+    v = eng.tr(torque)
     v = v + noise_t + div_M_tt
     return v, noise.iterations, iters
 
@@ -301,15 +433,14 @@ def det_stoch_velocity_lockstep(sus: RollerSuspension, r, key, dt, *,
 
     dtype = r.dtype
     n = sus.num_rollers
-    kw = sus.mobility_kwargs
     k_noise, k_rfd = jax.random.split(key)
     force = roller_forces(sus, r)
+    eng = _engine(sus, r)
 
     def grand(ft):
         f = ft[:3 * n].reshape(n, 3)
         t = ft[3 * n:].reshape(n, 3)
-        u, w = mob.grand_mobility_matvec(r, f, t, sus.eta, sus.blob_radius,
-                                         **kw)
+        u, w = eng.grand(f, t)
         return jnp.concatenate([u.ravel(), w.ravel()])
 
     z = jax.random.normal(k_noise, (6 * n,), dtype=dtype)
@@ -319,12 +450,10 @@ def det_stoch_velocity_lockstep(sus: RollerSuspension, r, key, dt, *,
 
     wall = sus.domain != "no_wall"
     if sus.kT > 0 and wall:
-        div_M_tt = _rfd_div(sus, r, k_rfd, lambda rr, dx:
-                            mob.mobility_trans_times_force(
-                                rr, dx, sus.eta, sus.blob_radius, **kw))
-        div_M_rt = _rfd_div(sus, r, k_rfd, lambda rr, dx:
-                            mob.mobility_rot_times_force(
-                                rr, dx, sus.eta, sus.blob_radius, **kw))
+        div_M_tt = _rfd_div(sus, r, k_rfd,
+                            lambda rr, dx: eng.at(rr).tt(dx))
+        div_M_rt = _rfd_div(sus, r, k_rfd,
+                            lambda rr, dx: eng.at(rr).rt(dx))
     else:
         div_M_tt = jnp.zeros((n, 3), dtype)
         div_M_rt = jnp.zeros((n, 3), dtype)
@@ -334,8 +463,7 @@ def det_stoch_velocity_lockstep(sus: RollerSuspension, r, key, dt, *,
 
     omega = jnp.broadcast_to(
         jnp.asarray(sus.omega_one_roller, dtype=dtype), (n, 3))
-    rhs_det = (omega - mob.mobility_rot_times_force(
-        r, force, sus.eta, sus.blob_radius, **kw)).ravel()
+    rhs_det = (omega - eng.rt(force)).ravel()
     rhs_st = (-noise_r - div_M_rt).ravel()
 
     B = jnp.stack([rhs_det, rhs_st])
@@ -347,10 +475,7 @@ def det_stoch_velocity_lockstep(sus: RollerSuspension, r, key, dt, *,
                         jnp.zeros(3 * n, dtype)])
 
     def op_multi(T):
-        out = mob.pairwise_matvec_multi(
-            r, r, T.reshape(2, n, 3), sus.eta, sus.blob_radius,
-            coupling="rr", self_interaction=True, **kw)
-        return out.reshape(2, -1)
+        return eng.rr_multi(T.reshape(2, n, 3)).reshape(2, -1)
 
     res = gmres_lockstep(op_multi, B / safe[:, None], x0=x0,
                          tol=sus.solver_tolerance, restart=gmres_restart,
@@ -360,11 +485,8 @@ def det_stoch_velocity_lockstep(sus: RollerSuspension, r, key, dt, *,
     torque_st = T[1].reshape(n, 3)
 
     # the two M_tr torque products share one pair sweep
-    tr = mob.pairwise_matvec_multi(
-        r, r, jnp.stack([torque_det, torque_st]), sus.eta, sus.blob_radius,
-        coupling="tr", self_interaction=True, **kw)
-    v_det = mob.mobility_trans_times_force(
-        r, force, sus.eta, sus.blob_radius, **kw) + tr[0]
+    tr = eng.tr_multi(jnp.stack([torque_det, torque_st]))
+    v_det = eng.tt(force) + tr[0]
     v_st = tr[1] + noise_t + div_M_tt
     return v_det, torque_det, v_st, res.iterations, noise.iterations
 
@@ -389,9 +511,10 @@ def stochastic_linear_velocity(sus: RollerSuspension, r, key, dt, *,
             vz = vz + sus.kT * mus["d_tt_perp"]
         return jnp.stack([vx, vy, vz], axis=1), jnp.asarray(0)
 
+    eng = _engine(sus, r)
+
     def mtt(f):
-        return mob.mobility_trans_times_force(
-            r, f.reshape(-1, 3), sus.eta, sus.blob_radius, **kw).ravel()
+        return eng.tt(f.reshape(-1, 3)).ravel()
 
     z = jax.random.normal(k_noise, (3 * n,), dtype=dtype)
     noise = stochastic_forcing_lanczos(
@@ -399,9 +522,8 @@ def stochastic_linear_velocity(sus: RollerSuspension, r, key, dt, *,
         tolerance=sus.solver_tolerance, max_iter=sus.lanczos_max_iter)
     v = noise.noise.reshape(n, 3)
     if with_drift and sus.kT > 0 and sus.domain != "no_wall":
-        v = v + _rfd_div(sus, r, k_rfd, lambda rr, dx:
-                         mob.mobility_trans_times_force(
-                             rr, dx, sus.eta, sus.blob_radius, **kw))
+        v = v + _rfd_div(sus, r, k_rfd,
+                         lambda rr, dx: eng.at(rr).tt(dx))
     return v, noise.iterations
 
 
@@ -459,10 +581,9 @@ def _thermal_drift(sus, r, key):
     (quaternion_integrator_rollers.py:1404-1434)."""
     if sus.kT <= 0 or sus.domain == "no_wall":
         return jnp.zeros_like(r)
-    kw = sus.mobility_kwargs
-    return _rfd_div(sus, r, key, lambda rr, dx:
-                    mob.mobility_trans_times_force(
-                        rr, dx, sus.eta, sus.blob_radius, **kw))
+    eng = _engine(sus, r)
+    return _rfd_div(sus, r, key,
+                    lambda rr, dx: eng.at(rr).tt(dx))
 
 
 def _noise_velocity(sus, r, key, dt_eff):
@@ -477,11 +598,10 @@ def _noise_velocity(sus, r, key, dt_eff):
                           fd * jnp.sqrt(mus["tt_para"]) * z[:, 1],
                           fd * jnp.sqrt(mus["tt_perp"]) * z[:, 2]],
                          axis=1), jnp.asarray(0)
-    kw = sus.mobility_kwargs
+    eng = _engine(sus, r)
 
     def mtt(f):
-        return mob.mobility_trans_times_force(
-            r, f.reshape(-1, 3), sus.eta, sus.blob_radius, **kw).ravel()
+        return eng.tt(f.reshape(-1, 3)).ravel()
 
     z = jax.random.normal(key, (3 * n,), dtype=dtype)
     res = stochastic_forcing_lanczos(
@@ -604,7 +724,7 @@ def make_stepper(sus: RollerSuspension, scheme: str, dt: float, *,
         raise ValueError(f"unknown roller scheme {scheme!r}; "
                          f"available: {sorted(_SCHEMES)}")
     body_fn = _SCHEMES[scheme]
-    wall = sus.domain == "single_wall"
+    wall = sus.domain in ("single_wall", "single_wall_spectral")
 
     def step(r, key, carry: RollerCarry):
         def cond(loop):

@@ -60,6 +60,7 @@ _SLOW_MODULES = {
     # measured >35 s each on the 1-CPU bench host (round-3 module timing);
     # moved out so the core tier stays under ~5 minutes
     "test_tpu_accuracy", "test_source_target", "test_articulated",
+    "test_wall_rot_engine",
 }
 _E2E_MODULES = {
     "test_reference_e2e", "test_published_examples", "test_cli",
