@@ -534,6 +534,23 @@ def main(argv=None):
                 np.savetxt("%s.body_mobility.%08d.dat"
                            % (cfg.output_name, step_idx), N, delimiter="  ")
 
+        # HydroGrid-analog on-the-fly structure factors (reference
+        # multi_bodies.py:1396-1409 + read_input.py:86-93 option names)
+        sk = None
+        if cfg.options.get("call_HydroGrid", "False") == "True":
+            from .utils.analysis import StructureFactor
+
+            cells = np.fromstring(cfg.options.get("cells", "1 1"),
+                                  sep=" ", dtype=int)
+            green = np.fromstring(
+                cfg.options.get("green_particles", "0 0"), sep=" ",
+                dtype=int)
+            sk = StructureFactor(system.periodic_length[0],
+                                 system.periodic_length[1], cells, green,
+                                 system.num_blobs)
+        sk_sample = int(cfg.options.get("sample_HydroGrid", 1))
+        sk_save = int(cfg.options.get("save_HydroGrid", 0))
+
         for step_idx in range(cfg.initial_step, cfg.n_steps):
             if (step_idx % cfg.n_save) == 0 and step_idx >= 0:
                 elapsed = time.time() - start_time
@@ -542,6 +559,11 @@ def main(argv=None):
                 save_clones(step_idx, state)
                 save_concentration_field(step_idx, state)
                 save_mobilities(step_idx, state)
+            if sk is not None and (step_idx % sk_sample) == 0:
+                sk.sample(kin.blob_positions(system, state))
+                if sk_save > 0 and step_idx > 0 and \
+                        (step_idx % sk_save) == 0:
+                    sk.save(cfg.output_name + ".structure_factors.dat")
             if user_mod is not None and hasattr(user_mod, "preprocess"):
                 state = user_mod.preprocess(system, state, step_idx)
             key, sub = jax.random.split(key)
@@ -575,6 +597,8 @@ def main(argv=None):
                 velocities_log.append(np.asarray(aux.velocities))
         save_clones(cfg.n_steps, state)
         save_mobilities(cfg.n_steps, state)
+        if sk is not None and sk.n_samples > 0:
+            sk.save(cfg.output_name + ".structure_factors.dat")
         if velocities_log:
             np.savetxt(cfg.output_name + ".velocities.dat",
                        np.stack(velocities_log).reshape(len(velocities_log), -1))

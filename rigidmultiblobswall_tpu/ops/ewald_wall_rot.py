@@ -69,21 +69,25 @@ def _host_cheb_rot(params: ew.WallParams):
 
     p = params
     edges = [(1e-9, 2.0 * p.a), (2.0 * p.a, p.r_cut)]
-    K = 24
-    out = np.zeros((2, 3, K))
-    for pidx, (lo, hi) in enumerate(edges):
-        r = np.linspace(lo, hi, 2001)
-        t = (2.0 * r - (hi + lo)) / (hi - lo)
-        gamma, alpha, beta = ewald.rot_scalar_functions(r, p.a, p.eta)
-        gw, cperp, cpar = ewald.rot_wave_freespace_scalars(
-            r, p.a, p.eta, p.xi)
-        rows = [gamma - gw, alpha - cperp, beta - (cpar - cperp)]
-        for i, f in enumerate(rows):
-            out[pidx, i] = npcheb.chebfit(t, f, K - 1)
-            scale = max(np.abs(f).max(), 1e-30)
-            err = np.abs(npcheb.chebval(t, out[pidx, i]) - f).max() / scale
-            if err > 5e-7:
-                raise RuntimeError(f"rot near fit row {i} err {err}")
+    for K in (24, 32, 40, 48):
+        out = np.zeros((2, 3, K))
+        err = 0.0
+        for pidx, (lo, hi) in enumerate(edges):
+            r = np.linspace(lo, hi, 3001)
+            t = (2.0 * r - (hi + lo)) / (hi - lo)
+            gamma, alpha, beta = ewald.rot_scalar_functions(r, p.a, p.eta)
+            gw, cperp, cpar = ewald.rot_wave_freespace_scalars(
+                r, p.a, p.eta, p.xi)
+            rows = [gamma - gw, alpha - cperp, beta - (cpar - cperp)]
+            for i, f in enumerate(rows):
+                out[pidx, i] = npcheb.chebfit(t, f, K - 1)
+                scale = max(np.abs(f).max(), 1e-30)
+                err = max(err, np.abs(
+                    npcheb.chebval(t, out[pidx, i]) - f).max() / scale)
+        if err < max(5e-7, 0.02 * p.tol):
+            break
+    else:
+        raise RuntimeError(f"rot near fit stalled at err {err}")
     _, _, _, _, self_rr = ewald.rot_realspace_tables(
         p.a, p.eta, p.xi, p.r_cut, n_points=64)
     return out, float(self_rr)

@@ -162,3 +162,77 @@ def transfer_mobility(mobility_1, point_1, point_2):
                     - _vector_cross_tensor(
                         r, _tensor_cross_vector(m1[3:6, 3:6], r)))
     return m2
+
+
+class StructureFactor:
+    """On-the-fly 2-species concentration structure factors — the
+    framework's analog of the reference's optional HydroGrid coupling
+    (multi_bodies/multi_bodies.py:1396-1409, :1479-1613; options
+    call_HydroGrid / sample_HydroGrid / save_HydroGrid / cells /
+    green_particles of read_input.py:86-93).
+
+    Each sample bins blob centers into an (nx, ny) xy concentration
+    field per species (green = indices [g0, g1), red = the rest),
+    accumulates the rfft2 cross-spectra <dc_a(k) conj(dc_b(k))> with
+    the per-sample mean subtracted, and writes radially-binned
+    S_gg/S_rr/S_gr(k) normalized per particle. Host-side numpy on the
+    saved configurations (same cadence the reference calls HydroGrid's
+    updateHydroGrid)."""
+
+    def __init__(self, Lx, Ly, cells, green_particles, n_blobs):
+        self.Lx, self.Ly = float(Lx), float(Ly)
+        self.nx, self.ny = int(cells[0]), int(cells[1])
+        g0, g1 = int(green_particles[0]), int(green_particles[1])
+        mask = np.zeros(n_blobs, bool)
+        mask[g0:g1] = True
+        self.green = mask
+        self.n_samples = 0
+        ny2 = self.ny // 2 + 1
+        self.acc = np.zeros((3, self.nx, ny2))
+
+    def _field(self, pos, sel):
+        ix = np.mod(np.floor(pos[sel, 0] / self.Lx * self.nx).astype(int),
+                    self.nx)
+        iy = np.mod(np.floor(pos[sel, 1] / self.Ly * self.ny).astype(int),
+                    self.ny)
+        c = np.zeros((self.nx, self.ny))
+        np.add.at(c, (ix, iy), 1.0)
+        return c - c.mean()
+
+    def sample(self, positions):
+        pos = np.asarray(positions)
+        cg = np.fft.rfft2(self._field(pos, self.green))
+        cr = np.fft.rfft2(self._field(pos, ~self.green))
+        self.acc[0] += (cg * np.conj(cg)).real
+        self.acc[1] += (cr * np.conj(cr)).real
+        self.acc[2] += (cg * np.conj(cr)).real
+        self.n_samples += 1
+
+    def radial(self):
+        """(k_centers, S_gg, S_rr, S_gr) radially binned, normalized per
+        particle (S -> 1 for an ideal gas at large k)."""
+        n = max(self.n_samples, 1)
+        ntot = max(int(self.green.size), 1)
+        kx = 2 * np.pi * np.fft.fftfreq(self.nx, d=self.Lx / self.nx)
+        ky = 2 * np.pi * np.fft.rfftfreq(self.ny, d=self.Ly / self.ny)
+        kmag = np.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
+        dk = 2 * np.pi / max(self.Lx, self.Ly)
+        nb = int(np.ceil(kmag.max() / dk)) + 1
+        which = np.minimum((kmag / dk).astype(int), nb - 1)
+        counts = np.bincount(which.ravel(), minlength=nb)
+        out = []
+        for a in range(3):
+            s = np.bincount(which.ravel(),
+                            weights=(self.acc[a] / (n * ntot)).ravel(),
+                            minlength=nb)
+            out.append(s / np.maximum(counts, 1))
+        keep = counts > 0
+        k_centers = (np.arange(nb) + 0.5) * dk
+        return (k_centers[keep],) + tuple(o[keep] for o in out)
+
+    def save(self, path):
+        k, sgg, srr, sgr = self.radial()
+        header = (f"structure factors, {self.n_samples} samples, "
+                  "columns: k S_gg S_rr S_gr (per-particle norm)")
+        np.savetxt(path, np.stack([k, sgg, srr, sgr], axis=1),
+                   header=header)

@@ -77,3 +77,25 @@ def test_rotational_msd_shape_and_symmetry():
     for tau in range(1, 10):
         assert np.allclose(out[tau], out[tau].T, atol=1e-12)
         assert np.all(np.diag(out[tau]) >= 0)
+
+
+def test_structure_factor_ideal_gas_normalization():
+    """Uncorrelated uniform particles give S(k) ~= 1 at all k > 0 (the
+    HydroGrid-analog sanity: per-particle normalization + mean
+    subtraction), and the green/red cross spectrum ~= 0."""
+    import numpy as np
+
+    from rigidmultiblobswall_tpu.utils.analysis import StructureFactor
+
+    rng = np.random.default_rng(0)
+    n, L = 4000, 20.0
+    sf = StructureFactor(L, L, (32, 32), (0, n // 2), n)
+    for _ in range(60):
+        pos = np.column_stack([rng.uniform(0, L, n), rng.uniform(0, L, n),
+                               rng.uniform(0, 2.0, n)])
+        sf.sample(pos)
+    k, sgg, srr, sgr = sf.radial()
+    # each species holds n/2 particles; per-TOTAL-particle norm -> 1/2
+    assert abs(np.mean(sgg[2:]) - 0.5) < 0.05
+    assert abs(np.mean(srr[2:]) - 0.5) < 0.05
+    assert np.abs(np.mean(sgr[2:])) < 0.05
