@@ -209,7 +209,7 @@ def bench_rollers():
     r0 = jnp.asarray(r0)
 
     step = rollers.make_stepper(sus, scheme, DT, max_rejections=3)
-    carry = rollers.init_carry(sus, dtype=jnp.float32)
+    carry = rollers.init_carry(sus, dtype=jnp.float32, positions=r0)
     jit_step = jax.jit(step)
     r1, carry1, aux = jit_step(r0, jax.random.PRNGKey(0), carry)
     jax.block_until_ready(r1)

@@ -89,12 +89,29 @@ class RollerAux(NamedTuple):
 class RollerCarry(NamedTuple):
     velocities_prev: jax.Array
     first_step: jax.Array
+    # wall-spectral engine state carried ACROSS steps (plan refreshed
+    # per configuration) and its position-independent rot tables —
+    # carried as pytree ARGUMENTS so the (10^1..10^2 MB) polish/near
+    # tables never lower as HLO literal constants (the same axon
+    # remote-compile 413 trap as the integrators' noise factors)
+    plan: object = None
+    rot_tables: object = None
 
 
-def init_carry(sus: RollerSuspension, dtype=jnp.float64) -> RollerCarry:
+def init_carry(sus: RollerSuspension, dtype=jnp.float64,
+               positions=None) -> RollerCarry:
+    plan = None
+    tables = None
+    if positions is not None and sus.domain == "single_wall_spectral":
+        from ..ops import ewald_wall, ewald_wall_rot
+
+        params = _roller_spectral_params(sus)
+        plan = jax.jit(lambda r: ewald_wall.make_wall_plan(params, r))(
+            jnp.asarray(positions, dtype))
+        tables = ewald_wall_rot.rot_tables_device(params, dtype)
     return RollerCarry(
         velocities_prev=jnp.zeros((sus.num_rollers, 3), dtype=dtype),
-        first_step=jnp.asarray(True))
+        first_step=jnp.asarray(True), plan=plan, rot_tables=tables)
 
 
 # ---------------------------------------------------------------------------
@@ -245,9 +262,15 @@ class _WallSpectralEngine:
         return jnp.stack([self.tr(T[b]) for b in range(T.shape[0])])
 
 
-def _engine(sus: RollerSuspension, r):
+def _engine(sus: RollerSuspension, r, carry=None):
     if sus.domain == "single_wall_spectral":
-        return _WallSpectralEngine(sus, r)
+        plan = getattr(carry, "plan", None)
+        tables = getattr(carry, "rot_tables", None)
+        if plan is not None:
+            from ..ops import ewald_wall
+
+            plan = ewald_wall.update_wall_plan(plan, r)
+        return _WallSpectralEngine(sus, r, plan=plan, tables=tables)
     return _DirectEngine(sus, r)
 
 
@@ -282,7 +305,7 @@ def swan_brady_self_mobilities(sus: RollerSuspension, z):
 
 
 def deterministic_velocity_and_torque(sus: RollerSuspension, r, *,
-                                      x0_torque=None,
+                                      x0_torque=None, eng=None,
                                       gmres_restart=20, gmres_maxiter=1000):
     """(v, T, gmres_iters) per quaternion_integrator_rollers.py:905-982."""
     dtype = r.dtype
@@ -290,7 +313,8 @@ def deterministic_velocity_and_torque(sus: RollerSuspension, r, *,
 
     if not sus.hydro_interactions:
         return _deterministic_uncorrelated(sus, r, force)
-    eng = _engine(sus, r)
+    if eng is None:
+        eng = _engine(sus, r)
 
     if not sus.free_kinematics:
         omega = jnp.broadcast_to(
@@ -360,7 +384,7 @@ def _rfd_div(sus, r, key, product):
     return (sus.kT / (sus.rf_delta * sus.blob_radius)) * (plus - minus)
 
 
-def stochastic_velocity(sus: RollerSuspension, r, key, dt, *,
+def stochastic_velocity(sus: RollerSuspension, r, key, dt, *, eng=None,
                         gmres_restart=20, gmres_maxiter=1000):
     """Full grand-mobility stochastic velocity with RFD drift terms
     (quaternion_integrator_rollers.py:1082-1200). Returns
@@ -368,7 +392,8 @@ def stochastic_velocity(sus: RollerSuspension, r, key, dt, *,
     dtype = r.dtype
     n = sus.num_rollers
     k_noise, k_rfd = jax.random.split(key)
-    eng = _engine(sus, r)
+    if eng is None:
+        eng = _engine(sus, r)
 
     def grand(ft):
         f = ft[:3 * n].reshape(n, 3)
@@ -416,7 +441,7 @@ def stochastic_velocity(sus: RollerSuspension, r, key, dt, *,
 
 
 def det_stoch_velocity_lockstep(sus: RollerSuspension, r, key, dt, *,
-                                x0_torque=None,
+                                x0_torque=None, eng=None,
                                 gmres_restart=20, gmres_maxiter=1000):
     """Fused deterministic + stochastic update for constrained-omega
     rollers with hydrodynamic interactions: the deterministic torque
@@ -435,7 +460,8 @@ def det_stoch_velocity_lockstep(sus: RollerSuspension, r, key, dt, *,
     n = sus.num_rollers
     k_noise, k_rfd = jax.random.split(key)
     force = roller_forces(sus, r)
-    eng = _engine(sus, r)
+    if eng is None:
+        eng = _engine(sus, r)
 
     def grand(ft):
         f = ft[:3 * n].reshape(n, 3)
@@ -492,7 +518,7 @@ def det_stoch_velocity_lockstep(sus: RollerSuspension, r, key, dt, *,
 
 
 def stochastic_linear_velocity(sus: RollerSuspension, r, key, dt, *,
-                               with_drift=True):
+                               with_drift=True, eng=None):
     """Free-kinematics M_tt-only noise (+ RFD drift)
     (quaternion_integrator_rollers.py:1203-1260, :1315-1353)."""
     dtype = r.dtype
@@ -511,7 +537,8 @@ def stochastic_linear_velocity(sus: RollerSuspension, r, key, dt, *,
             vz = vz + sus.kT * mus["d_tt_perp"]
         return jnp.stack([vx, vy, vz], axis=1), jnp.asarray(0)
 
-    eng = _engine(sus, r)
+    if eng is None:
+        eng = _engine(sus, r)
 
     def mtt(f):
         return eng.tt(f.reshape(-1, 3)).ravel()
@@ -533,24 +560,30 @@ def stochastic_linear_velocity(sus: RollerSuspension, r, key, dt, *,
 
 
 def _scheme_forward_euler(sus, dt, key, r, carry):
-    v, t, it = deterministic_velocity_and_torque(sus, r)
+    v, t, it = deterministic_velocity_and_torque(
+        sus, r, eng=_engine(sus, r, carry) if sus.hydro_interactions
+        else None)
     return r + dt * v, v, t, it, jnp.asarray(0)
 
 
 def _scheme_adams_bashforth(sus, dt, key, r, carry):
-    v, t, it = deterministic_velocity_and_torque(sus, r)
+    v, t, it = deterministic_velocity_and_torque(
+        sus, r, eng=_engine(sus, r, carry) if sus.hydro_interactions
+        else None)
     v_ab = jnp.where(carry.first_step, v, 1.5 * v - 0.5 * carry.velocities_prev)
     return r + dt * v_ab, v, t, it, jnp.asarray(0)
 
 
 def _scheme_stochastic_first_order(sus, dt, key, r, carry):
     k1, k2 = jax.random.split(key)
+    eng = _engine(sus, r, carry) if sus.hydro_interactions else None
     if sus.free_kinematics:
-        v, t, it = deterministic_velocity_and_torque(sus, r)
-        vs, it_l = stochastic_linear_velocity(sus, r, k2, dt)
+        v, t, it = deterministic_velocity_and_torque(sus, r, eng=eng)
+        vs, it_l = stochastic_linear_velocity(sus, r, k2, dt, eng=eng)
         return r + dt * (v + vs), v, t, it, it_l
     if sus.hydro_interactions:
-        v, t, vs, it, it_l = det_stoch_velocity_lockstep(sus, r, k2, dt)
+        v, t, vs, it, it_l = det_stoch_velocity_lockstep(sus, r, k2, dt,
+                                                         eng=eng)
         return r + dt * (v + vs), v, t, it, it_l
     v, t, it = deterministic_velocity_and_torque(sus, r)
     vs, it_l, it_g = stochastic_velocity(sus, r, k2, dt)
@@ -559,12 +592,14 @@ def _scheme_stochastic_first_order(sus, dt, key, r, carry):
 
 def _scheme_stochastic_adams_bashforth(sus, dt, key, r, carry):
     k1, k2 = jax.random.split(key)
+    eng = _engine(sus, r, carry) if sus.hydro_interactions else None
     if sus.free_kinematics:
-        v, t, it = deterministic_velocity_and_torque(sus, r)
-        vs, it_l = stochastic_linear_velocity(sus, r, k2, dt)
+        v, t, it = deterministic_velocity_and_torque(sus, r, eng=eng)
+        vs, it_l = stochastic_linear_velocity(sus, r, k2, dt, eng=eng)
     elif sus.hydro_interactions:
         # det + stoch torque solves share one lockstep M_rr Krylov loop
-        v, t, vs, it, it_l = det_stoch_velocity_lockstep(sus, r, k2, dt)
+        v, t, vs, it, it_l = det_stoch_velocity_lockstep(sus, r, k2, dt,
+                                                         eng=eng)
         v_ab = jnp.where(carry.first_step, v,
                          1.5 * v - 0.5 * carry.velocities_prev)
         return r + dt * (v_ab + vs), v, t, it, it_l
@@ -746,7 +781,16 @@ def make_stepper(sus: RollerSuspension, scheme: str, dt: float, *,
 
         overlaps = (jnp.sum(r_new[:, 2] < sus.blob_radius)
                     if wall else jnp.asarray(0))
-        carry = RollerCarry(velocities_prev=v, first_step=jnp.asarray(False))
+        plan = getattr(carry, "plan", None)
+        if plan is not None:
+            from ..ops import ewald_wall
+
+            # refresh the carried plan at the accepted configuration so
+            # next step's in-graph refresh measures one-step drift only
+            plan = ewald_wall.update_wall_plan(plan, r_new)
+        carry = RollerCarry(velocities_prev=v, first_step=jnp.asarray(False),
+                            plan=plan,
+                            rot_tables=getattr(carry, "rot_tables", None))
         aux = RollerAux(velocities=v, torques=t, det_iterations=det_it,
                         stoch_iterations=st_it, rejections=attempts - 1,
                         wall_overlaps=overlaps)
@@ -758,7 +802,7 @@ def make_stepper(sus: RollerSuspension, scheme: str, dt: float, *,
 def simulate(sus: RollerSuspension, positions, key, *, scheme, dt, n_steps,
              save_every=1, **kw):
     step = make_stepper(sus, scheme, dt, **kw)
-    carry0 = init_carry(sus, dtype=positions.dtype)
+    carry0 = init_carry(sus, dtype=positions.dtype, positions=positions)
 
     def scan_body(lc, _):
         r, key, carry = lc
