@@ -219,6 +219,24 @@ def default_wall_params(a, eta, box_xy, z_hi, *, tol=1e-4,
     # z geometry: data extent covers sources AND their windows
     wz = 0.5 * support * hx + 2 * hx
     LD = 2.0 * (float(z_hi) + wz)
+    # polish-mode budget: the polish set keeps modes with k_par below
+    # kstar = (ln(1/0.03 tol) + 5) / margin, margin = (pad - 1) LD, so
+    # its size grows as (Lx Ly) kstar^2 / (4 pi^2) — at large in-plane
+    # boxes (32k-roller slabs, L ~ 3 10^2) the per-mode Toeplitz tables
+    # blow past the remote-compile payload limit. Raising the z padding
+    # shrinks the set quadratically for a LINEAR gz cost (and the
+    # z-sliced transforms only touch occupied planes); pick the
+    # smallest pad in [z_pad_factor, 6] keeping the set under ~4096.
+    kstar_num = math.log(1.0 / max(0.03 * tol, 1e-300)) + 5.0
+    p_budget = 4096.0
+    for _pad in (z_pad_factor, 2.5, 3.0, 4.0, 5.0, 6.0):
+        if _pad < z_pad_factor:
+            continue
+        kstar = kstar_num / max((_pad - 1.0) * LD, 1e-30)
+        p_est = Lx * Ly * kstar * kstar / (4.0 * math.pi ** 2) * math.pi
+        z_pad_factor = _pad
+        if p_est <= p_budget:
+            break
     gz = max(ewald._round_up_grid(z_pad_factor * LD / hx,
                                   zslab_pm=max(int(support) - 1, 8)), 8)
     z0 = -0.5 * LD
