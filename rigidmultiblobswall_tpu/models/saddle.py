@@ -88,10 +88,21 @@ def maybe_dense_mobility(system: System, r_blobs):
     SpectralPlan for domain='periodic_spectral' (O(N log N) per product),
     or None -> the matrix-free pairwise engine."""
     if system.has_mixed_radii:
-        if is_spectral(system):
+        if system.domain == "periodic_spectral":
+            # exact polydisperse spectral engine: per-GROUP sinc shape
+            # factors in k-space + per-group-pair near tables
+            # (ops/ewald, mixed-radii mode; reference radii backends:
+            # mobility/mobility.py:830-966 — pairwise only there)
+            from ..ops import ewald
+
+            _, groups = radii_groups(system)
+            return ewald.make_plan(spectral_params(system), r_blobs,
+                                   group_of=jnp.asarray(groups))
+        if system.domain == "single_wall_spectral":
             raise NotImplementedError(
-                "per-blob radii are not supported by the spectral engines; "
-                "use the pairwise domains (single_wall/no_wall/"
+                "per-blob radii are not supported by the WALL spectral "
+                "engine yet; use domain='periodic_spectral' (supported) "
+                "or the pairwise domains (single_wall/no_wall/"
                 "free_surface)")
         # per-radius products run matrix-free through the source-target
         # kernel (mobility_radii_trans_times_force); the materialized
@@ -132,6 +143,21 @@ def maybe_dense_mobility(system: System, r_blobs):
         periodic_length=system.periodic_length)
 
 
+def radii_groups(system: System):
+    """Distinct blob radii (rounded to 10 digits) + per-blob group index
+    for the mixed-radii spectral engine (host numpy)."""
+    import numpy as np
+
+    rad = np.asarray(system.blob_radii, np.float64)
+    vals, groups = np.unique(np.round(rad, 10), return_inverse=True)
+    if len(vals) > 8:
+        raise NotImplementedError(
+            f"{len(vals)} distinct blob radii: the spectral mixed-radii "
+            "engine carries one wave channel block per distinct radius; "
+            "use the pairwise domains for continuously-distributed radii")
+    return tuple(float(v) for v in vals), groups.astype(np.int32)
+
+
 def spectral_params(system: System):
     """The parameter set the spectral engines derive from the System
     (host-side; shared by plan construction and capacity sizing)."""
@@ -141,13 +167,19 @@ def spectral_params(system: System):
         if not all(L > 0 for L in system.periodic_length):
             raise ValueError("periodic_spectral needs periodic_length > 0 "
                              "on all three axes")
+        radii_kw = {}
+        a_eff = system.blob_radius
+        if system.has_mixed_radii:
+            vals, _ = radii_groups(system)
+            radii_kw["radii"] = vals
+            a_eff = max(vals)  # r_cut/grid sized by the largest radius
         return ewald.default_params(
-            system.blob_radius, system.eta, system.periodic_length,
+            a_eff, system.eta, system.periodic_length,
             tol=system.spectral_tol, grid_max=system.spectral_grid_max,
             bucket_capacity=system.spectral_bucket_capacity,
             plane_batch=system.spectral_plane_batch,
             precision=system.spectral_precision,
-            cell_capacity=system.spectral_cell_capacity)
+            cell_capacity=system.spectral_cell_capacity, **radii_kw)
     if system.domain == "single_wall_spectral":
         from ..ops import ewald_wall
 

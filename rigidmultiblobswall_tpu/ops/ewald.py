@@ -243,6 +243,66 @@ def rot_realspace_tables(a, eta, xi, r_max, *, n_points=2048):
     return r, gamma_r, alpha_rr_r, beta_rr_r, self_rr
 
 
+def rpy_radii_scalar_functions(r, ag, ah, eta):
+    """Unequal-radii RPY TT scalars (alpha, beta) with
+    M = alpha I + beta rhat rhat^T — numpy mirror of ops/rpy.rpy_tt_radii
+    (reference radii kernels, mobility/mobility.py:830-966): the
+    Rotne-Prager far form, the Wajnryb-et-al overlap form for
+    |ag-ah| < r < ag+ah, and the rigid "one inside the other" plateau."""
+    r = np.asarray(r, dtype=np.float64)
+    rs = np.maximum(r, 1e-14)
+    s2 = ag * ag + ah * ah
+    pref = 1.0 / (8.0 * np.pi * eta)
+    c1_far = (1.0 + s2 / (3.0 * rs * rs)) / rs
+    c2_far = (1.0 - s2 / (rs * rs)) / rs**3
+    dd2 = (ah - ag) ** 2
+    ft = 4.0 / 3.0
+    c1_mid = ((16.0 * (ag + ah) * rs**3 - (dd2 + 3.0 * rs * rs) ** 2)
+              / (32.0 * rs**3)) * ft / (ag * ah)
+    c2_mid = (3.0 * (dd2 - rs * rs) ** 2 / (32.0 * rs**5)) * ft / (ag * ah)
+    c1_near = np.full_like(rs, ft / max(ag, ah))
+    far = r > (ag + ah)
+    mid = (~far) & (r > abs(ah - ag))
+    c1 = np.where(far, c1_far, np.where(mid, c1_mid, c1_near))
+    c2 = np.where(far, c2_far, np.where(mid, c2_mid, 0.0))
+    return pref * c1, pref * c2 * r * r
+
+
+def wave_freespace_scalars_radii(r, ag, ah, eta, xi, *, n_k=4001):
+    """Free-space inverse transform of the wave-space kernel with
+    PER-GROUP shape factors sinc(k ag) sinc(k ah) (the polydisperse PSE
+    wave multiplier): (c_perp, c_par) with
+    M^w_free = c_perp (I - rr) + c_par rr."""
+    r = np.asarray(r, dtype=np.float64)
+    k_max = 2.0 * xi * math.sqrt(math.log(1e22))
+    k = np.linspace(0.0, k_max, n_k)
+    k[0] = 1e-30
+    sinc_g = np.sin(k * ag) / (k * ag)
+    sinc_h = np.sin(k * ah) / (k * ah)
+    phi = (1.0 + k * k / (4 * xi * xi)) * np.exp(-k * k / (4 * xi * xi))
+    g_times_k2 = sinc_g * sinc_h * phi / eta
+    x = np.outer(r, k)
+    perp_w, par_w = _bessel_weights(x)
+    from scipy.integrate import simpson
+
+    c_perp = simpson(g_times_k2[None, :] * perp_w, x=k, axis=1) / (
+        2 * np.pi**2)
+    c_par = simpson(g_times_k2[None, :] * par_w, x=k, axis=1) / (
+        2 * np.pi**2)
+    return c_perp, c_par
+
+
+def pair_remainder_radii(r, ag, ah, eta, xi):
+    """Real-space remainder scalars (alpha_r, beta_r) for a group pair
+    (ag, ah), evaluated DIRECTLY at radii r (quadrature, no tables):
+    M^r(r; ag, ah) = RPY_radii(r) - M^w_free(r; sinc_g sinc_h). The
+    r = 0 entry is the (g == g) self remainder."""
+    r = np.asarray(r, dtype=np.float64)
+    alpha, beta = rpy_radii_scalar_functions(r, ag, ah, eta)
+    c_perp, c_par = wave_freespace_scalars_radii(r, ag, ah, eta, xi)
+    return alpha - c_perp, beta - (c_par - c_perp)
+
+
 def realspace_tables(a, eta, xi, r_max, *, n_points=2048):
     """Radial tables of the real-space remainder scalars
     (alpha_r, beta_r) with M^r(r) = alpha_r I + beta_r r^ r^^T =
@@ -301,6 +361,12 @@ class EwaldParams:
     near_impl: str = "auto"
     near_tile: int = 8         # cells per Pallas grid step
     tol: float = 1e-4          # accuracy target the params were built for
+    # distinct per-blob radii (mixed-radii mode): when non-empty, the
+    # wave kernel carries per-GROUP sinc(k a_g) shape factors (exact
+    # polydisperse PSE — SPD by congruence), the near field uses
+    # per-group-pair remainder tables, and make_plan needs group_of.
+    # `a` then plays the grid/r_cut sizing role (pass max(radii)).
+    radii: Tuple[float, ...] = ()
 
     @property
     def spacing(self):
@@ -453,6 +519,64 @@ def _host_cheb(params: EwaldParams):
     return out, self_c
 
 
+def _radii_pair_edges(params: EwaldParams, g: int, h: int):
+    """Radial piece edges for group pair (g, h): the RPY radii scalars
+    kink at |ag - ah| (one-inside-the-other boundary) and at ag + ah
+    (touching), so each pair table is fit in three pieces. The first
+    edge is floored away from zero so a same-radius pair keeps three
+    well-conditioned (if tiny) pieces."""
+    ag, ah = params.radii[g], params.radii[h]
+    e1 = max(abs(ag - ah), 1e-3 * params.r_cut)
+    e2 = ag + ah
+    if not e1 < e2 < params.r_cut:
+        raise ValueError(
+            f"radii pair ({ag}, {ah}) needs r_cut > ag + ah "
+            f"(r_cut={params.r_cut}); raise r_cut_factor")
+    return (0.0, e1, e2, params.r_cut)
+
+
+@functools.lru_cache(maxsize=16)
+def _host_cheb_radii(params: EwaldParams):
+    """Piecewise-Chebyshev fits of the per-group-pair real-space
+    remainder scalars (mixed-radii mode). Fits use per-piece Chebyshev
+    nodes evaluated by direct quadrature (pair_remainder_radii), so tiny
+    pieces stay well-sampled. Returns (coeffs (G, G, 3 pieces,
+    2 funcs, K), self_coeffs (G,))."""
+    from numpy.polynomial import chebyshev as npcheb
+
+    G = len(params.radii)
+    scale = 1.0 / (6 * np.pi * params.eta * min(params.radii))
+    target = 0.05 * params.tol
+    for K in ([params.n_cheb] if params.n_cheb
+              else (10, 12, 14, 16, 20, 24, 28, 32)):
+        out = np.zeros((G, G, 3, 2, K))
+        selfs = np.zeros((G,))
+        err = 0.0
+        nodes = np.cos(np.pi * (np.arange(4 * K) + 0.5) / (4 * K))
+        for g in range(G):
+            for h in range(g, G):
+                edges = _radii_pair_edges(params, g, h)
+                for i in range(3):
+                    lo, hi = edges[i], edges[i + 1]
+                    r = 0.5 * (hi + lo) + 0.5 * (hi - lo) * nodes
+                    al, be = pair_remainder_radii(
+                        r, params.radii[g], params.radii[h],
+                        params.eta, params.xi)
+                    for j, tab in enumerate((al, be)):
+                        out[g, h, i, j] = npcheb.chebfit(nodes, tab, K - 1)
+                        err = max(err, np.abs(
+                            npcheb.chebval(nodes, out[g, h, i, j])
+                            - tab).max() / scale)
+                out[h, g] = out[g, h]
+            a0, _ = pair_remainder_radii(
+                np.asarray([0.0]), params.radii[g], params.radii[g],
+                params.eta, params.xi)
+            selfs[g] = a0[0]
+        if params.n_cheb or err < target:
+            break
+    return out, selfs
+
+
 @functools.lru_cache(maxsize=16)
 def _host_whats(params: EwaldParams):
     """Per-axis window transforms w^(k) (host quadrature; tiny (g,)
@@ -475,12 +599,14 @@ def _axis_freqs(params: EwaldParams):
             2.0 * np.pi * np.fft.rfftfreq(gz, d=Lz / gz)]
 
 
-def _device_kernel(params: EwaldParams, dtype):
+def _device_kernel(params: EwaldParams, dtype, *, include_sinc=True):
     """k-space multiplier and unit wave vectors, assembled ON DEVICE from
     1-D inputs. The (g^3) tables must never be host constants: baked into
     a jitted step they blow the HLO up by hundreds of MB (the remote
     compile service rejects it), and they would be re-shipped per
-    compile. Device assembly is ~20 flops/mode, sub-ms per plan."""
+    compile. Device assembly is ~20 flops/mode, sub-ms per plan.
+    include_sinc=False drops the sinc(ka)^2 shape factor (mixed-radii
+    mode applies per-GROUP factors separately, see _group_sinc)."""
     whats = _host_whats(params)
     ks = [jnp.asarray(kd, dtype) for kd in _axis_freqs(params)]
     kx = ks[0][:, None, None]
@@ -489,7 +615,8 @@ def _device_kernel(params: EwaldParams, dtype):
     k2 = kx * kx + ky * ky + kz * kz
     k2_safe = jnp.where(k2 > 0, k2, 1.0)
     k = jnp.sqrt(k2_safe)
-    sinc = jnp.sin(k * params.a) / (k * params.a)
+    sinc2 = (jnp.sin(k * params.a) / (k * params.a)) ** 2 \
+        if include_sinc else 1.0
     phi = (1.0 + k2 / (4 * params.xi**2)) * jnp.exp(
         -k2 / (4 * params.xi**2))
     h3 = float(np.prod(params.spacing))
@@ -497,13 +624,23 @@ def _device_kernel(params: EwaldParams, dtype):
     what2 = w2[0][:, None, None] * w2[1][None, :, None] * w2[2][None, None, :]
     # normalization: spread-side quadrature h^3/w^ twice, (1/V) sum_k,
     # and ifftn's 1/n^3 combine to exactly h^3 / w^^2 (V = n^3 h^3)
-    kern = (sinc**2 * phi / (params.eta * k2_safe)) * h3 / what2
+    kern = (sinc2 * phi / (params.eta * k2_safe)) * h3 / what2
     kern = kern.at[0, 0, 0].set(0.0)
     khat = jnp.stack([jnp.broadcast_to(kx / k, k2.shape),
                       jnp.broadcast_to(ky / k, k2.shape),
                       jnp.broadcast_to(kz / k, k2.shape)], axis=0)
     khat = khat.at[:, 0, 0, 0].set(0.0)
     return kern, khat
+
+
+def _group_sinc(params: EwaldParams, dtype):
+    """Per-group sinc(k a_g) shape-factor stack (G, nx, ny, nz//2+1),
+    assembled on device (mixed-radii mode)."""
+    ks = [jnp.asarray(kd, dtype) for kd in _axis_freqs(params)]
+    k2 = (ks[0][:, None, None] ** 2 + ks[1][None, :, None] ** 2
+          + ks[2][None, None, :] ** 2)
+    k = jnp.sqrt(jnp.where(k2 > 0, k2, 1.0))
+    return jnp.stack([jnp.sin(k * ag) / (k * ag) for ag in params.radii])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -545,6 +682,13 @@ class SpectralPlan:
     khat: jax.Array           # (3, nx, ny, nz//2+1) unit wave vectors (rfft
     #                           half-spectrum along z)
     params: EwaldParams
+    # mixed-radii mode (params.radii non-empty); all None otherwise.
+    # kernel then carries the BASE multiplier (no sinc^2): per-group
+    # factors live in gsinc, self_coeff is per-particle (N, 1), and the
+    # near sweep selects per-group-pair tables from cheb_radii.
+    group_of: jax.Array | None = None    # (N,) int32 radius-group index
+    gsinc: jax.Array | None = None       # (G, nx, ny, nz//2+1)
+    cheb_radii: jax.Array | None = None  # (G, G, 3 pieces, 2 funcs, K)
 
     @property
     def cap_seg(self) -> int:
@@ -559,7 +703,7 @@ jax.tree_util.register_dataclass(
                  "cell_table", "cell_slot", "nbr_cells", "n_dropped_cells",
                  "grid_tbl", "inv_idx", "n_dropped",
                  "src_pos", "src_ids", "tgt_xyz",
-                 "kernel", "khat"],
+                 "kernel", "khat", "group_of", "gsinc", "cheb_radii"],
     meta_fields=["cell_dims", "params"])
 
 
@@ -635,15 +779,29 @@ def make_grid_layout(params: EwaldParams, pos, bucket_capacity=0):
     return grid_tbl, inv_idx, n_dropped
 
 
-def make_plan(params: EwaldParams, positions) -> SpectralPlan:
+def make_plan(params: EwaldParams, positions,
+              group_of=None) -> SpectralPlan:
     """Build the reusable machinery for M v products at fixed positions
-    (one plan per configuration; ~45 matvecs amortize it per step)."""
+    (one plan per configuration; ~45 matvecs amortize it per step).
+    Mixed-radii mode (params.radii non-empty) additionally needs
+    group_of: (N,) int32 index of each blob's radius group."""
     dtype = positions.dtype
     box = jnp.asarray(params.box, dtype)
     pos = positions - jnp.floor(positions / box) * box
+    radii_mode = bool(params.radii)
+    if radii_mode and group_of is None:
+        raise ValueError("params.radii set: make_plan needs group_of")
 
     # ---- real-space Chebyshev coefficients (host, cached per params)
     cheb, self_c = _host_cheb(params)
+    cheb_radii = gsinc = None
+    if radii_mode:
+        group_of = jnp.asarray(group_of, jnp.int32)
+        cr, selfs = _host_cheb_radii(params)
+        cheb_radii = jnp.asarray(cr, dtype)
+        # per-particle self coefficient (broadcasts in _near_assemble)
+        self_c = jnp.asarray(selfs, dtype)[group_of][:, None]
+        gsinc = _group_sinc(params, dtype)
 
     # ---- cell list (fixed-capacity padded layout, sorted by cell id)
     dims = tuple(max(int(L // params.r_cut), 1) for L in params.box)
@@ -676,8 +834,10 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
     nbr_cells = cells.neighbor_table(dims)
 
     # ---- Pallas near-field: pre-gathered (cell, 27*cap) source layout
+    # (mixed-radii mode runs the channel-generic XLA cell sweep: the
+    # fused Pallas kernel assumes one radius's two-piece series)
     src_pos = src_ids = tgt_xyz = None
-    if _resolve_near_impl(params) == "pallas":
+    if not radii_mode and _resolve_near_impl(params) == "pallas":
         TC = params.near_tile
         S = cells.lane_pad_sources(cap)
         n_cells_pad = -(-n_cells // TC) * TC
@@ -694,7 +854,7 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         params, pos, params.bucket_capacity)
 
     # ---- k-space kernel (assembled on device; only 1-D host inputs)
-    kern, khat = _device_kernel(params, dtype)
+    kern, khat = _device_kernel(params, dtype, include_sinc=not radii_mode)
 
     return SpectralPlan(
         positions=pos,
@@ -707,6 +867,7 @@ def make_plan(params: EwaldParams, positions) -> SpectralPlan:
         grid_tbl=grid_tbl, inv_idx=inv_idx, n_dropped=n_dropped,
         src_pos=src_pos, src_ids=src_ids, tgt_xyz=tgt_xyz,
         kernel=kern, khat=khat,
+        group_of=group_of, gsinc=gsinc, cheb_radii=cheb_radii,
         params=params)
 
 
@@ -768,7 +929,7 @@ def update_plan(plan: SpectralPlan, positions) -> SpectralPlan:
 
     def rebuild(_):
         # same params (capacities already resolved) -> identical shapes
-        return make_plan(p, positions)
+        return make_plan(p, positions, group_of=plan.group_of)
 
     return lax.cond(ok, refresh, rebuild, None)
 
@@ -951,9 +1112,39 @@ def k_scale(plan: SpectralPlan, gk):
     return out.reshape(shape)
 
 
+def _wave_matvec_radii(plan: SpectralPlan, forces):
+    """Mixed-radii wave product: per-GROUP sinc(k a_g) shape factors.
+
+    Sources expand into G group-channel blocks (each particle's force in
+    its group's triplet — spread/interpolate window products are shared
+    across channels), the k-space sum folds the source-side factors,
+    the target-side factors broadcast the solution back to G blocks, and
+    each particle reads its own group's interpolated triplet. Exact
+    polydisperse RPY: M_w = D^T C D with D = sum_g sinc_g F S_g, C the
+    base PSD convolution — SPD by congruence for ANY radii mix."""
+    p = plan.params
+    G = len(p.radii)
+    n = plan.positions.shape[0]
+    f = forces.reshape(n, -1)
+    C = f.shape[1]
+    onehot = jax.nn.one_hot(plan.group_of, G, dtype=f.dtype)   # (n, G)
+    fe = (onehot[:, :, None] * f[:, None, :]).reshape(n, G * C)
+    grid = spread(plan, fe)                        # (G*C, gx, gy, gz)
+    gk = jnp.fft.rfftn(grid, axes=(1, 2, 3))
+    gk = gk.reshape(G, C, *gk.shape[1:])
+    gsum = jnp.sum(plan.gsinc[:, None] * gk, axis=0)         # (C, ...)
+    uk = k_scale(plan, gsum)                       # base kernel, no sinc
+    uk_g = (plan.gsinc[:, None] * uk[None]).reshape(G * C, *uk.shape[1:])
+    ug = jnp.fft.irfftn(uk_g, s=p.grid, axes=(1, 2, 3))
+    out = interpolate(plan, ug).reshape(n, G, C)
+    return jnp.sum(onehot[:, :, None] * out, axis=1)          # (n, C)
+
+
 def wave_matvec(plan: SpectralPlan, forces):
     """u^w = S^T F^{-1} B F S f (spread, rFFT, scale, irFFT, interpolate).
     forces (N, C) with C = 3 B (B stacked RHS sharing window products)."""
+    if plan.gsinc is not None:
+        return _wave_matvec_radii(plan, forces)
     grid = spread(plan, forces)                          # (C, gx, gy, gz)
     gx, gy, gz = plan.params.grid
     C = grid.shape[0]
@@ -999,6 +1190,17 @@ def wave_sqrt_noise(plan: SpectralPlan, key):
     gk = jnp.fft.rfftn(w, axes=(1, 2, 3))
     kdotg = jnp.sum(plan.khat * gk, axis=0, keepdims=True)
     uk = jnp.sqrt(plan.kernel)[None] * (gk - plan.khat * kdotg)
+    if plan.gsinc is not None:
+        # mixed radii: target-side group factors; each particle reads its
+        # group's triplet. Cov(u) = D^T C^{1/2} C^{1/2} D = M_w exactly
+        # (same D as _wave_matvec_radii).
+        G = len(p.radii)
+        uk_g = (plan.gsinc[:, None] * uk[None]).reshape(
+            G * 3, *uk.shape[1:])
+        ug = jnp.fft.irfftn(uk_g, s=p.grid, axes=(1, 2, 3))
+        out = interpolate(plan, ug).reshape(-1, G, 3)
+        onehot = jax.nn.one_hot(plan.group_of, G, dtype=dtype)
+        return jnp.sum(onehot[:, :, None] * out, axis=1)
     ug = jnp.fft.irfftn(uk, s=p.grid, axes=(1, 2, 3))
     return interpolate(plan, ug)
 
@@ -1039,6 +1241,12 @@ def _xla_near_tile_fn(plan: SpectralPlan, forces):
     pos_c = pos_pad[ids]                                   # (C, cap, 3)
     f_c = f_pad[ids]
 
+    radii_mode = plan.cheb_radii is not None
+    if radii_mode:
+        g_pad = jnp.concatenate(
+            [plan.group_of, jnp.zeros((1,), jnp.int32)], axis=0)
+        g_c = g_pad[ids]                                   # (C, cap)
+
     TC = min(p.cell_tile, n_cells)
     n_pad_c = -(-n_cells // TC) * TC
     pad_c = n_pad_c - n_cells
@@ -1047,6 +1255,9 @@ def _xla_near_tile_fn(plan: SpectralPlan, forces):
             [pos_c, jnp.full((pad_c, cap, 3), jnp.nan, dtype)], axis=0)
         f_c = jnp.concatenate(
             [f_c, jnp.zeros((pad_c, cap, nc), dtype)], axis=0)
+        if radii_mode:
+            g_c = jnp.concatenate(
+                [g_c, jnp.zeros((pad_c, cap), jnp.int32)], axis=0)
     ids_pad = (jnp.concatenate([ids, jnp.full((pad_c, cap), n, jnp.int32)])
                if pad_c else ids)
     nbr_pad = (jnp.concatenate(
@@ -1057,6 +1268,37 @@ def _xla_near_tile_fn(plan: SpectralPlan, forces):
     two_a = 2.0 * p.a
     mids = jnp.asarray([0.5 * two_a, 0.5 * (two_a + p.r_cut)], dtype)
     halfs = jnp.asarray([0.5 * two_a, 0.5 * (p.r_cut - two_a)], dtype)
+
+    def _scalars_radii(r, gt, gs):
+        """Per-pair (alpha, beta): group-pair tables selected by mask,
+        three pieces each (edges from _radii_pair_edges)."""
+        al = jnp.zeros_like(r)
+        be = jnp.zeros_like(r)
+        G = len(p.radii)
+        gtb = gt[:, :, None, None]
+        gsb = gs[:, None, :, :]
+        for g in range(G):
+            for h in range(g, G):
+                mask = (gtb == g) & (gsb == h)
+                if h != g:
+                    mask = mask | ((gtb == h) & (gsb == g))
+                edges = _radii_pair_edges(p, g, h)
+                vals = []
+                for i in range(3):
+                    lo, hi = edges[i], edges[i + 1]
+                    t = jnp.clip((2.0 * r - (hi + lo)) / (hi - lo),
+                                 -1.0, 1.0)
+                    vals.append((_clenshaw(plan.cheb_radii[g, h, i, 0], t),
+                                 _clenshaw(plan.cheb_radii[g, h, i, 1], t)))
+                in1 = r < edges[1]
+                in2 = r < edges[2]
+                al_q = jnp.where(in1, vals[0][0],
+                                 jnp.where(in2, vals[1][0], vals[2][0]))
+                be_q = jnp.where(in1, vals[0][1],
+                                 jnp.where(in2, vals[1][1], vals[2][1]))
+                al = al + jnp.where(mask, al_q, 0.0)
+                be = be + jnp.where(mask, be_q, 0.0)
+        return al, be
 
     def tile_fn(c0):
         rp = lax.dynamic_slice_in_dim(pos_c, c0, TC, 0)    # (TC, cap, 3)
@@ -1076,16 +1318,19 @@ def _xla_near_tile_fn(plan: SpectralPlan, forces):
         inside = ((r < p.r_cut) & (r2 > 0)
                   & (rid[:, :, None, None] != sid[:, None, :, :]))
         d = jnp.where(inside[..., None], d, 0.0)
-        near = r < two_a
-        piece = near.astype(jnp.int32)
-        # evaluate both pieces' series at their own t, select
-        t0 = jnp.clip((r - mids[0]) / halfs[0], -1.0, 1.0)
-        t1 = jnp.clip((r - mids[1]) / halfs[1], -1.0, 1.0)
-        al = jnp.where(near, _clenshaw(plan.cheb[0, 0], t0),
-                       _clenshaw(plan.cheb[1, 0], t1))
-        be = jnp.where(near, _clenshaw(plan.cheb[0, 1], t0),
-                       _clenshaw(plan.cheb[1, 1], t1))
-        del piece
+        if radii_mode:
+            gt = lax.dynamic_slice_in_dim(g_c, c0, TC, 0)  # (TC, cap)
+            gs = g_c[nb]                                   # (TC, 27, cap)
+            al, be = _scalars_radii(r, gt, gs)
+        else:
+            near = r < two_a
+            # evaluate both pieces' series at their own t, select
+            t0 = jnp.clip((r - mids[0]) / halfs[0], -1.0, 1.0)
+            t1 = jnp.clip((r - mids[1]) / halfs[1], -1.0, 1.0)
+            al = jnp.where(near, _clenshaw(plan.cheb[0, 0], t0),
+                           _clenshaw(plan.cheb[1, 0], t1))
+            be = jnp.where(near, _clenshaw(plan.cheb[0, 1], t0),
+                           _clenshaw(plan.cheb[1, 1], t1))
         al = jnp.where(inside, al, 0.0)
         bfac = jnp.where(inside, be / jnp.where(inside, r2, 1.0), 0.0)
         # per-RHS contraction: fs carries nc = 3 B channels (b-major)
@@ -1263,7 +1508,10 @@ def matvec(plan: SpectralPlan, forces, mesh=None, axis_name="blobs"):
     """Full periodic RPY product M f, (N,3) -> (N,3). With a `mesh`, the
     near-field cell blocks and the gridding planes are divided across
     devices and the 3D FFT is distributed (see matvec_sharded)."""
-    if mesh is not None and mesh.shape[axis_name] > 1:
+    if (mesh is not None and mesh.shape[axis_name] > 1
+            and plan.gsinc is None):
+        # mixed-radii plans run replicated (correct, not yet sharded):
+        # the sharded wave path does not carry the group-channel logic
         return matvec_sharded(mesh, plan, forces, axis_name=axis_name)
     return real_matvec(plan, forces) + wave_matvec(plan, forces)
 
@@ -1281,7 +1529,8 @@ def matvec_multi(plan: SpectralPlan, forces, mesh=None, axis_name="blobs"):
     if B == 1:
         return matvec(plan, forces[0], mesh=mesh, axis_name=axis_name)[None]
     f = jnp.moveaxis(forces, 0, 1).reshape(n, 3 * B)     # b-major channels
-    if mesh is not None and mesh.shape[axis_name] > 1:
+    if (mesh is not None and mesh.shape[axis_name] > 1
+            and plan.gsinc is None):
         # distributed sweep shares gridding/near work across the B
         # channels exactly like the single-chip path
         out = matvec_sharded(mesh, plan, f, axis_name=axis_name)
@@ -1426,6 +1675,64 @@ def brute_force_wave(params: EwaldParams, positions, forces, *, n_waves=24):
     fk = fk.sum(axis=1)                                       # (nk,3)
     fk = fk - khat * np.sum(khat * fk, axis=1, keepdims=True)
     u = np.real(np.exp(1j * pos @ kvecs.T) @ (amp[:, None] * fk))
+    return u
+
+
+def brute_force_wave_radii(params: EwaldParams, positions, forces,
+                           group_of, *, n_waves=24):
+    """Direct lattice k-sum of the mixed-radii wave part (per-particle
+    sinc(k a_g) factors; no grid, no windows)."""
+    pos = np.asarray(positions, dtype=np.float64)
+    f = np.asarray(forces, dtype=np.float64).reshape(-1, 3)
+    g_of = np.asarray(group_of)
+    a_of = np.asarray(params.radii)[g_of]                  # (N,)
+    L = np.asarray(params.box)
+    m = np.arange(-n_waves, n_waves + 1)
+    mx, my, mz = np.meshgrid(m, m, m, indexing="ij")
+    kvecs = 2 * np.pi * np.stack(
+        [mx.ravel() / L[0], my.ravel() / L[1], mz.ravel() / L[2]], axis=1)
+    k2 = np.sum(kvecs**2, axis=1)
+    sel = k2 > 0
+    kvecs, k2 = kvecs[sel], k2[sel]
+    k = np.sqrt(k2)
+    ka = np.outer(k, a_of)                                 # (nk, N)
+    sinc = np.sin(ka) / ka
+    phi = (1 + k2 / (4 * params.xi**2)) * np.exp(-k2 / (4 * params.xi**2))
+    amp = phi / (params.eta * k2) / np.prod(L)
+    khat = kvecs / k[:, None]
+    fk = (np.exp(-1j * pos @ kvecs.T).T * sinc)[:, :, None] * f[None]
+    fk = fk.sum(axis=1)                                    # (nk, 3)
+    fk = fk - khat * np.sum(khat * fk, axis=1, keepdims=True)
+    u = np.real((np.exp(1j * pos @ kvecs.T).T * sinc).transpose(1, 0)
+                @ (amp[:, None] * fk))
+    return u
+
+
+def brute_force_real_radii(params: EwaldParams, positions, forces,
+                           group_of):
+    """Direct minimum-image mixed-radii remainder sum, with per-pair
+    scalars from DIRECT quadrature (pair_remainder_radii — no Chebyshev
+    tables, so engine-vs-oracle parity also validates the fits)."""
+    pos = np.asarray(positions, dtype=np.float64)
+    f = np.asarray(forces, dtype=np.float64).reshape(-1, 3)
+    g_of = np.asarray(group_of)
+    L = np.asarray(params.box)
+    n = pos.shape[0]
+    selfs = {g: pair_remainder_radii(
+        np.asarray([0.0]), params.radii[g], params.radii[g],
+        params.eta, params.xi)[0][0] for g in set(g_of.tolist())}
+    u = np.stack([selfs[g] for g in g_of.tolist()])[:, None] * f
+    for i in range(n):
+        d = pos[i] - pos
+        d -= np.round(d / L) * L
+        r = np.linalg.norm(d, axis=1)
+        sel = (r < params.r_cut) & (np.arange(n) != i) & (r > 0)
+        for j in np.nonzero(sel)[0]:
+            al, be = pair_remainder_radii(
+                np.asarray([r[j]]), params.radii[g_of[i]],
+                params.radii[g_of[j]], params.eta, params.xi)
+            u[i] += (al[0] * f[j]
+                     + (be[0] * (d[j] @ f[j]) / r[j] ** 2) * d[j])
     return u
 
 
