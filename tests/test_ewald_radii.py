@@ -205,3 +205,31 @@ def test_saddle_builds_radii_plan_and_step_runs():
     new_state, _, aux = jax.jit(step)(state, jax.random.PRNGKey(0), carry)
     assert bool(np.all(np.isfinite(np.asarray(new_state.pos))))
     assert int(aux.det_iterations) > 0
+
+
+@pytest.mark.slow
+def test_radii_engine_matches_source_target_kernel_dilute():
+    """VERDICT r4 ask #8 parity shape: the spectral mixed-radii operator
+    vs the reference-parity-tested pairwise radii kernel
+    (ops/mobility.mobility_radii_trans_times_force, no_wall), on a
+    compact cluster in a LARGE periodic box with ZERO net force — the
+    periodic-image contamination then decays as (cluster/L)^3."""
+    from rigidmultiblobswall_tpu.ops import mobility as mob
+
+    L = 40.0
+    rng = np.random.default_rng(11)
+    n = 10
+    pos = L / 2 + rng.uniform(-1.6, 1.6, size=(n, 3))
+    groups = rng.integers(0, 2, size=n).astype(np.int32)
+    radii_of = np.asarray(RADII)[groups]
+    f = rng.normal(size=(n, 3))
+    f -= f.mean(axis=0, keepdims=True)          # zero net force
+    p = ewald.default_params(max(RADII), ETA, (L, L, L), tol=1e-6,
+                             radii=RADII, grid_max=128)
+    plan = ewald.make_plan(p, jnp.asarray(pos), group_of=groups)
+    u_spec = np.asarray(ewald.matvec(plan, jnp.asarray(f)))
+    u_open = np.asarray(mob.mobility_radii_trans_times_force(
+        jnp.asarray(pos), jnp.asarray(f), jnp.asarray(radii_of), ETA,
+        domain="no_wall"))
+    err = np.linalg.norm(u_spec - u_open) / np.linalg.norm(u_open)
+    assert err < 5e-3, err
