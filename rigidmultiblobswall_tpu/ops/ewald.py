@@ -1508,10 +1508,7 @@ def matvec(plan: SpectralPlan, forces, mesh=None, axis_name="blobs"):
     """Full periodic RPY product M f, (N,3) -> (N,3). With a `mesh`, the
     near-field cell blocks and the gridding planes are divided across
     devices and the 3D FFT is distributed (see matvec_sharded)."""
-    if (mesh is not None and mesh.shape[axis_name] > 1
-            and plan.gsinc is None):
-        # mixed-radii plans run replicated (correct, not yet sharded):
-        # the sharded wave path does not carry the group-channel logic
+    if mesh is not None and mesh.shape[axis_name] > 1:
         return matvec_sharded(mesh, plan, forces, axis_name=axis_name)
     return real_matvec(plan, forces) + wave_matvec(plan, forces)
 
@@ -1529,8 +1526,7 @@ def matvec_multi(plan: SpectralPlan, forces, mesh=None, axis_name="blobs"):
     if B == 1:
         return matvec(plan, forces[0], mesh=mesh, axis_name=axis_name)[None]
     f = jnp.moveaxis(forces, 0, 1).reshape(n, 3 * B)     # b-major channels
-    if (mesh is not None and mesh.shape[axis_name] > 1
-            and plan.gsinc is None):
+    if mesh is not None and mesh.shape[axis_name] > 1:
         # distributed sweep shares gridding/near work across the B
         # channels exactly like the single-chip path
         out = matvec_sharded(mesh, plan, f, axis_name=axis_name)
@@ -1568,7 +1564,11 @@ def matvec_sharded(mesh, plan: SpectralPlan, forces, axis_name="blobs"):
     cap = p.cell_capacity
     TC = p.near_tile
     n_cells = plan.nbr_cells.shape[0]
-    wave_sharded = (gx % D == 0) and (gy % D == 0)
+    # mixed-radii plans shard the near field but keep the wave part
+    # replicated (the distributed-FFT stage does not carry the
+    # group-channel logic; shard_fn's fallback calls the radii-aware
+    # wave_matvec directly)
+    wave_sharded = (gx % D == 0) and (gy % D == 0) and plan.gsinc is None
     gxd = gx // D if wave_sharded else gx
     gyd = gy // D if wave_sharded else gy
 

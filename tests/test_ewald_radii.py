@@ -233,3 +233,22 @@ def test_radii_engine_matches_source_target_kernel_dilute():
         domain="no_wall"))
     err = np.linalg.norm(u_spec - u_open) / np.linalg.norm(u_open)
     assert err < 5e-3, err
+
+
+@pytest.mark.slow
+def test_matvec_sharded_radii_matches_single_device():
+    """Mixed-radii product over the 8-virtual-device mesh (near field
+    cell-sharded, wave replicated) == single-device result."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(13)
+    n = 24
+    pos = rng.uniform(0.0, BOX[0], size=(n, 3))
+    groups = rng.integers(0, 2, size=n).astype(np.int32)
+    f = rng.normal(size=(n, 3))
+    p = _params(tol=1e-4)
+    plan = ewald.make_plan(p, jnp.asarray(pos), group_of=groups)
+    u1 = np.asarray(ewald.matvec(plan, jnp.asarray(f)))
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), axis_names=("blobs",))
+    u8 = np.asarray(ewald.matvec(plan, jnp.asarray(f), mesh=mesh))
+    assert np.abs(u8 - u1).max() < 1e-10 * np.abs(u1).max()
